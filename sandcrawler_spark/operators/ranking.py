@@ -1,0 +1,71 @@
+"""Distributed total-order ranking without a single-task window.
+
+``Window.orderBy(...)`` with no partitionBy collapses to ONE task — fine
+for a LIMIT 25 report, fatal for ranking a 10^8-row fetch list. The
+scalable pattern (classic two-phase ranking):
+
+1. ``repartitionByRange`` on the sort keys (range shuffle ≈ Pig's
+   ``ORDER ... PARALLEL n``, pig/filter-cdx-pdfs.pig:21),
+2. per-partition ``row_number`` (parallel windows keyed by partition id),
+3. add per-partition offsets (a P-row driver-side cumsum, broadcast back).
+
+The result is a gap-free global ``rank`` identical to what a single
+sorted pass would produce, with all heavy work distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order global rank (0-based) over ``order_cols``.
+
+    Deterministic iff ``order_cols`` form a total order (callers append a
+    unique key — the frontier uses canonical_url; SURVEY §7.3 #1).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(n), *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # cut lineage; reuse for counts + rank
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, F.row_number().over(w) - 1 + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def order_digest(df: DataFrame, rank_col: str, value_col: str) -> int:
+    """Order-sensitive digest of a ranked sequence: XOR of
+    xxhash64(rank || value). XOR is commutative, but each term encodes
+    its rank, so equal digests ⇒ identical (rank → value) mapping, i.e.
+    identical crawl order — comparable across parallelism levels and vs
+    the oracle without collecting the sequence. (XOR, not SUM: ANSI mode
+    would overflow a long sum of 64-bit hashes.)"""
+    row = df.select(
+        F.bit_xor(
+            F.xxhash64(F.concat_ws("|", F.col(rank_col).cast("string"), F.col(value_col)))
+        ).alias("d")
+    ).collect()[0]
+    return int(row["d"] or 0)

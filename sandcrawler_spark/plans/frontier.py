@@ -1,0 +1,434 @@
+"""The crawl frontier scheduler: one scheduling round = one declarative
+DataFrame job (SURVEY §3.1 "Spark shape"; north_rule).
+
+Pipeline per round (all stages Catalyst-planned; Python appears only in
+the two canonicalization pandas UDFs):
+
+    frontier candidates
+      → in-batch dedup (keep best fetch-priority per identity)     [A8/W1]
+      → anti-join url_seen (optional bloom prefilter + exact)      [J3/J8]
+      → broadcast-join robots/blocklist (block/wall/cookie gates)  [F6/J1]
+      → salted per-host politeness window (two-phase top-k)        [W3]
+      → distributed global fetch ranking (total order)             [W2/O1]
+      → fetch simulation: best-capture selection over capture
+        history (the 8-key ranking of ia.py:371-390)               [W2]
+      → status resolution (mimetype gates, redirect/loop/hop rules)
+      → outlink + redirect expansion (explode link spans)          [docs]
+      → url_seen/counters delta committed to the snapshot store
+
+The reference processes one request at a time inside a Python while
+loop (ingest_file.py:637-846); here the whole frontier moves through the
+same state machine as set operations, with hop depth = round index and
+loop state (``hops``) carried as an array column.
+
+Determinism under parallelism (SURVEY §7.3 #1): every window and the
+global ranking order by a TOTAL key — (priority, depth, -citation,
+canonical_url) — so output is identical at local[8] and local[32] and
+matches the single-threaded oracle byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.urlkeys import canonical_url_udf
+from sandcrawler_spark.operators.ranking import order_digest, with_global_rank
+from sandcrawler_spark.plans import schemas as S
+from sandcrawler_spark.plans.state import SnapshotStore
+
+DEFAULT_BUDGET = 3
+SALT_BUCKETS = 8
+
+def _fetch_order_cols():
+    """Total fetch-priority order (north_rule heap keys + URL totality).
+    A function, not a module constant: Column construction requires an
+    active SparkContext."""
+    return [
+        F.col("priority").asc(),
+        F.col("depth").asc(),
+        F.col("citation_priority").desc(),
+        F.col("canonical_url").asc(),
+    ]
+
+# per-ingest-type acceptable terminal mimetype (gate F7, ingest_file.py:876-901)
+_MIME_GATE = {"pdf": "application/pdf", "html": "text/html", "xml": "text/xml"}
+
+
+def prepare_seeds(seeds: DataFrame) -> DataFrame:
+    """Seeds → frontier rows: canonicalize (vectorized UDF), derive host,
+    attach empty hop chain."""
+    return (
+        seeds.withColumn("canonical_url", canonical_url_udf("base_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        .select(
+            "ingest_type",
+            "canonical_url",
+            "host",
+            "priority",
+            F.col("citation_priority"),
+            "depth",
+            F.array().cast("array<string>").alias("hops"),
+            "seq",
+        )
+    )
+
+
+def _dedup_candidates(frontier: DataFrame) -> DataFrame:
+    """In-batch dedup per (ingest_type, canonical_url), keeping the best
+    fetch-priority row (ties → lowest seq: deterministic). Reference
+    analogue: batch key-dedup before upsert (db.py:186-190) — but
+    priority-best instead of last-wins, because this batch is a work
+    queue, not a persistence buffer."""
+    w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
+        F.col("priority").asc(),
+        F.col("depth").asc(),
+        F.col("citation_priority").desc(),
+        F.col("seq").asc(),
+    )
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _politeness_select(candidates: DataFrame, budget_col: str = "host_budget") -> DataFrame:
+    """Two-phase salted per-host top-k (W3; SURVEY §7.3 #3).
+
+    Phase 1 ranks within (host, salt) — SALT_BUCKETS parallel windows per
+    hot host — and keeps ≤ budget per salt; phase 2 ranks the surviving
+    ≤ budget·S rows within host. The per-salt survivors are a superset of
+    the true per-host top-budget, so the result is exact while no single
+    task ever sorts a whole hot host's frontier."""
+    order = [
+        F.col("priority").asc(),
+        F.col("depth").asc(),
+        F.col("citation_priority").desc(),
+        F.col("canonical_url").asc(),
+    ]
+    salted = candidates.withColumn(
+        "__salt", F.pmod(F.xxhash64("canonical_url"), F.lit(SALT_BUCKETS))
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col(budget_col))
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("__r2", F.row_number().over(w2))
+        .withColumn("selected", F.col("__r2") <= F.col(budget_col))
+        .drop("__salt", "__r2")
+    )
+
+
+def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:
+    """Left-join the fetch list to capture history and keep the max-rank
+    capture per candidate under the reference's 8-key preference tuple
+    (ia.py:371-390) + (datetime, sha1hex) totality tiebreakers."""
+    best_mime = F.coalesce(
+        *[
+            F.when(F.col("ingest_type") == t, F.lit(m))
+            for t, m in (
+                ("pdf", "application/pdf"),
+                ("xml", "text/xml"),
+                ("html", "text/html"),
+            )
+        ],
+        F.lit("application/octet-stream"),
+    )
+    cap = captures.select(
+        F.col("url").alias("cap_url"),
+        F.col("datetime").alias("cap_dt"),
+        F.col("mimetype").alias("cap_mime"),
+        F.col("status_code").alias("cap_status"),
+        F.col("sha1hex").alias("cap_sha1hex"),
+        F.col("warc_path").alias("cap_warc_path"),
+        F.col("location").alias("cap_location"),
+    )
+    joined = fetch.withColumn("best_mimetype", best_mime).join(
+        cap, fetch.canonical_url == cap.cap_url, "left"
+    )
+    # ia.py:371-390 tuple, descending preference
+    w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
+        (F.col("cap_url") == F.col("canonical_url")).cast("int").desc(),
+        F.col("cap_status").isin(200, 226).cast("int").desc(),
+        (F.lit(0) - F.coalesce("cap_status", F.lit(999))).desc(),
+        (F.col("cap_mime") == F.col("best_mimetype")).cast("int").desc(),
+        (F.col("cap_mime") != F.lit("warc/revisit")).cast("int").desc(),
+        F.lit(0).desc(),  # closest_dt year match: batch mode has no 'closest' target
+        F.col("cap_dt").cast("long").desc(),
+        F.col("cap_warc_path").contains("/").cast("int").desc(),
+        F.col("cap_sha1hex").desc(),
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "cap_url")
+    )
+
+
+def _resolve_status(fetched: DataFrame) -> DataFrame:
+    """Terminal status state machine (ingest_file.py:637-901 flattened)."""
+    mime_ok = F.coalesce(
+        *[
+            F.when(F.col("ingest_type") == t, F.col("cap_mime") == F.lit(m))
+            for t, m in _MIME_GATE.items()
+        ],
+        F.lit(True),  # src/component/file accept any mimetype
+    )
+    is_redirect = F.col("cap_status").isin(301, 302, 303, 307, 308)
+    status = (
+        F.when(F.col("cap_status").isNull(), F.lit(S.STATUS_NO_CAPTURE))
+        .when(
+            F.col("cap_status").isin(200, 226),
+            F.when(mime_ok, F.lit(S.STATUS_SUCCESS)).otherwise(F.lit(S.STATUS_WRONG_MIME)),
+        )
+        .when(
+            is_redirect,
+            F.when(F.col("cap_location").isNull(), F.lit(S.STATUS_TERMINAL_BAD))
+            .when(
+                F.array_contains(F.col("hops"), F.col("cap_location"))
+                | (F.col("cap_location") == F.col("canonical_url")),
+                F.lit(S.STATUS_LINK_LOOP),
+            )
+            .when(F.col("depth") + 1 >= F.lit(S.MAX_HOPS), F.lit(S.STATUS_MAX_HOPS))
+            .otherwise(F.lit(S.STATUS_REDIRECT)),
+        )
+        .otherwise(F.lit(S.STATUS_TERMINAL_BAD))
+    )
+    return fetched.withColumn("status", status).withColumn(
+        "hit", F.col("status") == S.STATUS_SUCCESS
+    )
+
+
+@dataclass
+class RoundResult:
+    fetch_ranked: DataFrame      # selected fetch list with global 'rank'
+    url_seen_delta: DataFrame
+    next_frontier: DataFrame
+    counters: dict
+
+
+def run_round(
+    spark: SparkSession,
+    frontier: DataFrame,
+    url_seen: DataFrame | None,
+    robots: DataFrame,
+    captures: DataFrame,
+    docs: DataFrame,
+    round_id: int,
+    default_budget: int = DEFAULT_BUDGET,
+    use_bloom: bool = True,
+) -> RoundResult:
+    candidates = _dedup_candidates(frontier)
+
+    # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
+    if url_seen is not None:
+        from sandcrawler_spark.operators.bloom import seen_anti_join
+
+        candidates = seen_anti_join(
+            candidates,
+            url_seen,
+            keys=["ingest_type", "canonical_url"],
+            hash_key="canonical_url",
+            use_bloom=use_bloom,
+        )
+
+    # --- robots / blocklist / budget (small side → broadcast; F6/J1)
+    rules = F.broadcast(
+        robots.select(
+            F.col("host").alias("r_host"),
+            "rule_kind",
+            "path_prefix",
+            "host_budget",
+        )
+    )
+    candidates = candidates.join(rules, F.col("host") == F.col("r_host"), "left").drop(
+        "r_host"
+    )
+    path = F.parse_url("canonical_url", F.lit("PATH"))
+    block_status = (
+        F.when(F.col("rule_kind") == "block", F.lit(S.STATUS_BLOCKLIST))
+        .when(
+            (F.col("rule_kind") == "cookie") & path.startswith(F.col("path_prefix")),
+            F.lit(S.STATUS_COOKIE),
+        )
+        .when(
+            (F.col("rule_kind") == "wall") & path.startswith(F.col("path_prefix")),
+            F.lit(S.STATUS_WALL),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    candidates = candidates.withColumn("block_status", block_status).withColumn(
+        "host_budget", F.coalesce("host_budget", F.lit(default_budget))
+    )
+    candidates = candidates.localCheckpoint(eager=False)  # reused 3×: blocked/select/leftover
+
+    blocked = candidates.filter(F.col("block_status").isNotNull())
+    eligible = candidates.filter(F.col("block_status").isNull())
+
+    # --- politeness window (salted two-phase top-k per host)
+    sel = _politeness_select(eligible)
+    sel = sel.localCheckpoint(eager=False)
+    fetch_list = sel.filter("selected").drop("selected", "rule_kind", "path_prefix", "block_status")
+    leftovers = sel.filter(~F.col("selected")).select(frontier.columns)
+
+    # --- global deterministic fetch order
+    fetch_ranked = with_global_rank(fetch_list, _fetch_order_cols(), rank_col="rank")
+    fetch_ranked = fetch_ranked.localCheckpoint(eager=False)
+
+    # --- fetch simulation + status machine
+    fetched = _resolve_status(_best_capture(fetch_ranked, captures))
+    fetched = fetched.localCheckpoint(eager=False)  # reused: results + expansions
+
+    # --- url_seen delta (insert-new-only ↔ ON CONFLICT DO NOTHING, db.py:474)
+    seen_cols = [
+        "ingest_type",
+        "canonical_url",
+        F.xxhash64("canonical_url").alias("url_hash"),
+        "hit",
+        "status",
+        F.when(F.col("status") == S.STATUS_REDIRECT, F.col("cap_location"))
+        .otherwise(F.col("canonical_url"))
+        .alias("terminal_url"),
+        F.col("cap_dt").alias("terminal_dt"),
+        F.col("cap_status").alias("terminal_status_code"),
+        F.col("cap_sha1hex").alias("terminal_sha1hex"),
+        F.lit(round_id).alias("round_id"),
+    ]
+    seen_delta = fetched.select(*seen_cols).unionByName(
+        blocked.select(
+            "ingest_type",
+            "canonical_url",
+            F.xxhash64("canonical_url").alias("url_hash"),
+            F.lit(False).alias("hit"),
+            F.col("block_status").alias("status"),
+            F.lit(None).cast("string").alias("terminal_url"),
+            F.lit(None).cast("string").alias("terminal_dt"),
+            F.lit(None).cast("int").alias("terminal_status_code"),
+            F.lit(None).cast("string").alias("terminal_sha1hex"),
+            F.lit(round_id).alias("round_id"),
+        )
+    )
+
+    # --- expansion 1: redirect targets (depth+1, hop chain extended)
+    redirects = (
+        fetched.filter(F.col("status") == S.STATUS_REDIRECT)
+        .select(
+            "ingest_type",
+            canonical_url_udf("cap_location").alias("canonical_url"),
+            "priority",
+            (F.col("depth") + 1).alias("depth"),
+            "citation_priority",
+            F.array_append("hops", F.col("canonical_url")).alias("hops"),
+            "seq",
+        )
+        .filter(F.col("canonical_url").isNotNull())
+        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        .select(frontier.columns)
+    )
+
+    # --- expansion 2: outlinks of successful HTML fetches (explode link
+    #     spans of the interleaved docs table; ingest_html resource model)
+    html_hits = fetched.filter(
+        (F.col("status") == S.STATUS_SUCCESS)
+        & (F.col("cap_mime") == "text/html")
+        & (F.col("depth") + 1 < S.MAX_HOPS)
+    )
+    outlinks = (
+        html_hits.join(docs, html_hits.cap_sha1hex == docs.doc_id, "inner")
+        .select(
+            "ingest_type",
+            "priority",
+            "depth",
+            "citation_priority",
+            "hops",
+            "seq",
+            F.col("canonical_url").alias("parent_url"),
+            F.explode("spans").alias("span"),
+        )
+        .filter(F.col("span.kind") == "link")
+        .select(
+            "ingest_type",
+            canonical_url_udf("span.media_ref").alias("canonical_url"),
+            F.lit(2).alias("priority"),  # discovered links enter at bulk tier
+            (F.col("depth") + 1).alias("depth"),
+            F.bround(F.col("citation_priority") * 0.5, 6).alias("citation_priority"),
+            F.array_append("hops", F.col("parent_url")).alias("hops"),
+            "seq",
+        )
+        .filter(F.col("canonical_url").isNotNull())
+        .filter(~F.array_contains(F.col("hops"), F.col("canonical_url")))
+        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        .select(frontier.columns)
+    )
+
+    next_frontier = leftovers.unionByName(redirects).unionByName(outlinks)
+
+    # --- counters (A7): per-status counts via one aggregation
+    cnt_rows = seen_delta.groupBy("status").count().collect()
+    counters = {f"status:{r['status']}": int(r["count"]) for r in cnt_rows}
+    counters["scheduled"] = int(fetch_ranked.count())
+
+    return RoundResult(fetch_ranked, seen_delta, next_frontier, counters)
+
+
+def run_crawl(
+    spark: SparkSession,
+    data_dir: str,
+    state_dir: str,
+    max_rounds: int = 4,
+    default_budget: int = DEFAULT_BUDGET,
+    use_bloom: bool = True,
+    resume: bool = False,
+) -> SnapshotStore:
+    """Multi-round crawl driver with snapshot commit + exact resume.
+
+    Each round reads committed state, runs the round job, and commits
+    (url_seen delta, next frontier, ranked fetch order, counters)
+    atomically. Killing the process between commits and re-running with
+    ``resume=True`` continues from the last committed round with
+    identical results (north_rule checkpoint/lineage requirement).
+    """
+    store = SnapshotStore(state_dir, spark)
+    robots = spark.read.parquet(f"{data_dir}/robots.parquet")
+    captures = spark.read.parquet(f"{data_dir}/capture_history.parquet")
+    docs = spark.read.parquet(f"{data_dir}/docs.parquet")
+
+    start_round = store.last_round + 1 if resume else 0
+    if start_round == 0 and store.last_round >= 0:
+        raise ValueError(f"state dir {state_dir} not empty; pass resume=True")
+
+    for round_id in range(start_round, max_rounds):
+        if round_id == 0:
+            frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
+        else:
+            frontier = store.read_round_table(round_id - 1, "frontier")
+        if frontier is None or not frontier.head(1):
+            break
+        url_seen = store.read_table("url_seen", upto_round=round_id - 1)
+        rr = run_round(
+            spark, frontier, url_seen, robots, captures, docs,
+            round_id, default_budget, use_bloom,
+        )
+        digest = order_digest(rr.fetch_ranked, "rank", "canonical_url")
+        counters = dict(rr.counters)
+        counters["order_digest"] = digest
+        store.write_round(
+            round_id,
+            {
+                "url_seen": rr.url_seen_delta,
+                "frontier": rr.next_frontier,
+                "fetch_order": rr.fetch_ranked.select(
+                    "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
+                ),
+            },
+            counters=counters,
+        )
+    return store

@@ -1,0 +1,231 @@
+"""Single-threaded Python oracle for the crawl scheduler.
+
+Implements the exact semantics of ``plans.frontier.run_crawl`` as plain
+sequential Python over dicts/lists (no Spark), the way the reference
+processes one request at a time (ingest_file.py:637-846). Test contract
+(SURVEY §5 rebuild plan): the Spark job's per-round fetch order, final
+URL-seen set, and counters must equal the oracle's EXACTLY, at every
+parallelism level.
+
+Shares the scalar kernel (canonical_url) and the ranking tuples
+(priority.fetch_sort_key / capture_rank_key) with the Spark pipeline —
+identical ordering is enforced by shared code, not duplicated logic.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from sandcrawler_spark.functions.urlkeys import canonical_url, host_of
+from sandcrawler_spark.plans import schemas as S
+from sandcrawler_spark.plans.priority import capture_rank_key, fetch_sort_key
+
+_MIME_GATE = {"pdf": "application/pdf", "html": "text/html", "xml": "text/xml"}
+_REDIRECTS = {301, 302, 303, 307, 308}
+
+
+@dataclass
+class OracleResult:
+    fetch_orders: list[list[str]] = field(default_factory=list)   # per round, ordered canonical URLs
+    url_seen: dict = field(default_factory=dict)                  # (type, url) -> status row
+    counters: list[dict] = field(default_factory=list)
+
+
+def _load(path: str) -> list[dict]:
+    return pq.read_table(path).to_pylist()
+
+
+def run_oracle(
+    data_dir: str,
+    max_rounds: int = 4,
+    default_budget: int = 3,
+) -> OracleResult:
+    seeds = _load(f"{data_dir}/seeds.parquet")
+    robots = {r["host"]: r for r in _load(f"{data_dir}/robots.parquet")}
+    captures = defaultdict(list)
+    for c in _load(f"{data_dir}/capture_history.parquet"):
+        captures[c["url"]].append(c)
+    docs = {d["doc_id"]: d["spans"] for d in _load(f"{data_dir}/docs.parquet")}
+
+    frontier: list[dict] = []
+    for s in seeds:
+        cu = canonical_url(s["base_url"])
+        if cu is None:
+            continue
+        frontier.append(
+            {
+                "ingest_type": s["ingest_type"],
+                "canonical_url": cu,
+                "host": host_of(cu),
+                "priority": s["priority"],
+                "citation_priority": s["citation_priority"],
+                "depth": s["depth"],
+                "hops": [],
+                "seq": s["seq"],
+            }
+        )
+
+    res = OracleResult()
+
+    for round_id in range(max_rounds):
+        if not frontier:
+            break
+        # 1. in-batch dedup: best fetch-priority per (type, url), tie → min seq
+        best: dict = {}
+        for c in frontier:
+            k = (c["ingest_type"], c["canonical_url"])
+            key = (c["priority"], c["depth"], -c["citation_priority"], c["seq"])
+            if k not in best or key < best[k][0]:
+                best[k] = (key, c)
+        candidates = [v[1] for v in best.values()]
+
+        # 2. anti-join URL-seen
+        candidates = [
+            c for c in candidates if (c["ingest_type"], c["canonical_url"]) not in res.url_seen
+        ]
+
+        counters: dict = defaultdict(int)
+
+        # 3. robots/blocklist gates
+        eligible = []
+        for c in candidates:
+            rule = robots.get(c["host"])
+            status = None
+            if rule is not None:
+                from urllib.parse import urlsplit
+
+                path = urlsplit(c["canonical_url"]).path
+                if rule["rule_kind"] == "block":
+                    status = S.STATUS_BLOCKLIST
+                elif rule["rule_kind"] == "cookie" and path.startswith(rule["path_prefix"]):
+                    status = S.STATUS_COOKIE
+                elif rule["rule_kind"] == "wall" and path.startswith(rule["path_prefix"]):
+                    status = S.STATUS_WALL
+            if status:
+                res.url_seen[(c["ingest_type"], c["canonical_url"])] = {
+                    "hit": False, "status": status, "terminal_url": None,
+                    "terminal_dt": None, "terminal_status_code": None,
+                    "terminal_sha1hex": None, "round_id": round_id,
+                }
+                counters[f"status:{status}"] += 1
+            else:
+                eligible.append(c)
+
+        # 4. per-host politeness selection
+        by_host: dict = defaultdict(list)
+        for c in eligible:
+            by_host[c["host"]].append(c)
+        selected, leftovers = [], []
+        for host, items in by_host.items():
+            rule = robots.get(host)
+            budget = rule["host_budget"] if rule is not None and rule["host_budget"] is not None else default_budget
+            items.sort(
+                key=lambda c: fetch_sort_key(
+                    c["priority"], c["depth"], c["citation_priority"], c["canonical_url"]
+                )
+            )
+            selected.extend(items[:budget])
+            leftovers.extend(items[budget:])
+
+        # 5. global deterministic fetch order
+        selected.sort(
+            key=lambda c: fetch_sort_key(
+                c["priority"], c["depth"], c["citation_priority"], c["canonical_url"]
+            )
+        )
+        res.fetch_orders.append([c["canonical_url"] for c in selected])
+        counters["scheduled"] = len(selected)
+
+        # 6. fetch simulation
+        new_candidates: list[dict] = []
+        for c in selected:
+            caps = captures.get(c["canonical_url"], [])
+            best_mime = _MIME_GATE.get(c["ingest_type"], "application/octet-stream")
+            cap = None
+            if caps:
+                cap = max(
+                    caps,
+                    key=lambda r: capture_rank_key(
+                        r["url"], c["canonical_url"], r["status_code"], r["mimetype"],
+                        best_mime, r["datetime"], r["warc_path"], r["sha1hex"],
+                    ),
+                )
+            if cap is None:
+                status = S.STATUS_NO_CAPTURE
+            elif cap["status_code"] in (200, 226):
+                mime_req = _MIME_GATE.get(c["ingest_type"])
+                ok = mime_req is None or cap["mimetype"] == mime_req
+                status = S.STATUS_SUCCESS if ok else S.STATUS_WRONG_MIME
+            elif cap["status_code"] in _REDIRECTS:
+                if cap["location"] is None:
+                    status = S.STATUS_TERMINAL_BAD
+                elif cap["location"] in c["hops"] or cap["location"] == c["canonical_url"]:
+                    status = S.STATUS_LINK_LOOP
+                elif c["depth"] + 1 >= S.MAX_HOPS:
+                    status = S.STATUS_MAX_HOPS
+                else:
+                    status = S.STATUS_REDIRECT
+            else:
+                status = S.STATUS_TERMINAL_BAD
+
+            res.url_seen[(c["ingest_type"], c["canonical_url"])] = {
+                "hit": status == S.STATUS_SUCCESS,
+                "status": status,
+                "terminal_url": cap["location"] if (cap and status == S.STATUS_REDIRECT) else c["canonical_url"],
+                "terminal_dt": cap["datetime"] if cap else None,
+                "terminal_status_code": cap["status_code"] if cap else None,
+                "terminal_sha1hex": cap["sha1hex"] if cap else None,
+                "round_id": round_id,
+            }
+            counters[f"status:{status}"] += 1
+
+            # expansion: redirect target
+            if status == S.STATUS_REDIRECT:
+                tgt = canonical_url(cap["location"])
+                if tgt is not None:
+                    new_candidates.append(
+                        {
+                            "ingest_type": c["ingest_type"],
+                            "canonical_url": tgt,
+                            "host": host_of(tgt),
+                            "priority": c["priority"],
+                            "citation_priority": c["citation_priority"],
+                            "depth": c["depth"] + 1,
+                            "hops": c["hops"] + [c["canonical_url"]],
+                            "seq": c["seq"],
+                        }
+                    )
+            # expansion: outlinks from successful HTML fetch
+            if (
+                status == S.STATUS_SUCCESS
+                and cap["mimetype"] == "text/html"
+                and c["depth"] + 1 < S.MAX_HOPS
+                and cap["sha1hex"] in docs
+            ):
+                new_hops = c["hops"] + [c["canonical_url"]]
+                for span in docs[cap["sha1hex"]]:
+                    if span["kind"] != "link":
+                        continue
+                    tgt = canonical_url(span["media_ref"])
+                    if tgt is None or tgt in new_hops:
+                        continue
+                    new_candidates.append(
+                        {
+                            "ingest_type": c["ingest_type"],
+                            "canonical_url": tgt,
+                            "host": host_of(tgt),
+                            "priority": 2,
+                            "citation_priority": round(c["citation_priority"] * 0.5, 6),
+                            "depth": c["depth"] + 1,
+                            "hops": new_hops,
+                            "seq": c["seq"],
+                        }
+                    )
+
+        frontier = leftovers + new_candidates
+        res.counters.append(dict(counters))
+
+    return res

@@ -1,0 +1,92 @@
+"""End-to-end frontier test: Spark scheduling rounds vs the
+single-threaded oracle — fetch order, URL-seen set, statuses, counters
+must match EXACTLY (SURVEY §5 rebuild test plan b/d)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sandcrawler_spark.plans.datagen import gen_frontier
+from sandcrawler_spark.plans.frontier import run_crawl
+from sandcrawler_spark.plans.oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("frontier_data"))
+    gen_frontier(d, n_urls=800, n_hosts=25, n_seeds=200, seed=7)
+    return d
+
+
+def _spark_orders(store):
+    orders = []
+    for r in store.committed_rounds:
+        df = store.read_round_table(r, "fetch_order")
+        rows = df.orderBy("rank").collect()
+        orders.append([row["canonical_url"] for row in rows])
+    return orders
+
+
+def _spark_seen(store):
+    df = store.read_table("url_seen")
+    return {
+        (r["ingest_type"], r["canonical_url"]): {
+            "hit": r["hit"],
+            "status": r["status"],
+            "terminal_url": r["terminal_url"],
+            "terminal_dt": r["terminal_dt"],
+            "terminal_status_code": r["terminal_status_code"],
+            "terminal_sha1hex": r["terminal_sha1hex"],
+            "round_id": r["round_id"],
+        }
+        for r in df.collect()
+    }
+
+
+def test_spark_matches_oracle(spark, fixture_dir, tmp_path):
+    rounds = 3
+    oracle = run_oracle(fixture_dir, max_rounds=rounds)
+    store = run_crawl(
+        spark, fixture_dir, str(tmp_path / "state"), max_rounds=rounds, use_bloom=True
+    )
+
+    spark_orders = _spark_orders(store)
+    assert len(spark_orders) == len(oracle.fetch_orders)
+    for r, (got, want) in enumerate(zip(spark_orders, oracle.fetch_orders)):
+        assert got == want, f"fetch order diverged in round {r}"
+
+    got_seen = _spark_seen(store)
+    want_seen = oracle.url_seen
+    assert set(got_seen) == set(want_seen)
+    for k in want_seen:
+        for f in ("hit", "status", "terminal_url", "terminal_dt",
+                  "terminal_status_code", "terminal_sha1hex", "round_id"):
+            assert got_seen[k][f] == want_seen[k][f], (k, f, got_seen[k], want_seen[k])
+
+    # counters parity (per-status + scheduled)
+    sc = store.counters()
+    for r, want in enumerate(oracle.counters):
+        got = {k: v for k, v in sc[str(r)].items() if k != "order_digest"}
+        assert got == want, f"counters diverged in round {r}"
+
+
+def test_resume_identical(spark, fixture_dir, tmp_path):
+    """Kill/resume (SURVEY §5 d): run 1 round, 'crash', resume for 2 more
+    → identical to a straight 3-round run."""
+    full = run_crawl(spark, fixture_dir, str(tmp_path / "full"), max_rounds=3)
+    part = run_crawl(spark, fixture_dir, str(tmp_path / "part"), max_rounds=1)
+    part = run_crawl(
+        spark, fixture_dir, str(tmp_path / "part"), max_rounds=3, resume=True
+    )
+    assert _spark_orders(full) == _spark_orders(part)
+    assert _spark_seen(full) == _spark_seen(part)
+
+
+def test_no_bloom_same_result(spark, fixture_dir, tmp_path):
+    """Bloom is a prefilter only — disabling it must not change results."""
+    with_b = run_crawl(spark, fixture_dir, str(tmp_path / "b1"), max_rounds=2, use_bloom=True)
+    no_b = run_crawl(spark, fixture_dir, str(tmp_path / "b0"), max_rounds=2, use_bloom=False)
+    assert _spark_orders(with_b) == _spark_orders(no_b)
+    assert _spark_seen(with_b) == _spark_seen(no_b)
