@@ -1,0 +1,206 @@
+"""Deduplication suite for training-data pipelines:
+
+- exact dedup (hash-groupBy)                       — trivially scalable
+- exact n-gram Jaccard pairs (shingle-join)        — the verify stage
+- MinHash + LSH banding                            — the candidate stage
+  (signatures via (a·h+b) mod p permutations over shingle hashes;
+  band buckets joined to propose pairs; exact Jaccard confirms)
+- SimHash (64-bit, bitwise-majority of token hashes)
+
+Everything is pure Catalyst expressions over exploded shingle/token
+rows — shuffles are groupBy/join on (id) or (shingle)/(band,hash) keys,
+no Python UDFs, so the same pipeline runs unchanged on a cluster.
+
+Scale notes (100 TB corpus): the shingle-join verify stage is only ever
+run on LSH candidates (quadratic blowup is bounded by band-bucket
+sizes); hot shingles (stopword trigrams) are the skew risk — cap bucket
+width or pre-drop top-frequency shingles, both set ops here. SimHash
+near-dup search at scale bands on hash prefixes instead of the
+all-pairs XOR used for small-n verification.
+
+Hash/permutation constants are part of the public contract (DuckDB
+oracles reproduce them literally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.text import hash28_col, hash60_col, shingles, tokens_col
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne); (a*h28 + b) < 2^59 → int64-safe
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1103515245, 12345),
+    (1103577, 987654321),
+    (29943829, 7777777),
+    (1299709, 104729),
+    (15485863, 3571),
+    (32452843, 999983),
+    (49979687, 123457),
+    (67867967, 31337),
+]
+LSH_ROWS_PER_BAND = 2  # 8 hashes → 4 bands × 2 rows
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate profile: docs vs distinct normalized texts
+    (content-hash groupBy; the sha1-keyed dedup of the reference's HBase
+    table, python_hadoop/backfill_hbase_from_cdx.py:2-5)."""
+    return df.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("h")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (ground truth / verify stage).
+
+    inter(i,j) via shingle equi-join; |A∪B| = |A|+|B|−inter. Output
+    (id1, id2, jacc) with jacc ≥ tau, id1 < id2.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id1"), "shingle")
+    b = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jacc",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jacc") >= tau)
+        .select("id1", "id2", "jacc")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, j, mh): k-permutation MinHash over 28-bit shingle hashes."""
+    sh = shingles(df, id_col, text_col, n).withColumn("h", hash28_col("shingle"))
+    spark = df.sparkSession
+    perms = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PERMS)], "j int, a long, b long"
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P))
+        .groupBy("id", "j")
+        .agg(F.min("ph").alias("mh"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """(id, band, band_key): hash of each band's minhash rows, ordered by
+    permutation index so the key is deterministic."""
+    return (
+        signatures.withColumn("band", F.floor(F.col("j") / LSH_ROWS_PER_BAND))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: band-bucket candidate pairs, then exact
+    Jaccard confirmation ≥ tau. Output (id1, id2, jacc)."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = lsh_band_keys(sig)
+    b1 = bands.select(F.col("id").alias("id1"), "band", "band_key")
+    b2 = bands.select(F.col("id").alias("id2"), "band", "band_key")
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    # verify: exact jaccard restricted to candidates
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jacc",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jacc") >= tau)
+        .select("id1", "id2", "jacc")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash: per token (with multiplicity) take hash60; each
+    bit contributes ±1; simhash bit = majority. Output (id, simhash)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .withColumn("h", hash60_col("tok"))
+    )
+    bitrows = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    ).withColumn(
+        # pyspark's shiftright/shiftleft wrappers take only int literals;
+        # the underlying SQL expressions accept a column shift amount
+        "sgn",
+        F.expr("(shiftright(h, b) & 1) * 2 - 1"),
+    )
+    return (
+        bitrows.groupBy("id", "b")
+        .agg(F.sum("sgn").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance (all-pairs XOR — fine
+    for verification scale; band on prefixes for corpus scale)."""
+    sh = simhash(df, id_col, text_col)
+    a = sh.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,90 @@
+"""Text-analysis operators for the training-data pipeline: tokenizing,
+shingling, quality scoring, language-ID heuristic, fingerprinting.
+
+All engine-portable: every function is pure Catalyst expressions (no
+Python in the hot path), built on a shared deterministic hash
+convention so DuckDB oracles can reproduce results bit-for-bit:
+
+    hash28(s) = int(md5(s)[:7 hex], 16)    — 28-bit, safe for (a*h+b)%p
+                                             in int64 without overflow
+    hash60(s) = int(md5(s)[:15 hex], 16)   — 60-bit, for simhash bits
+
+(md5 because every engine has it; xxhash64 would be Spark-only.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens_col(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), "\\s+")
+
+
+def hash28_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def hash60_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-grams. Shingle assembly is a
+    Catalyst ``transform(sequence(...))`` — rows with < n tokens yield no
+    shingles (guarded: Spark's sequence() auto-reverses for start>stop)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    gram = f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {', '.join(f'toks[i+{k}]' for k in range(n))}))"
+    return toks.select("id", F.explode(F.expr(gram)).alias("shingle")).distinct()
+
+
+def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: token count, mean token length,
+    stopword ratio (quality-scoring family for corpus filtering)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return toks.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.round(F.length(F.concat_ws("", F.col("toks"))) / F.size("toks"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+            / F.size("toks"),
+            4,
+        ).alias("stop_ratio"),
+    )
+
+
+def lang_guess(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.12) -> DataFrame:
+    """n-gram-heuristic language ID (stopword-density rule): a cheap,
+    deterministic classifier of the kind large corpus pipelines run
+    before real LID models."""
+    q = doc_quality(df, id_col, text_col)
+    return q.select(
+        "id",
+        F.when(F.col("stop_ratio") >= threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min 28-bit shingle hash —
+    one stable 'representative shingle' per doc (rolling-hash
+    fingerprint family)."""
+    sh = shingles(df, id_col, text_col)
+    return (
+        sh.withColumn("h", hash28_col("shingle"))
+        .groupBy("id")
+        .agg(F.min("h").alias("fingerprint"))
+    )

@@ -1,0 +1,236 @@
+"""Training-data pipeline battery: dedup / text analysis / similarity
+search / multimodal plumbing over the ``documents`` and ``embeddings``
+tables, each with an exact DuckDB oracle (shared md5-derived hash
+convention; MinHash permutation constants reproduced literally in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators import dedup, media, similarity, text
+from sandcrawler_spark.queries.battery import _t
+
+# shared SQL CTE fragments (DuckDB): tokenization + distinct 3-gram shingles
+_SQL_TOKS = """
+toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents)
+"""
+_SQL_SH = """
+sh AS (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         for i in range(1, len(t) - 1)]) AS s
+          FROM toks WHERE len(t) >= 3))
+"""
+_SQL_PERMS = "perms(j, a, b) AS (VALUES " + ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(dedup.MINHASH_PERMS)
+) + ")"
+
+
+def dd_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dd_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", tau=0.8)
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text", tau=0.8)
+
+
+def dd_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def dd_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def txt_quality(spark, sf_dir):
+    return text.doc_quality(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def txt_langid(spark, sf_dir):
+    lg = text.lang_guess(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lg.groupBy("lang_guess").agg(F.count("*").alias("n_docs"))
+
+
+def txt_fingerprint(spark, sf_dir):
+    return text.fingerprint(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def ann_ivf_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+
+
+def med_binary_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    return media.binary_meta(d, "doc_id", "blob", fake_decode=True)
+
+
+QUERIES2 = {
+    "dd_exact_dedup": dd_exact_dedup,
+    "dd_jaccard_pairs": dd_jaccard_pairs,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "txt_quality": txt_quality,
+    "txt_langid": txt_langid,
+    "txt_fingerprint": txt_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_assign": ann_ivf_assign,
+    "med_binary_meta": med_binary_meta,
+}
+
+_JACCARD_TAIL = """
+    SELECT i.id1, i.id2, round(i.m * 1.0 / (z1.sz + z2.sz - i.m), 4) AS jacc
+    FROM inter i
+    JOIN sizes z1 ON z1.doc_id = i.id1
+    JOIN sizes z2 ON z2.doc_id = i.id2
+    WHERE round(i.m * 1.0 / (z1.sz + z2.sz - i.m), 4) >= 0.8
+"""
+
+ORACLES2 = {
+    "dd_exact_dedup": """
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(lower(trim(text)))) AS n_distinct
+        FROM documents
+    """,
+    "dd_jaccard_pairs": f"""
+        WITH {_SQL_TOKS}, {_SQL_SH},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS m
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        {_JACCARD_TAIL}
+    """,
+    "dd_minhash_lsh": f"""
+        WITH {_SQL_TOKS}, {_SQL_SH}, {_SQL_PERMS},
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+              FROM sh),
+        mh AS (SELECT doc_id, j, min((a * h + b) % {dedup.MINHASH_P}) AS mh
+               FROM h CROSS JOIN perms GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // {dedup.LSH_ROWS_PER_BAND} AS band,
+                         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j)) AS band_key
+                  FROM mh GROUP BY doc_id, j // {dedup.LSH_ROWS_PER_BAND}),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.id1, c.id2, count(*) AS m
+                  FROM cand c
+                  JOIN sh s1 ON s1.doc_id = c.id1
+                  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.s = s1.s
+                  GROUP BY 1, 2)
+        {_JACCARD_TAIL}
+    """,
+    "dd_simhash": f"""
+        WITH {_SQL_TOKS},
+        tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM tk),
+        bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+                 FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+                 GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dd_simhash_pairs": f"""
+        WITH {_SQL_TOKS},
+        tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM tk),
+        bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+                 FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+                 GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "txt_quality": f"""
+        WITH {_SQL_TOKS}
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               round(length(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_token_len,
+               round(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                     * 1.0 / len(t), 4) AS stop_ratio
+        FROM toks
+    """,
+    "txt_langid": f"""
+        WITH {_SQL_TOKS},
+        q AS (SELECT doc_id,
+                     round(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                           * 1.0 / len(t), 4) AS stop_ratio
+              FROM toks)
+        SELECT CASE WHEN stop_ratio >= 0.12 THEN 'en' ELSE 'other' END AS lang_guess,
+               count(*) AS n_docs
+        FROM q GROUP BY 1
+    """,
+    "txt_fingerprint": f"""
+        WITH {_SQL_TOKS}, {_SQL_SH}
+        SELECT doc_id,
+               min(CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS fingerprint
+        FROM sh GROUP BY doc_id
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        s AS (SELECT q_id, vec_id,
+                     round(list_cosine_similarity(qv, cv), 6) AS sim
+              FROM q CROSS JOIN c WHERE vec_id != q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id ASC) AS rn FROM s)
+        SELECT q_id, vec_id, sim FROM r WHERE rn <= 5
+    """,
+    "ann_ivf_assign": """
+        WITH cen AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                     FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, centroid_id,
+                     round(list_cosine_similarity(v, cv), 6) AS sim
+              FROM c CROSS JOIN cen),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, centroid_id ASC) AS rn FROM s)
+        SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    """,
+    "med_binary_meta": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+               md5(text) AS md5hex,
+               sha256(text) AS sha256hex,
+               CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) AS width,
+               CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) AS height
+        FROM documents
+    """,
+}
