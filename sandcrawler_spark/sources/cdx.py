@@ -1,0 +1,96 @@
+"""CDX text scan + validity filter (S1 + F1).
+
+Reference semantics being reproduced (parse_cdx_line, misc.py:190-242;
+Scala twin isCdxLine/keepCdx, CdxBackfillJob.scala:119-140; Pig
+filter-cdx-pdfs.pig:12-15):
+
+- 11 space-separated fields; rows with fewer are dropped
+- header/comment rows dropped (``filedesc``/leading-space — these fail
+  the field checks anyway)
+- sha1b32 must be 32 alnum chars; csize/offset digits; datetime digits
+- any '-' placeholder in the checked fields drops the row (this also
+  drops non-HTTP captures like whois, which carry '-' status)
+- mimetype normalized (misc.py:142-174); None/'-' → octet-stream
+- sha1b32 → sha1hex
+
+Spark shape: ``spark.read.text`` + one ``split`` + chained codegen'd
+filters — the whole parse is a single WholeStageCodegen span except the
+base32→hex conversion (pandas UDF; no Spark builtin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.hashes import b32_hex_udf
+from sandcrawler_spark.functions.mime import normalize_mime_col
+
+
+def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Line-DataFrame → typed CDX DataFrame, invalid rows dropped."""
+    f = F.split(F.col(value_col), r"\s+").alias("f")
+    df = lines.select(f).filter(F.size("f") >= 11)
+    c = lambda i: F.col("f").getItem(i)  # noqa: E731
+    df = df.select(
+        c(0).alias("surt"),
+        c(1).alias("datetime"),
+        c(2).alias("url"),
+        c(3).alias("rawmime"),
+        c(4).alias("rawstatus"),
+        c(5).alias("sha1b32"),
+        c(8).alias("rawcsize"),
+        c(9).alias("rawoffset"),
+        c(10).alias("warc_path"),
+    )
+    df = df.filter(
+        F.col("sha1b32").rlike("^[A-Za-z0-9]{32}$")
+        & F.col("rawcsize").rlike("^[0-9]+$")
+        & F.col("rawoffset").rlike("^[0-9]+$")
+        & F.col("datetime").rlike("^[0-9]+$")
+        & (F.col("surt") != "-")
+        & (F.col("url") != "-")
+        & (F.col("rawstatus") != "-")
+        & (F.col("warc_path") != "-")
+        & F.col("rawstatus").rlike("^[0-9]+$")  # non-HTTP (whois) has no status
+    )
+    mime = normalize_mime_col(F.col("rawmime"))
+    return df.select(
+        "surt",
+        "datetime",
+        "url",
+        F.coalesce(mime, F.lit("application/octet-stream")).alias("mimetype"),
+        F.col("rawstatus").cast("int").alias("http_status"),
+        "sha1b32",
+        b32_hex_udf(F.col("sha1b32")).alias("sha1hex"),
+        F.col("rawcsize").cast("long").alias("warc_csize"),
+        F.col("rawoffset").cast("long").alias("warc_offset"),
+        "warc_path",
+    )
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read space-delimited CDX text file(s) → typed DataFrame."""
+    return parse_cdx_lines(spark.read.text(path))
+
+
+def filter_pdfs(cdx: DataFrame) -> DataFrame:
+    """F2: HTTP-200 (+FTP 226) PDF captures (pig/filter-cdx-pdfs.pig:18-20)."""
+    return cdx.filter(
+        F.col("http_status").isin(200, 226)
+        & F.col("mimetype").rlike(".*pdf.*")
+    )
+
+
+SCHOLARLY_SURT_RE = (
+    # F4 union regex in the spirit of pig/filter-cdx-paper-pdfs.pig:24-36:
+    # edu/tilde dirs, publication path words, journal-ish domain words,
+    # DOI-like path segments
+    r"(^edu,)|(/~[^/]+/)|(/(pubs?|research|publications?|papers?|articles?)/)"
+    r"|(journal|scielo|revista|article)|(/10\.[0-9]{3,5}/)"
+)
+
+
+def filter_scholarly(cdx: DataFrame) -> DataFrame:
+    """F4: scholarly-URL heuristic — one Catalyst-compiled rlike."""
+    return cdx.filter(F.col("surt").rlike(SCHOLARLY_SURT_RE))

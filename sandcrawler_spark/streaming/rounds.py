@@ -1,0 +1,126 @@
+"""Streaming ingest-result persistence (SURVEY §3.2).
+
+Reference lifecycle: KafkaJsonPusher consumes `ingest-file-results` in
+batches of 100 → PersistIngestFileResultWorker.push_batch fans ONE JSON
+batch into 5 relational upserts in one transaction
+(persist.py:246-314; batching sandcrawler_worker.py:289-302).
+
+Spark shape: one streaming DataFrame → ``foreachBatch`` → cache the
+micro-batch once → N idempotent table writes (the cache replaces the
+reference's 'one decode, five upserts' transaction body). At-least-once
+stream delivery + key-deduped MERGE = effectively-once, replacing the
+reference's manual offset-store-after-process (workers.py:595-598).
+
+File-based streams are used here (Kafka jars absent — sources/kafka.py
+builds the production source); semantics are source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("ingest_type", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("hit", T.BooleanType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("terminal_sha1hex", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("mimetype", T.StringType()),
+    ]
+)
+
+
+def _merge_parquet_nothing(batch: DataFrame, path: str, keys: list[str]) -> None:
+    """ON CONFLICT DO NOTHING upsert into a parquet-backed table
+    (db.py:204-207 file_meta policy). Iceberg MERGE in production; here:
+    anti-join existing keys, append only novel rows."""
+    spark = batch.sparkSession
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).select(*keys)
+        batch = batch.join(existing, keys, "left_anti")
+    batch.write.mode("append").parquet(path)
+
+
+def persist_results_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    batch_size_files: int = 1,
+):
+    """results JSON-lines stream → (url_seen, file_meta) fan-out.
+
+    In-batch last-wins dedup per key BEFORE the merge, exactly the
+    reference's row_dict[key]=row idiom (db.py:186-190) — order-aware
+    via the explicit ``seq`` column (SURVEY §7.3 #5: dropDuplicates
+    would be arbitrary-wins).
+    """
+    stream = (
+        spark.readStream.schema(RESULT_SCHEMA)
+        .option("maxFilesPerTrigger", batch_size_files)
+        .json(input_dir)
+    )
+
+    def fan_out(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.cache()  # one decode, N table writes (persist.py:262-313)
+        try:
+            w = Window.partitionBy("ingest_type", "canonical_url").orderBy(F.desc("seq"))
+            results = (
+                batch.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            _merge_parquet_nothing(
+                results.select("ingest_type", "canonical_url", "hit", "status", "seq"),
+                os.path.join(out_dir, "url_seen"),
+                ["ingest_type", "canonical_url"],
+            )
+            wf = Window.partitionBy("terminal_sha1hex").orderBy(F.desc("seq"))
+            file_meta = (
+                batch.filter(F.col("terminal_sha1hex").isNotNull())
+                .withColumn("rn", F.row_number().over(wf))
+                .filter(F.col("rn") == 1)
+                .select("terminal_sha1hex", "size_bytes", "mimetype")
+            )
+            _merge_parquet_nothing(
+                file_meta, os.path.join(out_dir, "file_meta"), ["terminal_sha1hex"]
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_status_counters(spark: SparkSession, input_dir: str):
+    """A7 as a stream: per-status counts over 1-minute event-time windows
+    with a watermark for late data — the streaming form of the frontier's
+    per-round counters."""
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("status", T.StringType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
+        .json(input_dir)
+    )
+    return (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "status")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "status", "n")
+    )

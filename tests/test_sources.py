@@ -1,0 +1,143 @@
+"""Source/sink tests: CDX text scan + validity filter, JSON-lines with
+corrupt-record tolerance, zip member expansion, blob fan-out sink."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+
+from sandcrawler_spark.functions.hashes import hex_b32
+
+
+def _mk_cdx_line(surt, dt, url, mime, status, sha1b32, csize, offset, warc):
+    return f"{surt} {dt} {url} {mime} {status} {sha1b32} - - {csize} {offset} {warc}"
+
+
+def test_cdx_parse(spark, tmp_path):
+    from sandcrawler_spark.sources.cdx import filter_pdfs, read_cdx
+
+    good_sha = hex_b32("1b9b6e3a4e1c4b2b8e5d0a9f3c7d2e1f4a5b6c7d")
+    lines = [
+        # valid pdf capture
+        _mk_cdx_line("org,example)/a.pdf", "20200101000000", "http://example.org/a.pdf",
+                     "application/pdf", "200", good_sha, "1000", "2000",
+                     "CRAWL/x.warc.gz"),
+        # valid but x-pdf alias → normalized
+        _mk_cdx_line("org,example)/b.pdf", "20200101000001", "http://example.org/b.pdf",
+                     "application/x-pdf", "200", good_sha, "10", "20", "CRAWL/y.warc.gz"),
+        # whois row: '-' status → dropped (non-HTTP, misc.py:195)
+        _mk_cdx_line("org,example)/w", "20200101000002", "whois://example.org",
+                     "text/dns", "-", good_sha, "1", "1", "CRAWL/z.warc.gz"),
+        # bad sha1 length → dropped
+        _mk_cdx_line("org,example)/c", "20200101000003", "http://example.org/c",
+                     "text/html", "200", "SHORT", "1", "1", "CRAWL/z.warc.gz"),
+        # too few fields → dropped
+        "org,example)/d 20200101000004 http://example.org/d",
+        # unknown mime → octet-stream fallback
+        _mk_cdx_line("org,example)/e", "20200101000005", "http://example.org/e",
+                     "unk", "404", good_sha, "5", "6", "CRAWL/q.warc.gz"),
+    ]
+    p = tmp_path / "test.cdx"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_cdx(spark, str(p))
+    rows = {r["surt"]: r for r in df.collect()}
+    assert set(rows) == {"org,example)/a.pdf", "org,example)/b.pdf", "org,example)/e"}
+    assert rows["org,example)/a.pdf"]["sha1hex"] == "1b9b6e3a4e1c4b2b8e5d0a9f3c7d2e1f4a5b6c7d"
+    assert rows["org,example)/b.pdf"]["mimetype"] == "application/pdf"
+    assert rows["org,example)/e"]["mimetype"] == "application/octet-stream"
+    assert rows["org,example)/a.pdf"]["warc_csize"] == 1000
+    pdfs = filter_pdfs(df).collect()
+    assert {r["surt"] for r in pdfs} == {"org,example)/a.pdf", "org,example)/b.pdf"}
+
+
+def test_jsonl_corrupt_tolerance(spark, tmp_path):
+    from sandcrawler_spark.sources.jsonlines import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\nNOT JSON\n{"a": 2}\n')
+    df = read_jsonl(spark, str(p), schema="a long, _corrupt_record string")
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["a"] is not None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+
+
+def test_zip_explode(spark, tmp_path):
+    from sandcrawler_spark.sources.blobs import explode_zip_members, read_binary_dir
+
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("docs/one.pdf", b"%PDF-1.4 one")
+        zf.writestr("docs/two.pdf", b"%PDF-1.4 two")
+        zf.writestr("notes.txt", b"skip me")
+    (zdir / "batch.zip").write_bytes(buf.getvalue())
+    bins = read_binary_dir(spark, str(zdir), glob="*.zip")
+    members = explode_zip_members(bins, suffix=".pdf").collect()
+    assert sorted(m["member"] for m in members) == ["one.pdf", "two.pdf"]
+    assert all(bytes(m["blob"]).startswith(b"%PDF") for m in members)
+
+
+def test_blob_fanout_sink(spark, tmp_path):
+    from sandcrawler_spark.sources.jsonlines import write_blob_fanout
+
+    df = spark.createDataFrame(
+        [("aabbccdd" + "0" * 32, "x"), ("a1b2c3d4" + "0" * 32, "y")],
+        "sha1hex string, payload string",
+    )
+    out = tmp_path / "blobs"
+    write_blob_fanout(df, str(out))
+    assert os.path.isdir(out / "p1=aa" / "p2=bb")
+    assert os.path.isdir(out / "p1=a1" / "p2=b2")
+    back = spark.read.parquet(str(out))
+    assert back.count() == 2
+
+
+def test_persist_results_stream(spark, tmp_path):
+    """§3.2 persist fan-out: streamed results land in url_seen/file_meta
+    with insert-new-only + in-batch last-wins semantics."""
+    from sandcrawler_spark.streaming.rounds import persist_results_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        dict(seq=1, ingest_type="pdf", canonical_url="http://a/1", hit=False,
+             status="no-capture", terminal_sha1hex=None, size_bytes=None, mimetype=None),
+        # same key later in batch → last-wins within batch
+        dict(seq=2, ingest_type="pdf", canonical_url="http://a/1", hit=True,
+             status="success", terminal_sha1hex="s1", size_bytes=10, mimetype="application/pdf"),
+        dict(seq=3, ingest_type="pdf", canonical_url="http://a/2", hit=True,
+             status="success", terminal_sha1hex="s1", size_bytes=10, mimetype="application/pdf"),
+    ]
+    (indir / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "out"
+    q = persist_results_stream(
+        spark, str(indir), str(out), str(tmp_path / "ckpt"), batch_size_files=10
+    )
+    q.awaitTermination(120)
+    seen = {r["canonical_url"]: r for r in spark.read.parquet(str(out / "url_seen")).collect()}
+    assert seen["http://a/1"]["status"] == "success"  # last-wins (seq 2)
+    assert len(seen) == 2
+    fm = spark.read.parquet(str(out / "file_meta")).collect()
+    assert len(fm) == 1 and fm[0]["terminal_sha1hex"] == "s1"
+
+    # second batch: existing keys must NOT be overwritten (ON CONFLICT NOTHING)
+    rows2 = [
+        dict(seq=4, ingest_type="pdf", canonical_url="http://a/1", hit=False,
+             status="late-dup", terminal_sha1hex="s2", size_bytes=99, mimetype="x"),
+        dict(seq=5, ingest_type="pdf", canonical_url="http://a/3", hit=False,
+             status="no-capture", terminal_sha1hex=None, size_bytes=None, mimetype=None),
+    ]
+    (indir / "batch2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    q2 = persist_results_stream(
+        spark, str(indir), str(out), str(tmp_path / "ckpt"), batch_size_files=10
+    )
+    q2.awaitTermination(120)
+    seen = {r["canonical_url"]: r for r in spark.read.parquet(str(out / "url_seen")).collect()}
+    assert seen["http://a/1"]["status"] == "success"  # unchanged
+    assert seen["http://a/3"]["status"] == "no-capture"
+    assert len(seen) == 3
