@@ -45,8 +45,8 @@ HEADLINE = [
     "med_binary_meta",
 ]
 
-FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "200000"))
-FRONTIER_HOSTS = 2000
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "1000000"))
+FRONTIER_HOSTS = int(os.environ.get("SPARK_GRAFT_FRONTIER_HOSTS", "20000"))
 FRONTIER_ROUNDS = 2
 
 

@@ -202,10 +202,34 @@ def fuzzy_match_url(left: str, right: str) -> bool:
 
 # ---------------------------------------------------------------- Spark UDFs
 
+# Conservative already-canonical detector for the vectorized fast path:
+# lowercase scheme + dotted lowercase host (no port/userinfo/trailing dot),
+# a path, no fragment/percent/whitespace, no dot segments. Anything that
+# COULD change under canonicalization falls through to the slow path.
+# Property-tested: match ⇒ canonical_url(u) == u (tests/test_functions.py).
+_CANONICAL_FAST_RE = (
+    r"^(https?|ftp)://[a-z0-9]([a-z0-9-]*[a-z0-9])?"
+    r"(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+/[^#%\s?]*(\?[^#%\s]*)?$"
+)
+
+
+def _canonicalize_series(urls: pd.Series) -> pd.Series:
+    mask = urls.notna()
+    fast = mask & urls.str.match(_CANONICAL_FAST_RE, na=False)
+    # dot segments / empty-segment tricks force the slow path
+    fast &= ~urls.str.contains("/./", regex=False, na=False)
+    fast &= ~urls.str.contains("/../", regex=False, na=False)
+    fast &= ~urls.str.endswith(("/.", "/.."), na=False)
+    out = urls.where(fast, None)
+    slow_idx = urls.index[mask & ~fast]
+    if len(slow_idx):
+        out.loc[slow_idx] = urls.loc[slow_idx].map(canonical_url)
+    return out
+
 
 @F.pandas_udf(T.StringType())
 def canonical_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonical_url, na_action="ignore")
+    return _canonicalize_series(urls)
 
 
 @F.pandas_udf(T.StringType())

@@ -223,6 +223,9 @@ def gen_frontier(
     paths_out = {}
     for name, tbl in [("seeds", seeds), ("capture_history", caps), ("docs", docs), ("robots", robots)]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        # small row groups keep single-file tables splittable: Spark maps
+        # file byte-ranges to row groups, so 1 row group = 1 task no
+        # matter how many cores — the classic local-bench anti-pattern
+        pq.write_table(tbl, p, row_group_size=65536)
         paths_out[name] = p
     return paths_out

@@ -59,9 +59,15 @@ _MIME_GATE = {"pdf": "application/pdf", "html": "text/html", "xml": "text/xml"}
 
 def prepare_seeds(seeds: DataFrame) -> DataFrame:
     """Seeds → frontier rows: canonicalize (vectorized UDF), derive host,
-    attach empty hop chain."""
+    attach empty hop chain.
+
+    The explicit repartition matters: seed files are byte-small but the
+    UDF is per-row expensive — without it a single-file scan would run
+    the canonicalization on one core."""
+    parallelism = int(seeds.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        seeds.withColumn("canonical_url", canonical_url_udf("base_url"))
+        seeds.repartition(parallelism)
+        .withColumn("canonical_url", canonical_url_udf("base_url"))
         .filter(F.col("canonical_url").isNotNull())
         .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
         .select(
@@ -371,7 +377,8 @@ def run_round(
 
     next_frontier = leftovers.unionByName(redirects).unionByName(outlinks)
 
-    # --- counters (A7): per-status counts via one aggregation
+    # --- counters (A7): per-status counts via one aggregation over the
+    # localCheckpointed branches (no recompute of the fetch simulation)
     cnt_rows = seen_delta.groupBy("status").count().collect()
     counters = {f"status:{r['status']}": int(r["count"]) for r in cnt_rows}
     counters["scheduled"] = int(fetch_ranked.count())
@@ -397,9 +404,21 @@ def run_crawl(
     identical results (north_rule checkpoint/lineage requirement).
     """
     store = SnapshotStore(state_dir, spark)
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
     robots = spark.read.parquet(f"{data_dir}/robots.parquet")
-    captures = spark.read.parquet(f"{data_dir}/capture_history.parquet")
-    docs = spark.read.parquet(f"{data_dir}/docs.parquet")
+    # pre-partition the per-round join sides ON their join keys and keep
+    # them cached: every round's best-capture/outlink join then reuses the
+    # exchange instead of re-shuffling the big side (bucketed-table shape)
+    captures = (
+        spark.read.parquet(f"{data_dir}/capture_history.parquet")
+        .repartition(parallelism, "url")
+        .persist()
+    )
+    docs = (
+        spark.read.parquet(f"{data_dir}/docs.parquet")
+        .repartition(parallelism, "doc_id")
+        .persist()
+    )
 
     start_round = store.last_round + 1 if resume else 0
     if start_round == 0 and store.last_round >= 0:

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # sandbox-scale inputs are single files of tens of MB; 16m keeps
+        # their row groups fanning out across cores (production/100TB:
+        # leave at the 128m default — files there dwarf it)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

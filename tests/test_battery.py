@@ -1,0 +1,68 @@
+"""Run the full queries()/oracle_sql() battery against DuckDB at
+sf0.001 inside pytest — the in-repo replica of the driver's gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _battery():
+    from sandcrawler_spark.queries import ORACLES, QUERIES
+
+    return [(k, QUERIES[k], ORACLES.get(k)) for k in sorted(QUERIES)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _battery(), ids=[k for k, *_ in _battery()])
+def test_query_matches_oracle(spark, sf_dir, duck, name, fn, sql):
+    sdf = fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(s_rows) >= 0
+        return
+    rel = duck.sql(sql)
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(s_rows) == len(d_rows)
+    ns = _normalize(s_rows, sdf.columns)
+    nd = _normalize(d_rows, rel.columns)
+    mism = [(a, b) for a, b in zip(ns, nd) if repr(a) != repr(b)]
+    assert not mism, f"{len(mism)} mismatches; first: {mism[0]}"
+
+
+def test_entry_contract(spark):
+    """Driver smoke contract: entry() returns a non-empty DataFrame."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

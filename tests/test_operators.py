@@ -1,0 +1,52 @@
+"""Unit tests: bloom prefilter exactness, distributed global ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives(spark):
+    from sandcrawler_spark.operators.bloom import build_bloom, bloom_might_contain_udf
+
+    seen = spark.createDataFrame([(f"http://h/{i}",) for i in range(2000)], "u string")
+    blob, mask = build_bloom(seen, "u")
+    probe = bloom_might_contain_udf(spark, blob, mask)
+    # every seen key must test positive (bloom has no false negatives)
+    hits = seen.withColumn("m", probe(F.xxhash64("u"))).filter("m").count()
+    assert hits == 2000
+    # unseen keys: false-positive rate stays small
+    unseen = spark.createDataFrame(
+        [(f"http://other/{i}",) for i in range(2000)], "u string"
+    )
+    fp = unseen.withColumn("m", probe(F.xxhash64("u"))).filter("m").count()
+    assert fp < 100  # ~5% worst case at 16 bits/key; typically ≪1%
+
+
+def test_seen_anti_join_exact(spark):
+    from sandcrawler_spark.operators.bloom import seen_anti_join
+
+    cand = spark.createDataFrame(
+        [("pdf", f"http://h/{i}") for i in range(500)], "ingest_type string, u string"
+    )
+    seen = spark.createDataFrame(
+        [("pdf", f"http://h/{i}") for i in range(0, 500, 2)],
+        "ingest_type string, u string",
+    )
+    for use_bloom in (True, False):
+        out = seen_anti_join(cand, seen, ["ingest_type", "u"], "u", use_bloom=use_bloom)
+        got = sorted(r["u"] for r in out.collect())
+        want = sorted(f"http://h/{i}" for i in range(1, 500, 2))
+        assert got == want
+
+
+def test_with_global_rank_total_order(spark):
+    from sandcrawler_spark.operators.ranking import with_global_rank
+
+    df = spark.createDataFrame(
+        [(i % 7, f"k{i:04d}") for i in range(1000)], "v int, k string"
+    ).repartition(13)
+    ranked = with_global_rank(df, [F.col("v").asc(), F.col("k").asc()], num_partitions=5)
+    rows = sorted((r["rank"], r["v"], r["k"]) for r in ranked.collect())
+    assert [r[0] for r in rows] == list(range(1000))  # gap-free 0..n-1
+    seq = [(r[1], r[2]) for r in rows]
+    assert seq == sorted(seq)  # rank order == sort order
