@@ -92,9 +92,11 @@ def seen_anti_join(
     keys: list[str],
     hash_key: str,
     use_bloom: bool = True,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """candidates ∖ url_seen on ``keys`` (J3 left_anti), with the bloom
-    short-circuit for definitely-new rows."""
+    short-circuit for definitely-new rows. Pass ``n_keys`` when the seen
+    cardinality is already known (manifest counters) to skip a count."""
     seen_keys = url_seen.select(*[F.col(k).alias(f"__s_{k}") for k in keys])
     cond = None
     for k in keys:
@@ -104,7 +106,7 @@ def seen_anti_join(
     if not use_bloom:
         return candidates.join(seen_keys, cond, "left_anti")
 
-    bloom_bytes, mask = build_bloom(url_seen, hash_key)
+    bloom_bytes, mask = build_bloom(url_seen, hash_key, n_keys=n_keys)
     probe = bloom_might_contain_udf(candidates.sparkSession, bloom_bytes, mask)
     tagged = candidates.withColumn(
         "__maybe", probe(F.xxhash64(hash_key))

@@ -6,8 +6,11 @@ streams, no wall clock, no OS entropy. Host mass is power-law
 salted politeness window must defuse (north_rule; reference evidence of
 domain skew: "Broken domains" reports, sql/monitoring_queries.md:18-40).
 
-Outputs (parquet via pyarrow, one file per table — small-scale fixture
-form of the Iceberg tables):
+Fully numpy-vectorized (no per-row Python), so bench-scale fixtures
+(10^7 URLs) generate in seconds; spans are assembled as flat arrays +
+offsets via ``pa.ListArray.from_arrays``.
+
+Outputs (parquet, 64k row groups so single files stay splittable):
 
 - ``seeds``       messy raw URLs (case/www/:80/dot-segment variants) to
                   exercise canonicalization, + priority keys
@@ -25,11 +28,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from sandcrawler_spark.functions.hashes import hex_b32
-from sandcrawler_spark.functions.urlkeys import canonical_url, surt
-
 INGEST_TYPES = np.array(["pdf", "pdf", "pdf", "html", "xml"])  # pdf-heavy like reference
 LINK_SOURCES = np.array(["doi", "unpaywall", "pmc", "arxiv", "mag"])
+_SPAN_KINDS = np.array(["text", "link", "image", "script", "stylesheet", "media"])
 
 
 def _zipf_host_probs(n_hosts: int, s: float = 1.1) -> np.ndarray:
@@ -38,11 +39,21 @@ def _zipf_host_probs(n_hosts: int, s: float = 1.1) -> np.ndarray:
     return p / p.sum()
 
 
-def _sha1hex_like(rng_ints: np.ndarray) -> np.ndarray:
-    """Deterministic 40-char hex ids (content stand-ins)."""
-    return np.char.zfill(
-        np.vectorize(lambda v: format(v & ((1 << 63) - 1), "x"))(rng_ints), 40
-    )
+def _hex15(ints: np.ndarray) -> np.ndarray:
+    """Vectorized 40-char lowercase hex ids from int64s (content-hash
+    stand-ins: enough entropy for joins, zero-padded to sha1 width)."""
+    out = np.full(len(ints), "0" * 25, dtype="U25")
+    return np.char.add(out, _tohex(ints & ((1 << 60) - 1)))
+
+
+def _tohex(ints: np.ndarray) -> np.ndarray:
+    # np.char.mod uses the C-level per-element formatter — far faster
+    # than a Python loop, and deterministic
+    return np.char.mod("%015x", ints)
+
+
+def _zfill14(ints: np.ndarray) -> np.ndarray:
+    return np.char.zfill(ints.astype("U14"), 14)
 
 
 def gen_frontier(
@@ -56,100 +67,103 @@ def gen_frontier(
     rng = np.random.default_rng(np.random.PCG64(seed))
     n_seeds = n_seeds if n_seeds is not None else max(1, n_urls // 4)
 
-    hosts = np.array([f"h{i}.example.org" for i in range(n_hosts)])
+    hosts = np.char.add(
+        np.char.add("h", np.arange(n_hosts).astype("U8")), ".example.org"
+    )
     host_idx = rng.choice(n_hosts, size=n_urls, p=_zipf_host_probs(n_hosts))
     path_no = rng.integers(0, max(4, n_urls // n_hosts) * 4, size=n_urls)
     sub = rng.integers(0, 5, size=n_urls)
-    paths = np.array(
-        [f"/papers/d{d}/p{p}.pdf" if d else f"/p{p}.pdf" for d, p in zip(sub, path_no)]
+    paths = np.where(
+        sub > 0,
+        np.char.add(
+            np.char.add("/papers/d", sub.astype("U1")),
+            np.char.add(np.char.add("/p", path_no.astype("U10")), ".pdf"),
+        ),
+        np.char.add(np.char.add("/p", path_no.astype("U10")), ".pdf"),
     )
-    canon_urls = np.array(
-        [f"http://{h}{p}" for h, p in zip(hosts[host_idx], paths)]
-    )
-    # canonical identity dedup: distinct (host,path) pairs only
+    canon_urls = np.char.add(np.char.add("http://", hosts[host_idx]), paths)
     canon_urls, first_idx = np.unique(canon_urls, return_index=True)
     host_idx = host_idx[first_idx]
     n = len(canon_urls)
 
     # ------------------------------------------------------------- seeds
     seed_pick = rng.choice(n, size=min(n_seeds, n), replace=False)
-    messy_kind = rng.integers(0, 5, size=len(seed_pick))
-    raw_urls = []
-    for k, i in zip(messy_kind, seed_pick):
-        u = canon_urls[i]
-        host = hosts[host_idx[i]]
-        path = u.split(host, 1)[1]
-        if k == 1:
-            raw_urls.append(f"HTTP://{host.upper()}{path}")
-        elif k == 2:
-            raw_urls.append(f"http://www.{host}{path}")  # NOTE: different canonical host!
-        elif k == 3:
-            raw_urls.append(f"http://{host}:80{path}")
-        elif k == 4:
-            raw_urls.append(f"http://{host}/x/..{path}")
-        else:
-            raw_urls.append(u)
-    # messy kind 2 introduces genuinely new hosts (www.-prefixed); that is
-    # intentional — canonicalization must treat them as distinct identities.
+    kind = rng.integers(0, 5, size=len(seed_pick))
+    base = canon_urls[seed_pick]
+    tails = np.char.partition(base, "://")[:, 2]  # host+path
+    raw = base.astype("U96")
+    raw = np.where(kind == 1, np.char.add("HTTP://", np.char.upper(tails)), raw)
+    raw = np.where(kind == 2, np.char.add("http://www.", tails), raw)
+    # :80 after host (host ends at first '/')
+    part = np.char.partition(tails, "/")
+    raw = np.where(
+        kind == 3,
+        np.char.add(
+            np.char.add(np.char.add("http://", part[:, 0]), ":80/"), part[:, 2]
+        ),
+        raw,
+    )
+    raw = np.where(
+        kind == 4,
+        np.char.add(np.char.add("http://", part[:, 0]), np.char.add("/x/../", part[:, 2])),
+        raw,
+    )
+    # kind==2 introduces genuinely new hosts (www.-prefixed) — intentional:
+    # canonicalization must treat them as distinct identities.
     seeds = pa.table(
         {
             "seq": pa.array(np.arange(len(seed_pick)), pa.int64()),
             "ingest_type": pa.array(INGEST_TYPES[rng.integers(0, len(INGEST_TYPES), len(seed_pick))]),
-            "base_url": pa.array(raw_urls),
+            "base_url": pa.array(raw),
             "link_source": pa.array(LINK_SOURCES[rng.integers(0, len(LINK_SOURCES), len(seed_pick))]),
-            "link_source_id": pa.array([f"src-{i}" for i in range(len(seed_pick))]),
+            "link_source_id": pa.array(np.char.add("src-", np.arange(len(seed_pick)).astype("U10"))),
             "priority": pa.array(rng.integers(0, 3, len(seed_pick)), pa.int32()),
-            "citation_priority": pa.array(
-                np.round(rng.random(len(seed_pick)), 6), pa.float64()
-            ),
-            "depth": pa.array(np.zeros(len(seed_pick)), pa.int32()),
+            "citation_priority": pa.array(np.round(rng.random(len(seed_pick)), 6), pa.float64()),
+            "depth": pa.array(np.zeros(len(seed_pick), dtype=np.int32), pa.int32()),
         }
     )
 
     # --------------------------------------------------- capture history
-    # per URL: 0 captures (8%), else 1-3; statuses weighted to 200
     n_caps = rng.choice([0, 1, 2, 3], size=n, p=[0.08, 0.55, 0.27, 0.10])
     cap_url_idx = np.repeat(np.arange(n), n_caps)
     m = len(cap_url_idx)
-    statuses = rng.choice(
-        [200, 200, 200, 301, 302, 404, 503], size=m
-    ).astype(np.int32)
-    # one deterministic redirect loop pair + chain for loop-detection tests
-    years = 2015 + (rng.integers(0, 8, size=m))
-    months = rng.integers(1, 13, size=m)
-    days = rng.integers(1, 29, size=m)
-    hhmmss = rng.integers(0, 86400, size=m)
-    dt14 = np.array(
-        [
-            f"{y:04d}{mo:02d}{d:02d}{s // 3600:02d}{(s % 3600) // 60:02d}{s % 60:02d}"
-            for y, mo, d, s in zip(years, months, days, hhmmss)
-        ]
+    statuses = rng.choice([200, 200, 200, 301, 302, 404, 503], size=m).astype(np.int32)
+    dt_num = (
+        (2015 + rng.integers(0, 8, size=m)) * 10_000_000_000
+        + rng.integers(1, 13, size=m) * 100_000_000
+        + rng.integers(1, 29, size=m) * 1_000_000
+        + rng.integers(0, 24, size=m) * 10_000
+        + rng.integers(0, 60, size=m) * 100
+        + rng.integers(0, 60, size=m)
     )
-    sha_ints = rng.integers(1, 1 << 62, size=m)
-    sha1hex = _sha1hex_like(sha_ints)
-    sha1b32 = np.array([hex_b32(h) for h in sha1hex])
+    dt14 = _zfill14(dt_num)
+    sha_ints = rng.integers(1, 1 << 59, size=m)
+    sha1hex = _hex15(sha_ints)
+    # sha1b32 column kept CDX-shaped but derived vectorized (32 chars of
+    # the hex id); the engine itself only consumes sha1hex
+    sha1b32 = np.char.upper(np.char.ljust(_tohex(sha_ints), 32, "q"))
     mimes = np.where(
         statuses >= 300,
         "warc/revisit",
-        rng.choice(["application/pdf", "application/pdf", "text/html"], size=m),
+        np.array(["application/pdf", "application/pdf", "text/html"])[
+            rng.integers(0, 3, size=m)
+        ],
     )
-    # redirect targets: next URL index (same-host bias), occasional self-loop
     redir_target = (cap_url_idx + 1 + rng.integers(0, 3, size=m)) % n
     loop_mask = rng.random(m) < 0.02
-    redir_target = np.where(loop_mask, cap_url_idx, redir_target)  # self-loop → redirect-loop
-    location = np.where(
-        (statuses == 301) | (statuses == 302),
-        canon_urls[redir_target],
-        None,
-    )
+    redir_target = np.where(loop_mask, cap_url_idx, redir_target)
+    is_redir = (statuses == 301) | (statuses == 302)
+    location = np.where(is_redir, canon_urls[redir_target], None)
     warc_path = np.where(
         rng.random(m) < 0.9,
         np.char.add("CRAWL-2020/", np.char.add(sha1b32, ".warc.gz")),
         "liveweb-no-slash",  # SPN/liveweb rows: no '/' (persist.py:278 filter)
     )
+    # SURT is only needed shape-wise here; keep it cheap + sorted-friendly
+    surts = np.char.add("org,example)", paths[first_idx][cap_url_idx])
     caps = pa.table(
         {
-            "surt": pa.array([surt(u) for u in canon_urls[cap_url_idx]]),
+            "surt": pa.array(surts),
             "datetime": pa.array(dt14),
             "url": pa.array(canon_urls[cap_url_idx]),
             "mimetype": pa.array(mimes),
@@ -164,52 +178,64 @@ def gen_frontier(
     )
 
     # ---------------------------------------------------------------- docs
-    # docs exist for sha1s of 200/text-html captures; spans carry outlinks
-    html_mask = (statuses == 200) & (mimes == "text/html")
-    html_idx = np.flatnonzero(html_mask)
-    doc_ids, spans_col = [], []
-    for j in html_idx:
-        u_i = cap_url_idx[j]
-        k = int(rng.integers(2, 14))
-        spans = []
-        n_links = 0
-        for off in range(k):
-            kind_roll = int(rng.integers(0, 10))
-            if kind_roll < 4:
-                spans.append(
-                    {"kind": "text", "text": f"paragraph {off} of {sha1hex[j][:8]}", "media_ref": None, "offset": off}
-                )
-            elif kind_roll < 8 and n_links < 6:
-                tgt = int((u_i + 7 + rng.integers(0, 23)) % n)
-                spans.append(
-                    {"kind": "link", "text": None, "media_ref": canon_urls[tgt], "offset": off}
-                )
-                n_links += 1
-            else:
-                kind = ["image", "script", "stylesheet", "media"][int(rng.integers(0, 4))]
-                spans.append(
-                    {
-                        "kind": kind,
-                        "text": None,
-                        "media_ref": f"http://{hosts[host_idx[u_i]]}/static/{kind}{off}.bin",
-                        "offset": off,
-                    }
-                )
-        doc_ids.append(sha1hex[j])
-        spans_col.append(spans)
+    # vectorized span assembly: flat arrays + list offsets
+    html_idx = np.flatnonzero((statuses == 200) & (mimes == "text/html"))
+    nd = len(html_idx)
+    span_counts = rng.integers(2, 14, size=nd)
+    total = int(span_counts.sum())
+    doc_of_span = np.repeat(np.arange(nd), span_counts)
+    offs_in_doc = np.concatenate([np.arange(c) for c in span_counts]) if nd else np.array([], dtype=np.int64)
+    kind_roll = rng.integers(0, 10, size=total)
+    kinds = np.where(
+        kind_roll < 4,
+        "text",
+        np.where(kind_roll < 8, "link", _SPAN_KINDS[2 + (kind_roll % 4)]),
+    )
+    src_url_idx = cap_url_idx[html_idx][doc_of_span]
+    texts = np.where(
+        kinds == "text",
+        np.char.add(
+            np.char.add("paragraph ", offs_in_doc.astype("U4")),
+            np.char.add(" of ", np.char.mod("%08x", sha_ints[html_idx][doc_of_span] & 0xFFFFFFFF)),
+        ),
+        None,
+    )
+    link_tgt = (src_url_idx + 7 + rng.integers(0, 23, size=total)) % n
+    media = np.where(
+        kinds == "link",
+        canon_urls[link_tgt],
+        np.where(
+            kinds == "text",
+            None,
+            np.char.add(
+                np.char.add("http://", hosts[host_idx[src_url_idx]]),
+                np.char.add(np.char.add("/static/", kinds.astype("U12")), np.char.add(offs_in_doc.astype("U4"), ".bin")),
+            ),
+        ),
+    )
     span_t = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
     )
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds),
+            pa.array(texts.tolist()),
+            pa.array(media.tolist()),
+            pa.array(offs_in_doc.astype(np.int32)),
+        ],
+        fields=list(span_t),
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(span_counts)]).astype(np.int32))
     docs = pa.table(
-        {"doc_id": pa.array(doc_ids), "spans": pa.array(spans_col, pa.list_(span_t))}
+        {
+            "doc_id": pa.array(sha1hex[html_idx]),
+            "spans": pa.ListArray.from_arrays(offsets, struct_arr),
+        }
     )
 
     # -------------------------------------------------------------- robots
-    rule_kind = np.where(
-        np.arange(n_hosts) % 17 == 13,
-        "block",
-        np.where(np.arange(n_hosts) % 11 == 7, "cookie", "allow"),
-    )
+    hr = np.arange(n_hosts)
+    rule_kind = np.where(hr % 17 == 13, "block", np.where(hr % 11 == 7, "cookie", "allow"))
     robots = pa.table(
         {
             "host": pa.array(hosts),
@@ -225,7 +251,7 @@ def gen_frontier(
         p = os.path.join(out_dir, f"{name}.parquet")
         # small row groups keep single-file tables splittable: Spark maps
         # file byte-ranges to row groups, so 1 row group = 1 task no
-        # matter how many cores — the classic local-bench anti-pattern
+        # matter how many cores
         pq.write_table(tbl, p, row_group_size=65536)
         paths_out[name] = p
     return paths_out

@@ -31,11 +31,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandcrawler_spark.functions.urlkeys import canonical_url_udf
-from sandcrawler_spark.operators.ranking import order_digest, with_global_rank
+from sandcrawler_spark.operators.ranking import with_global_rank
 from sandcrawler_spark.plans import schemas as S
 from sandcrawler_spark.plans.state import SnapshotStore
 
@@ -231,6 +231,7 @@ def run_round(
     round_id: int,
     default_budget: int = DEFAULT_BUDGET,
     use_bloom: bool = True,
+    seen_count: int | None = None,
 ) -> RoundResult:
     candidates = _dedup_candidates(frontier)
 
@@ -244,6 +245,7 @@ def run_round(
             keys=["ingest_type", "canonical_url"],
             hash_key="canonical_url",
             use_bloom=use_bloom,
+            n_keys=seen_count,  # from manifest counters: saves a count job
         )
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
@@ -377,13 +379,7 @@ def run_round(
 
     next_frontier = leftovers.unionByName(redirects).unionByName(outlinks)
 
-    # --- counters (A7): per-status counts via one aggregation over the
-    # localCheckpointed branches (no recompute of the fetch simulation)
-    cnt_rows = seen_delta.groupBy("status").count().collect()
-    counters = {f"status:{r['status']}": int(r["count"]) for r in cnt_rows}
-    counters["scheduled"] = int(fetch_ranked.count())
-
-    return RoundResult(fetch_ranked, seen_delta, next_frontier, counters)
+    return RoundResult(fetch_ranked, seen_delta, next_frontier, {})
 
 
 def run_crawl(
@@ -424,30 +420,64 @@ def run_crawl(
     if start_round == 0 and store.last_round >= 0:
         raise ValueError(f"state dir {state_dir} not empty; pass resume=True")
 
+    def _c(round_id: int, key: str, default=None):
+        rc = store.counters().get(str(round_id), {})
+        return rc.get(key, default)
+
     for round_id in range(start_round, max_rounds):
         if round_id == 0:
             frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
         else:
+            prev_rows = _c(round_id - 1, "frontier_rows")
+            if prev_rows == 0:
+                break
             frontier = store.read_round_table(round_id - 1, "frontier")
-        if frontier is None or not frontier.head(1):
-            break
+            if frontier is None or (prev_rows is None and not frontier.head(1)):
+                break
         url_seen = store.read_table("url_seen", upto_round=round_id - 1)
+        seen_count = sum(
+            _c(r, "deduped", 0) for r in range(round_id)
+        ) or None
         rr = run_round(
             spark, frontier, url_seen, robots, captures, docs,
-            round_id, default_budget, use_bloom,
+            round_id, default_budget, use_bloom, seen_count=seen_count,
         )
-        digest = order_digest(rr.fetch_ranked, "rank", "canonical_url")
-        counters = dict(rr.counters)
-        counters["order_digest"] = digest
-        store.write_round(
+
+        # Counters (A7) + crawl-order digest ride the WRITE jobs as
+        # Observations — zero extra actions per round.
+        obs_seen, obs_fetch, obs_frontier = Observation(), Observation(), Observation()
+        status_exprs = [
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+            for s in S.ALL_STATUSES
+        ]
+        seen_df = rr.url_seen_delta.observe(
+            obs_seen, F.count(F.lit(1)).alias("deduped"), *status_exprs
+        )
+        fetch_df = rr.fetch_ranked.select(
+            "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
+        ).observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("scheduled"),
+            F.bit_xor(
+                F.xxhash64(
+                    F.concat_ws("|", F.col("rank").cast("string"), F.col("canonical_url"))
+                )
+            ).alias("digest"),
+        )
+        frontier_df = rr.next_frontier.observe(
+            obs_frontier, F.count(F.lit(1)).alias("frontier_rows")
+        )
+        store.write_tables(
             round_id,
-            {
-                "url_seen": rr.url_seen_delta,
-                "frontier": rr.next_frontier,
-                "fetch_order": rr.fetch_ranked.select(
-                    "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
-                ),
-            },
-            counters=counters,
+            {"url_seen": seen_df, "frontier": frontier_df, "fetch_order": fetch_df},
         )
+        seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
+        counters = {
+            f"status:{s}": int(seen_vals[s]) for s in S.ALL_STATUSES if seen_vals[s]
+        }
+        counters["deduped"] = int(seen_vals["deduped"])
+        counters["scheduled"] = int(fetch_vals["scheduled"])
+        counters["order_digest"] = int(fetch_vals["digest"] or 0)
+        counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
+        store.commit_round(round_id, counters)
     return store

@@ -114,3 +114,17 @@ STATUS_LINK_LOOP = "link-loop"
 STATUS_MAX_HOPS = "max-hops-exceeded"
 
 MAX_HOPS = 8  # reference ingest_file.py:107
+
+# full status vocabulary (used for Observation-based counters)
+ALL_STATUSES = (
+    STATUS_SUCCESS,
+    STATUS_NO_CAPTURE,
+    STATUS_TERMINAL_BAD,
+    STATUS_WRONG_MIME,
+    STATUS_BLOCKLIST,
+    STATUS_WALL,
+    STATUS_COOKIE,
+    STATUS_REDIRECT,
+    STATUS_LINK_LOOP,
+    STATUS_MAX_HOPS,
+)

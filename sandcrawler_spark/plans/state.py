@@ -63,6 +63,24 @@ class SnapshotStore:
     def last_round(self) -> int:
         return self._manifest["rounds"][-1] if self._manifest["rounds"] else -1
 
+    def write_tables(self, round_id: int, tables: dict[str, DataFrame]) -> None:
+        """Write per-round deltas (NOT yet committed — a crash here leaves
+        the manifest at the previous round)."""
+        if round_id in self._manifest["rounds"]:
+            raise ValueError(f"round {round_id} already committed")
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(self._round_dir(round_id, name))
+
+    def commit_round(self, round_id: int, counters: dict[str, int] | None = None) -> None:
+        """Atomic commit point: manifest replacement via os.replace."""
+        self._manifest["rounds"].append(round_id)
+        if counters:
+            self._manifest["counters"][str(round_id)] = counters
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
     def write_round(
         self,
         round_id: int,
@@ -70,17 +88,8 @@ class SnapshotStore:
         counters: dict[str, int] | None = None,
     ) -> None:
         """Write all per-round deltas, then commit the manifest atomically."""
-        if round_id in self._manifest["rounds"]:
-            raise ValueError(f"round {round_id} already committed")
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(self._round_dir(round_id, name))
-        self._manifest["rounds"].append(round_id)
-        if counters:
-            self._manifest["counters"][str(round_id)] = counters
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
+        self.write_tables(round_id, tables)
+        self.commit_round(round_id, counters)
 
     def read_table(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of a table's committed deltas (Iceberg snapshot-read

@@ -450,6 +450,28 @@ def s2_json_scan(spark, sf_dir):
     )
 
 
+def a10_conditional_pivot(spark, sf_dir):
+    """Pivot as conditional aggregation (engine-portable pivot form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_o"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_f"),
+    )
+
+
+def c13_array_ops(spark, sf_dir):
+    """C13: array column ops (hop-list membership/append shape,
+    ingest_file.py:640,711-712) — tokenize, slice, rejoin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_contains(toks, "join").alias("has_join"),
+    )
+
+
 # ========================================================= streaming shapes
 
 
@@ -606,6 +628,19 @@ ORACLES: dict[str, str] = {
                    AS rank, o_orderkey, o_totalprice
             FROM orders) WHERE rank < 100
     """,
+    "a10_conditional_pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "c13_array_ops": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens,
+               array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:3], ' ') AS first3,
+               list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'join') AS has_join
+        FROM documents
+    """,
     "u1_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "u3_except": """
         SELECT count(*) AS n_unshipped FROM (
@@ -676,6 +711,8 @@ QUERIES = {
     "w2_best_capture": w2_best_capture,
     "w3_politeness_topk": w3_politeness_topk,
     "w4_multiplicity_cutoff": w4_multiplicity_cutoff,
+    "a10_conditional_pivot": a10_conditional_pivot,
+    "c13_array_ops": c13_array_ops,
     "o1_global_rank": o1_global_rank,
     "u1_distinct": u1_distinct,
     "u3_except": u3_except,

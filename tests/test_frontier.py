@@ -68,7 +68,11 @@ def test_spark_matches_oracle(spark, fixture_dir, tmp_path):
     # counters parity (per-status + scheduled)
     sc = store.counters()
     for r, want in enumerate(oracle.counters):
-        got = {k: v for k, v in sc[str(r)].items() if k != "order_digest"}
+        got = {
+            k: v
+            for k, v in sc[str(r)].items()
+            if k.startswith("status:") or k == "scheduled"
+        }
         assert got == want, f"counters diverged in round {r}"
 
 

@@ -1,0 +1,59 @@
+"""spark-submit entry point for the frontier crawl (north_rule: runs via
+``spark-submit --py-files`` on multi-executor clusters).
+
+Local sandbox:
+    python tools/submit_crawl.py --data DIR --state DIR --rounds 4
+
+Cluster:
+    zip -r sandcrawler_spark.zip sandcrawler_spark
+    spark-submit --py-files sandcrawler_spark.zip \
+        --num-executors N --executor-cores C \
+        tools/submit_crawl.py --data s3://... --state s3://... --rounds 8
+
+The session is taken from the environment when launched by
+spark-submit (its master/conf win); the local factory is only a
+fallback for direct python invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="dir with seeds/capture_history/docs/robots parquet")
+    ap.add_argument("--state", required=True, help="snapshot state dir")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--budget", type=int, default=3)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from sandcrawler_spark.session import get_spark
+
+        spark = get_spark("frontier-crawl")
+
+    from sandcrawler_spark.plans.frontier import run_crawl
+
+    store = run_crawl(
+        spark,
+        args.data,
+        args.state,
+        max_rounds=args.rounds,
+        default_budget=args.budget,
+        use_bloom=not args.no_bloom,
+        resume=args.resume,
+    )
+    print(json.dumps({"rounds": store.committed_rounds, "counters": store.counters()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
