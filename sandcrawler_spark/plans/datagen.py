@@ -62,6 +62,7 @@ def gen_frontier(
     n_hosts: int = 100,
     n_seeds: int | None = None,
     seed: int = 42,
+    budget_range: tuple[int, int] = (2, 12),
 ) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(np.random.PCG64(seed))
@@ -216,12 +217,18 @@ def gen_frontier(
     span_t = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
     )
+    def _flat(a) -> pa.Array:
+        arr = pa.array(a)
+        if isinstance(arr, pa.ChunkedArray):  # large inputs chunk; structs need flat
+            arr = arr.combine_chunks()
+        return arr
+
     struct_arr = pa.StructArray.from_arrays(
         [
-            pa.array(kinds),
-            pa.array(texts.tolist()),
-            pa.array(media.tolist()),
-            pa.array(offs_in_doc.astype(np.int32)),
+            _flat(kinds),
+            _flat(texts.tolist()),
+            _flat(media.tolist()),
+            _flat(offs_in_doc.astype(np.int32)),
         ],
         fields=list(span_t),
     )
@@ -242,7 +249,9 @@ def gen_frontier(
             "rule_kind": pa.array(rule_kind),
             "path_prefix": pa.array(np.where(rule_kind == "cookie", "/papers/d3", "")),
             "crawl_delay_ms": pa.array(rng.integers(100, 2000, n_hosts), pa.int32()),
-            "host_budget": pa.array(rng.integers(2, 12, n_hosts), pa.int32()),
+            "host_budget": pa.array(
+                rng.integers(budget_range[0], budget_range[1], n_hosts), pa.int32()
+            ),
         }
     )
 

@@ -141,3 +141,35 @@ def test_persist_results_stream(spark, tmp_path):
     assert seen["http://a/1"]["status"] == "success"  # unchanged
     assert seen["http://a/3"]["status"] == "no-capture"
     assert len(seen) == 3
+
+
+def test_windowed_status_counters_stream(spark, tmp_path):
+    """§2.9: event-time windowed counter stream with watermark, driven
+    to completion via the memory sink."""
+    import json as _json
+
+    from sandcrawler_spark.streaming.rounds import windowed_status_counters
+
+    indir = tmp_path / "ctr_in"
+    indir.mkdir()
+    rows = [
+        {"status": "success", "ts": "2024-01-01T00:00:10.000Z"},
+        {"status": "success", "ts": "2024-01-01T00:00:50.000Z"},
+        {"status": "no-capture", "ts": "2024-01-01T00:01:10.000Z"},
+    ]
+    (indir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    agg = windowed_status_counters(spark, str(indir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ctrs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["wstart"].isoformat(), r["status"]): r["n"]
+        for r in spark.sql("SELECT * FROM ctrs").collect()
+    }
+    assert got[("2024-01-01T00:00:00", "success")] == 2
+    assert got[("2024-01-01T00:01:00", "no-capture")] == 1
