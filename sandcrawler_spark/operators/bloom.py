@@ -93,6 +93,7 @@ def seen_anti_join(
     hash_key: str,
     use_bloom: bool = True,
     n_keys: int | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """candidates ∖ url_seen on ``keys`` (J3 left_anti), with the bloom
     short-circuit for definitely-new rows. Pass ``n_keys`` when the seen
@@ -111,7 +112,9 @@ def seen_anti_join(
     tagged = candidates.withColumn(
         "__maybe", probe(F.xxhash64(hash_key))
     )
-    tagged = tagged.localCheckpoint(eager=False)  # reused for both branches
+    tagged = tagged.persist()  # reused for both branches (columnar cache)
+    if scratch is not None:
+        scratch.append(tagged)
     definitely_new = tagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = tagged.filter(F.col("__maybe")).drop("__maybe")
     confirmed_new = maybe.join(seen_keys, cond, "left_anti")

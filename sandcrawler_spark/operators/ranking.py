@@ -24,18 +24,25 @@ def with_global_rank(
     order_cols: list[Column | str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    scratch: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Total-order global rank (0-based) over ``order_cols``.
 
     Deterministic iff ``order_cols`` form a total order (callers append a
     unique key — the frontier uses canonical_url; SURVEY §7.3 #1).
+    ``scratch`` collects the intermediate cache for caller-side unpersist.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n), *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # cut lineage; reuse for counts + rank
+    # columnar cache (compressed batches), NOT localCheckpoint: checkpoint
+    # blocks are deserialized row objects and thrash the GC at high task
+    # concurrency (measured: 3s → 266s GC going 4 → 16 cores)
+    ranged = ranged.persist()
+    if scratch is not None:
+        scratch.append(ranged)
     counts = {
         r["__pid"]: r["cnt"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

@@ -68,6 +68,27 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup modality):
+    all pairs id1 < id2 with cosine ≥ tau. All-pairs is the verification
+    form; at corpus scale candidates come from the IVF cells /
+    random-hyperplane buckets and only candidates are scored."""
+    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("sim", F.round(cosine_col(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("sim") >= tau)
+        .select("id1", "id2", "sim")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -232,7 +232,9 @@ def run_round(
     default_budget: int = DEFAULT_BUDGET,
     use_bloom: bool = True,
     seen_count: int | None = None,
+    scratch: list | None = None,
 ) -> RoundResult:
+    scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
 
     # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
@@ -246,6 +248,7 @@ def run_round(
             hash_key="canonical_url",
             use_bloom=use_bloom,
             n_keys=seen_count,  # from manifest counters: saves a count job
+            scratch=scratch,
         )
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
@@ -276,24 +279,32 @@ def run_round(
     candidates = candidates.withColumn("block_status", block_status).withColumn(
         "host_budget", F.coalesce("host_budget", F.lit(default_budget))
     )
-    candidates = candidates.localCheckpoint(eager=False)  # reused 3×: blocked/select/leftover
+    # columnar persist, not localCheckpoint: checkpoint blocks are
+    # deserialized rows and thrash GC at high task concurrency
+    candidates = candidates.persist()
+    scratch.append(candidates)  # reused 3×: blocked/select/leftover
 
     blocked = candidates.filter(F.col("block_status").isNotNull())
     eligible = candidates.filter(F.col("block_status").isNull())
 
     # --- politeness window (salted two-phase top-k per host)
     sel = _politeness_select(eligible)
-    sel = sel.localCheckpoint(eager=False)
+    sel = sel.persist()
+    scratch.append(sel)
     fetch_list = sel.filter("selected").drop("selected", "rule_kind", "path_prefix", "block_status")
     leftovers = sel.filter(~F.col("selected")).select(frontier.columns)
 
     # --- global deterministic fetch order
-    fetch_ranked = with_global_rank(fetch_list, _fetch_order_cols(), rank_col="rank")
-    fetch_ranked = fetch_ranked.localCheckpoint(eager=False)
+    fetch_ranked = with_global_rank(
+        fetch_list, _fetch_order_cols(), rank_col="rank", scratch=scratch
+    )
+    fetch_ranked = fetch_ranked.persist()
+    scratch.append(fetch_ranked)
 
     # --- fetch simulation + status machine
     fetched = _resolve_status(_best_capture(fetch_ranked, captures))
-    fetched = fetched.localCheckpoint(eager=False)  # reused: results + expansions
+    fetched = fetched.persist()  # reused: results + expansions
+    scratch.append(fetched)
 
     # --- url_seen delta (insert-new-only ↔ ON CONFLICT DO NOTHING, db.py:474)
     seen_cols = [
@@ -438,9 +449,11 @@ def run_crawl(
         seen_count = sum(
             _c(r, "deduped", 0) for r in range(round_id)
         ) or None
+        scratch: list[DataFrame] = []
         rr = run_round(
             spark, frontier, url_seen, robots, captures, docs,
             round_id, default_budget, use_bloom, seen_count=seen_count,
+            scratch=scratch,
         )
 
         # Counters (A7) + crawl-order digest ride the WRITE jobs as
@@ -480,4 +493,6 @@ def run_crawl(
         counters["order_digest"] = int(fetch_vals["digest"] or 0)
         counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
         store.commit_round(round_id, counters)
+        for df in scratch:  # free this round's caches before the next
+            df.unpersist()
     return store

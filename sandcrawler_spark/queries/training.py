@@ -79,6 +79,10 @@ def ann_ivf_assign(spark, sf_dir):
     return similarity.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
 
 
+def dd_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.45)
+
+
 def med_binary_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -98,6 +102,7 @@ QUERIES2 = {
     "txt_fingerprint": txt_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
+    "dd_embedding_neardup": dd_embedding_neardup,
     "med_binary_meta": med_binary_meta,
 }
 
@@ -223,6 +228,13 @@ ORACLES2 = {
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY sim DESC, centroid_id ASC) AS rn FROM s)
         SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    """,
+    "dd_embedding_neardup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
     """,
     "med_binary_meta": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -44,7 +44,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "96g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # sandbox-scale inputs are single files of tens of MB; 16m keeps
@@ -52,6 +52,11 @@ def get_spark(
         # leave at the 128m default — files there dwarf it)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # Tungsten execution + storage off-heap: measured 1.6× on the
+        # frontier round (GC was 266s/round at 16 concurrent tasks with
+        # on-heap caches)
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
