@@ -63,6 +63,7 @@ def gen_frontier(
     n_seeds: int | None = None,
     seed: int = 42,
     budget_range: tuple[int, int] = (2, 12),
+    force_recrawl_pct: float = 0.0,
 ) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(np.random.PCG64(seed))
@@ -121,6 +122,7 @@ def gen_frontier(
             "priority": pa.array(rng.integers(0, 3, len(seed_pick)), pa.int32()),
             "citation_priority": pa.array(np.round(rng.random(len(seed_pick)), 6), pa.float64()),
             "depth": pa.array(np.zeros(len(seed_pick), dtype=np.int32), pa.int32()),
+            "force_recrawl": pa.array(rng.random(len(seed_pick)) < force_recrawl_pct),
         }
     )
 

@@ -65,6 +65,8 @@ def prepare_seeds(seeds: DataFrame) -> DataFrame:
     UDF is per-row expensive — without it a single-file scan would run
     the canonicalization on one core."""
     parallelism = int(seeds.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if "force_recrawl" not in seeds.columns:
+        seeds = seeds.withColumn("force_recrawl", F.lit(False))
     return (
         seeds.repartition(parallelism)
         .withColumn("canonical_url", canonical_url_udf("base_url"))
@@ -79,6 +81,7 @@ def prepare_seeds(seeds: DataFrame) -> DataFrame:
             "depth",
             F.array().cast("array<string>").alias("hops"),
             "seq",
+            F.coalesce("force_recrawl", F.lit(False)).alias("force_recrawl"),
         )
     )
 
@@ -95,8 +98,13 @@ def _dedup_candidates(frontier: DataFrame) -> DataFrame:
         F.col("citation_priority").desc(),
         F.col("seq").asc(),
     )
+    wk = Window.partitionBy("ingest_type", "canonical_url")
     return (
         frontier.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "force_recrawl",
+            F.max(F.col("force_recrawl").cast("int")).over(wk) == 1,
+        )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -213,6 +221,22 @@ def _resolve_status(fetched: DataFrame) -> DataFrame:
     )
 
 
+def resolve_url_seen(url_seen: DataFrame) -> DataFrame:
+    """Last-round-wins resolution over accumulated url_seen deltas — the
+    read-side form of the reference's ON CONFLICT UPDATE for results
+    (db.py:474-485), needed once force_recrawl rows exist (they write a
+    second row for an already-seen key). Iceberg MERGE resolves in place
+    in production; applied only when the manifest records forced rows."""
+    w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
+        F.col("round_id").desc()
+    )
+    return (
+        url_seen.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 @dataclass
 class RoundResult:
     fetch_ranked: DataFrame      # selected fetch list with global 'rank'
@@ -238,18 +262,24 @@ def run_round(
     candidates = _dedup_candidates(frontier)
 
     # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
+    # force_recrawl rows BYPASS the seen-check (reference: force_recrawl
+    # skips check_existing_ingest, ingest_file.py:633-635) and their new
+    # result row supersedes the old one (ON CONFLICT UPDATE, db.py:474-485
+    # — resolved last-round-wins at url_seen read time).
     if url_seen is not None:
         from sandcrawler_spark.operators.bloom import seen_anti_join
 
+        forced = candidates.filter(F.col("force_recrawl"))
+        unforced = candidates.filter(~F.col("force_recrawl"))
         candidates = seen_anti_join(
-            candidates,
+            unforced,
             url_seen,
             keys=["ingest_type", "canonical_url"],
             hash_key="canonical_url",
             use_bloom=use_bloom,
             n_keys=seen_count,  # from manifest counters: saves a count job
             scratch=scratch,
-        )
+        ).unionByName(forced)
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
     rules = F.broadcast(
@@ -320,6 +350,7 @@ def run_round(
         F.col("cap_status").alias("terminal_status_code"),
         F.col("cap_sha1hex").alias("terminal_sha1hex"),
         F.lit(round_id).alias("round_id"),
+        F.col("force_recrawl").alias("forced"),
     ]
     seen_delta = fetched.select(*seen_cols).unionByName(
         blocked.select(
@@ -333,6 +364,7 @@ def run_round(
             F.lit(None).cast("int").alias("terminal_status_code"),
             F.lit(None).cast("string").alias("terminal_sha1hex"),
             F.lit(round_id).alias("round_id"),
+            F.col("force_recrawl").alias("forced"),
         )
     )
 
@@ -347,6 +379,7 @@ def run_round(
             "citation_priority",
             F.array_append("hops", F.col("canonical_url")).alias("hops"),
             "seq",
+            F.lit(False).alias("force_recrawl"),
         )
         .filter(F.col("canonical_url").isNotNull())
         .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
@@ -381,6 +414,7 @@ def run_round(
             F.bround(F.col("citation_priority") * 0.5, 6).alias("citation_priority"),
             F.array_append("hops", F.col("parent_url")).alias("hops"),
             "seq",
+            F.lit(False).alias("force_recrawl"),
         )
         .filter(F.col("canonical_url").isNotNull())
         .filter(~F.array_contains(F.col("hops"), F.col("canonical_url")))
@@ -446,6 +480,9 @@ def run_crawl(
             if frontier is None or (prev_rows is None and not frontier.head(1)):
                 break
         url_seen = store.read_table("url_seen", upto_round=round_id - 1)
+        any_forced = any(_c(r, "forced", 0) for r in range(round_id))
+        if url_seen is not None and any_forced:
+            url_seen = resolve_url_seen(url_seen)
         seen_count = sum(
             _c(r, "deduped", 0) for r in range(round_id)
         ) or None
@@ -464,7 +501,10 @@ def run_crawl(
             for s in S.ALL_STATUSES
         ]
         seen_df = rr.url_seen_delta.observe(
-            obs_seen, F.count(F.lit(1)).alias("deduped"), *status_exprs
+            obs_seen,
+            F.count(F.lit(1)).alias("deduped"),
+            F.sum(F.col("forced").cast("int")).alias("forced"),
+            *status_exprs,
         )
         fetch_df = rr.fetch_ranked.select(
             "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
@@ -492,6 +532,7 @@ def run_crawl(
         counters["scheduled"] = int(fetch_vals["scheduled"])
         counters["order_digest"] = int(fetch_vals["digest"] or 0)
         counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
+        counters["forced"] = int(seen_vals["forced"] or 0)
         store.commit_round(round_id, counters)
         for df in scratch:  # free this round's caches before the next
             df.unpersist()

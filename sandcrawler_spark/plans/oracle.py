@@ -65,6 +65,7 @@ def run_oracle(
                 "depth": s["depth"],
                 "hops": [],
                 "seq": s["seq"],
+                "force_recrawl": bool(s.get("force_recrawl", False)),
             }
         )
 
@@ -75,16 +76,25 @@ def run_oracle(
             break
         # 1. in-batch dedup: best fetch-priority per (type, url), tie → min seq
         best: dict = {}
+        force_any: dict = {}
         for c in frontier:
             k = (c["ingest_type"], c["canonical_url"])
+            force_any[k] = force_any.get(k, False) or c.get("force_recrawl", False)
             key = (c["priority"], c["depth"], -c["citation_priority"], c["seq"])
             if k not in best or key < best[k][0]:
                 best[k] = (key, c)
-        candidates = [v[1] for v in best.values()]
+        candidates = []
+        for k, (_, c) in best.items():
+            c = dict(c)
+            c["force_recrawl"] = force_any[k]
+            candidates.append(c)
 
-        # 2. anti-join URL-seen
+        # 2. anti-join URL-seen (force_recrawl rows bypass the seen-check,
+        # reference ingest_file.py:633-635)
         candidates = [
-            c for c in candidates if (c["ingest_type"], c["canonical_url"]) not in res.url_seen
+            c for c in candidates
+            if c["force_recrawl"]
+            or (c["ingest_type"], c["canonical_url"]) not in res.url_seen
         ]
 
         counters: dict = defaultdict(int)
@@ -196,6 +206,7 @@ def run_oracle(
                             "depth": c["depth"] + 1,
                             "hops": c["hops"] + [c["canonical_url"]],
                             "seq": c["seq"],
+                            "force_recrawl": False,
                         }
                     )
             # expansion: outlinks from successful HTML fetch
@@ -222,6 +233,7 @@ def run_oracle(
                             "depth": c["depth"] + 1,
                             "hops": new_hops,
                             "seq": c["seq"],
+                            "force_recrawl": False,
                         }
                     )
 
