@@ -128,17 +128,24 @@ def _politeness_select(candidates: DataFrame, budget_col: str = "host_budget") -
         "__salt", F.pmod(F.xxhash64("canonical_url"), F.lit(SALT_BUCKETS))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*order)
-    pre = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= F.col(budget_col))
-        .drop("__r1")
+    pre = salted.withColumn("__r1", F.row_number().over(w1))
+    # Rows past the per-salt budget CANNOT be in the host's top-budget
+    # (each salt already contributes its best `budget`), so they skip the
+    # phase-2 sort — but they MUST stay in the output as unselected:
+    # non-selected candidates are next round's frontier, not waste.
+    finalists = pre.filter(F.col("__r1") <= F.col(budget_col)).drop("__r1")
+    overflow = (
+        pre.filter(F.col("__r1") > F.col(budget_col))
+        .drop("__r1", "__salt")
+        .withColumn("selected", F.lit(False))
     )
     w2 = Window.partitionBy("host").orderBy(*order)
-    return (
-        pre.withColumn("__r2", F.row_number().over(w2))
+    ranked = (
+        finalists.withColumn("__r2", F.row_number().over(w2))
         .withColumn("selected", F.col("__r2") <= F.col(budget_col))
         .drop("__salt", "__r2")
     )
+    return ranked.unionByName(overflow)
 
 
 def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:

@@ -94,3 +94,28 @@ def test_no_bloom_same_result(spark, fixture_dir, tmp_path):
     no_b = run_crawl(spark, fixture_dir, str(tmp_path / "b0"), max_rounds=2, use_bloom=False)
     assert _spark_orders(with_b) == _spark_orders(no_b)
     assert _spark_seen(with_b) == _spark_seen(no_b)
+
+
+def test_politeness_keeps_unselected(spark):
+    """Regression: phase-1 salt overflow must remain in the output as
+    unselected rows (they are next round's frontier), while selection
+    stays exactly the per-host top-budget."""
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.plans.frontier import _politeness_select
+
+    rows = [
+        ("pdf", f"http://hot.example.org/p{i:03d}", "hot.example.org",
+         0, 1.0 - i / 100.0, 0, [], i, False, 2)
+        for i in range(40)  # 40 candidates, budget 2 → heavy salt overflow
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ingest_type string, canonical_url string, host string, priority int, "
+        "citation_priority double, depth int, hops array<string>, seq long, "
+        "force_recrawl boolean, host_budget int",
+    )
+    out = _politeness_select(df).collect()
+    assert len(out) == 40  # nothing dropped
+    sel = sorted(r["canonical_url"] for r in out if r["selected"])
+    assert sel == ["http://hot.example.org/p000", "http://hot.example.org/p001"]
