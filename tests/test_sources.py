@@ -173,3 +173,51 @@ def test_windowed_status_counters_stream(spark, tmp_path):
     }
     assert got[("2024-01-01T00:00:00", "success")] == 2
     assert got[("2024-01-01T00:01:00", "no-capture")] == 1
+
+
+def test_stateful_url_seen_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState URL-seen dedup: first-seen keys emitted
+    once; state survives a query restart via the checkpoint."""
+    import json as _json
+
+    from sandcrawler_spark.streaming.stateful import url_seen_dedup_stream
+
+    indir = tmp_path / "req_in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "req_ckpt")
+    schema = "ingest_type string, canonical_url string, seq long"
+    emitted: list = []
+
+    def run_batch(fname, rows):
+        (indir / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(indir))
+        out = url_seen_dedup_stream(stream)
+        batch_rows: list = []
+
+        def sink(df, epoch_id):
+            batch_rows.extend(df.collect())
+
+        q = (
+            out.writeStream.outputMode("append").foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        emitted.extend(batch_rows)
+        return batch_rows
+
+    b1 = run_batch("b1.json", [
+        {"ingest_type": "pdf", "canonical_url": "http://a/1", "seq": 1},
+        {"ingest_type": "pdf", "canonical_url": "http://a/1", "seq": 2},
+        {"ingest_type": "pdf", "canonical_url": "http://a/2", "seq": 3},
+    ])
+    got1 = {r["canonical_url"]: (r["first_seq"], r["n_duplicates"]) for r in b1}
+    assert got1 == {"http://a/1": (1, 1), "http://a/2": (3, 0)}
+
+    # restart with a new batch: old keys suppressed by restored state
+    b2 = run_batch("b2.json", [
+        {"ingest_type": "pdf", "canonical_url": "http://a/1", "seq": 4},
+        {"ingest_type": "pdf", "canonical_url": "http://a/3", "seq": 5},
+    ])
+    got2 = {r["canonical_url"]: (r["first_seq"], r["n_duplicates"]) for r in b2}
+    assert got2 == {"http://a/3": (5, 0)}
