@@ -98,7 +98,9 @@ def _dedup_candidates(frontier: DataFrame) -> DataFrame:
         F.col("citation_priority").desc(),
         F.col("seq").asc(),
     )
-    wk = Window.partitionBy("ingest_type", "canonical_url")
+    # same partition+order keys + full-partition frame → Catalyst fuses
+    # both window expressions into ONE Window exec (one sort, one shuffle)
+    wk = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         frontier.withColumn("__rn", F.row_number().over(w))
         .withColumn(

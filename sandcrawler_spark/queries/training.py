@@ -79,6 +79,19 @@ def ann_ivf_assign(spark, sf_dir):
     return similarity.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
 
 
+def c7_title_slug(spark, sf_dir):
+    """C7: fuzzy-match slug keys (StringUtilities.scala:17-40) — pseudo
+    title = first 6 tokens; slug via the accent-strip pandas UDF."""
+    from sandcrawler_spark.functions.slug import title_slug_udf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    return d.select(
+        "doc_id",
+        title_slug_udf(F.concat_ws(" ", F.slice(toks, 1, 6))).alias("slug"),
+    )
+
+
 def dd_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.45)
 
@@ -103,6 +116,7 @@ QUERIES2 = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
     "dd_embedding_neardup": dd_embedding_neardup,
+    "c7_title_slug": c7_title_slug,
     "med_binary_meta": med_binary_meta,
 }
 
@@ -228,6 +242,21 @@ ORACLES2 = {
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY sim DESC, centroid_id ASC) AS rn FROM s)
         SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    """,
+    "c7_title_slug": f"""
+        WITH {_SQL_TOKS},
+        t2 AS (SELECT doc_id, array_to_string(t[1:6], ' ') AS title FROM toks),
+        s AS (SELECT doc_id,
+                     lower(regexp_replace(strip_accents(title), '[\\W_]+', '', 'g')) AS raw
+              FROM t2)
+        SELECT doc_id,
+               CASE WHEN length(raw) >= 8
+                         AND raw NOT IN ('abstract','editorial','introduction',
+                                         'preface','untitled','bookreviews',
+                                         'commentary','inthisissue',
+                                         'letterstotheeditor')
+                    THEN raw ELSE NULL END AS slug
+        FROM s
     """,
     "dd_embedding_neardup": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
