@@ -266,21 +266,24 @@ def run_round(
     use_bloom: bool = True,
     seen_count: int | None = None,
     scratch: list | None = None,
+    generation: int = 0,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
 
     # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
     # force_recrawl rows BYPASS the seen-check (reference: force_recrawl
-    # skips check_existing_ingest, ingest_file.py:633-635) and their new
-    # result row supersedes the old one (ON CONFLICT UPDATE, db.py:474-485
-    # — resolved last-round-wins at url_seen read time).
+    # skips check_existing_ingest, ingest_file.py:633-635) — but only
+    # against results of an EARLIER crawl generation, so a forced request
+    # is re-done once per re-ingest cycle, not once per round; its new
+    # result row supersedes the old one (ON CONFLICT UPDATE,
+    # db.py:474-485 — resolved last-round-wins at url_seen read time).
     if url_seen is not None:
         from sandcrawler_spark.operators.bloom import seen_anti_join
 
         forced = candidates.filter(F.col("force_recrawl"))
         unforced = candidates.filter(~F.col("force_recrawl"))
-        candidates = seen_anti_join(
+        new_unforced = seen_anti_join(
             unforced,
             url_seen,
             keys=["ingest_type", "canonical_url"],
@@ -288,7 +291,22 @@ def run_round(
             use_bloom=use_bloom,
             n_keys=seen_count,  # from manifest counters: saves a count job
             scratch=scratch,
-        ).unionByName(forced)
+        )
+        seen_gen = url_seen.groupBy(
+            F.col("ingest_type").alias("g_type"),
+            F.col("canonical_url").alias("g_url"),
+        ).agg(F.max("generation").alias("g_gen"))
+        new_forced = (
+            forced.join(
+                seen_gen,
+                (F.col("ingest_type") == F.col("g_type"))
+                & (F.col("canonical_url") == F.col("g_url")),
+                "left",
+            )
+            .filter(F.col("g_gen").isNull() | (F.col("g_gen") < F.lit(generation)))
+            .drop("g_type", "g_url", "g_gen")
+        )
+        candidates = new_unforced.unionByName(new_forced)
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
     rules = F.broadcast(
@@ -331,7 +349,6 @@ def run_round(
     sel = sel.persist()
     scratch.append(sel)
     fetch_list = sel.filter("selected").drop("selected", "rule_kind", "path_prefix", "block_status")
-    leftovers = sel.filter(~F.col("selected")).select(frontier.columns)
 
     # --- global deterministic fetch order
     fetch_ranked = with_global_rank(
@@ -360,6 +377,7 @@ def run_round(
         F.col("cap_sha1hex").alias("terminal_sha1hex"),
         F.lit(round_id).alias("round_id"),
         F.col("force_recrawl").alias("forced"),
+        F.lit(generation).alias("generation"),
     ]
     seen_delta = fetched.select(*seen_cols).unionByName(
         blocked.select(
@@ -374,6 +392,7 @@ def run_round(
             F.lit(None).cast("string").alias("terminal_sha1hex"),
             F.lit(round_id).alias("round_id"),
             F.col("force_recrawl").alias("forced"),
+            F.lit(generation).alias("generation"),
         )
     )
 
@@ -431,9 +450,14 @@ def run_round(
         .select(frontier.columns)
     )
 
-    next_frontier = leftovers.unionByName(redirects).unionByName(outlinks)
+    # Append-only frontier (Iceberg-native layout): ONLY the newly
+    # discovered candidates are emitted; un-selected leftovers are
+    # re-derived next round from the accumulated additions via the seen
+    # anti-join, instead of rewriting the whole frontier every round
+    # (O(additions) writes per round instead of O(frontier)).
+    additions = redirects.unionByName(outlinks)
 
-    return RoundResult(fetch_ranked, seen_delta, next_frontier, {})
+    return RoundResult(fetch_ranked, seen_delta, additions, {})
 
 
 def run_crawl(
@@ -478,16 +502,32 @@ def run_crawl(
         rc = store.counters().get(str(round_id), {})
         return rc.get(key, default)
 
+    generation = store.generation
+
     for round_id in range(start_round, max_rounds):
+        # Append-only frontier: candidates for round r = prepared seeds ∪
+        # all additions discovered in rounds < r; processed keys fall out
+        # through the url_seen anti-join (no full-frontier rewrite per
+        # round — the Iceberg-native layout).
         if round_id == 0:
             frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
+            seeds_path = store.aux_path("seeds_prepared")
+            frontier.write.mode("overwrite").parquet(seeds_path)
+            frontier = spark.read.parquet(seeds_path)  # canonicalize ONCE
         else:
-            prev_rows = _c(round_id - 1, "frontier_rows")
-            if prev_rows == 0:
-                break
-            frontier = store.read_round_table(round_id - 1, "frontier")
-            if frontier is None or (prev_rows is None and not frontier.head(1)):
-                break
+            stale = (
+                _c(round_id - 1, "scheduled") == 0
+                and _c(round_id - 1, "frontier_rows") == 0
+            )
+            if stale and store.seeds_added_at_round != round_id:
+                break  # no selections, no discoveries, no new seeds → done
+            frontier = None
+            for st_name in store.seed_tables:
+                t = spark.read.parquet(store.aux_path(st_name))
+                frontier = t if frontier is None else frontier.unionByName(t)
+            adds = store.read_table("frontier_add", upto_round=round_id - 1)
+            if adds is not None:
+                frontier = frontier.unionByName(adds)
         url_seen = store.read_table("url_seen", upto_round=round_id - 1)
         any_forced = any(_c(r, "forced", 0) for r in range(round_id))
         if url_seen is not None and any_forced:
@@ -499,7 +539,7 @@ def run_crawl(
         rr = run_round(
             spark, frontier, url_seen, robots, captures, docs,
             round_id, default_budget, use_bloom, seen_count=seen_count,
-            scratch=scratch,
+            scratch=scratch, generation=generation,
         )
 
         # Counters (A7) + crawl-order digest ride the WRITE jobs as
@@ -531,7 +571,7 @@ def run_crawl(
         )
         store.write_tables(
             round_id,
-            {"url_seen": seen_df, "frontier": frontier_df, "fetch_order": fetch_df},
+            {"url_seen": seen_df, "frontier_add": frontier_df, "fetch_order": fetch_df},
         )
         seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
         counters = {
@@ -546,3 +586,35 @@ def run_crawl(
         for df in scratch:  # free this round's caches before the next
             df.unpersist()
     return store
+
+
+def run_reingest(
+    spark: SparkSession,
+    data_dir: str,
+    state_dir: str,
+    reingest_seeds_path: str,
+    extra_rounds: int = 2,
+    default_budget: int = DEFAULT_BUDGET,
+    use_bloom: bool = True,
+) -> SnapshotStore:
+    """Dump→re-ingest cycle (reference: sql/dump_reingest_quarterly.sql —
+    periodically re-enqueue requests whose results should be retried).
+
+    Bumps the crawl generation, registers the new seed list (prepared
+    once, like the initial seeds), and continues scheduling rounds over
+    the existing state: force_recrawl seeds bypass results of earlier
+    generations and their fresh result rows supersede the old ones.
+    """
+    store = SnapshotStore(state_dir, spark)
+    if store.last_round < 0:
+        raise ValueError("re-ingest requires an existing committed crawl")
+    gen = store.bump_generation()
+    prepared = prepare_seeds(spark.read.parquet(reingest_seeds_path))
+    name = f"seeds_gen{gen}"
+    prepared.write.mode("overwrite").parquet(store.aux_path(name))
+    store.add_seed_table(name, at_round=store.last_round + 1)
+    return run_crawl(
+        spark, data_dir, state_dir,
+        max_rounds=store.last_round + 1 + extra_rounds,
+        default_budget=default_budget, use_bloom=use_bloom, resume=True,
+    )

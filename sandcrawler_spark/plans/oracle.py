@@ -42,7 +42,13 @@ def run_oracle(
     data_dir: str,
     max_rounds: int = 4,
     default_budget: int = 3,
+    reingest_seeds_path: str | None = None,
+    reingest_rounds: int = 0,
 ) -> OracleResult:
+    """Optionally follows the crawl with a re-ingest cycle: after
+    ``max_rounds``, generation bumps to 1 and the seeds at
+    ``reingest_seeds_path`` join the frontier; force_recrawl seeds then
+    bypass generation-0 results exactly once."""
     seeds = _load(f"{data_dir}/seeds.parquet")
     robots = {r["host"]: r for r in _load(f"{data_dir}/robots.parquet")}
     captures = defaultdict(list)
@@ -70,10 +76,38 @@ def run_oracle(
         )
 
     res = OracleResult()
+    generation = 0
 
-    for round_id in range(max_rounds):
-        if not frontier:
+    # Append-only candidate pool (mirrors the engine's Iceberg-native
+    # frontier layout): seeds + every discovered candidate stay in the
+    # pool; processed keys fall out via the seen-check each round.
+    pool = frontier
+    prev_scheduled, prev_additions = None, None
+
+    total_rounds = max_rounds + (reingest_rounds if reingest_seeds_path else 0)
+    for round_id in range(total_rounds):
+        if round_id == max_rounds and reingest_seeds_path:
+            generation = 1
+            for s2 in _load(reingest_seeds_path):
+                cu = canonical_url(s2["base_url"])
+                if cu is None:
+                    continue
+                pool.append(
+                    {
+                        "ingest_type": s2["ingest_type"],
+                        "canonical_url": cu,
+                        "host": host_of(cu),
+                        "priority": s2["priority"],
+                        "citation_priority": s2["citation_priority"],
+                        "depth": s2["depth"],
+                        "hops": [],
+                        "seq": s2["seq"],
+                        "force_recrawl": bool(s2.get("force_recrawl", False)),
+                    }
+                )
+        elif round_id > 0 and prev_scheduled == 0 and prev_additions == 0:
             break
+        frontier = pool
         # 1. in-batch dedup: best fetch-priority per (type, url), tie → min seq
         best: dict = {}
         force_any: dict = {}
@@ -89,13 +123,14 @@ def run_oracle(
             c["force_recrawl"] = force_any[k]
             candidates.append(c)
 
-        # 2. anti-join URL-seen (force_recrawl rows bypass the seen-check,
-        # reference ingest_file.py:633-635)
-        candidates = [
-            c for c in candidates
-            if c["force_recrawl"]
-            or (c["ingest_type"], c["canonical_url"]) not in res.url_seen
-        ]
+        # 2. anti-join URL-seen (force_recrawl rows bypass results of
+        # EARLIER generations only; reference ingest_file.py:633-635)
+        def _passes(c):
+            k = (c["ingest_type"], c["canonical_url"])
+            if k not in res.url_seen:
+                return True
+            return c["force_recrawl"] and res.url_seen[k]["generation"] < generation
+        candidates = [c for c in candidates if _passes(c)]
 
         counters: dict = defaultdict(int)
 
@@ -119,6 +154,7 @@ def run_oracle(
                     "hit": False, "status": status, "terminal_url": None,
                     "terminal_dt": None, "terminal_status_code": None,
                     "terminal_sha1hex": None, "round_id": round_id,
+                    "generation": generation,
                 }
                 counters[f"status:{status}"] += 1
             else:
@@ -189,6 +225,7 @@ def run_oracle(
                 "terminal_status_code": cap["status_code"] if cap else None,
                 "terminal_sha1hex": cap["sha1hex"] if cap else None,
                 "round_id": round_id,
+                "generation": generation,
             }
             counters[f"status:{status}"] += 1
 
@@ -237,7 +274,8 @@ def run_oracle(
                         }
                     )
 
-        frontier = leftovers + new_candidates
+        pool = pool + new_candidates
+        prev_scheduled, prev_additions = len(selected), len(new_candidates)
         res.counters.append(dict(counters))
 
     return res

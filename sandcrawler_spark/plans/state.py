@@ -54,6 +54,47 @@ class SnapshotStore:
     def _round_dir(self, round_id: int, table: str) -> str:
         return os.path.join(self.root, f"rounds/round={round_id:05d}", table)
 
+    def aux_path(self, name: str) -> str:
+        """Path for a one-time auxiliary table (e.g. prepared seeds)."""
+        return os.path.join(self.root, "aux", name)
+
+    # -------------------------------------------------------- generation
+    @property
+    def generation(self) -> int:
+        """Crawl generation: bumped by re-ingest cycles; force_recrawl
+        bypasses only results of EARLIER generations."""
+        return int(self._manifest.get("generation", 0))
+
+    def bump_generation(self) -> int:
+        self._manifest["generation"] = self.generation + 1
+        self.save_manifest()
+        return self.generation
+
+    @property
+    def seed_tables(self) -> list[str]:
+        return list(self._manifest.get("seed_tables", ["seeds_prepared"]))
+
+    def add_seed_table(self, name: str, at_round: int | None = None) -> None:
+        tables = self.seed_tables
+        if name not in tables:
+            tables.append(name)
+        self._manifest["seed_tables"] = tables
+        if at_round is not None:
+            # new seeds re-arm the crawl even if the previous round made
+            # no progress (exhausted-state re-ingest)
+            self._manifest["seeds_added_at_round"] = at_round
+        self.save_manifest()
+
+    @property
+    def seeds_added_at_round(self) -> int:
+        return int(self._manifest.get("seeds_added_at_round", -1))
+
+    def save_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
     # ----------------------------------------------------------- rounds
     @property
     def committed_rounds(self) -> list[int]:
@@ -86,10 +127,7 @@ class SnapshotStore:
         self._manifest["rounds"].append(round_id)
         if counters:
             self._manifest["counters"][str(round_id)] = counters
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path())
+        self.save_manifest()
 
     def write_round(
         self,

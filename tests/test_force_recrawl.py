@@ -41,7 +41,8 @@ def test_forced_rows_bypass_seen_and_reresolve(spark, tmp_path):
         "citation_priority double, depth int, hops array<string>, seq long, "
         "force_recrawl boolean",
     ).withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
-    rr1 = run_round(spark, f1, seen0, robots, captures, docs, round_id=1)
+    # generation 1 = a re-ingest cycle: forced rows bypass gen-0 results
+    rr1 = run_round(spark, f1, seen0, robots, captures, docs, round_id=1, generation=1)
     redone = {
         (r["ingest_type"], r["canonical_url"]) for r in rr1.url_seen_delta.collect()
     }
