@@ -450,6 +450,17 @@ def s2_json_scan(spark, sf_dir):
     )
 
 
+def a11_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (monitoring-stats family;
+    the 10^10-scale variant is approx_percentile — same plan shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+    )
+
+
 def a10_conditional_pivot(spark, sf_dir):
     """Pivot as conditional aggregation (engine-portable pivot form)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -628,6 +639,13 @@ ORACLES: dict[str, str] = {
                    AS rank, o_orderkey, o_totalprice
             FROM orders) WHERE rank < 100
     """,
+    "a11_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(avg(l_extendedprice), 4) AS mean_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "a10_conditional_pivot": """
         SELECT l_returnflag,
                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
@@ -712,6 +730,7 @@ QUERIES = {
     "w3_politeness_topk": w3_politeness_topk,
     "w4_multiplicity_cutoff": w4_multiplicity_cutoff,
     "a10_conditional_pivot": a10_conditional_pivot,
+    "a11_percentiles": a11_percentiles,
     "c13_array_ops": c13_array_ops,
     "o1_global_rank": o1_global_rank,
     "u1_distinct": u1_distinct,
