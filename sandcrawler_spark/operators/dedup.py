@@ -85,9 +85,12 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, _shingles: DataFrame | None = None
+) -> DataFrame:
     """(id, j, mh): k-permutation MinHash over 28-bit shingle hashes."""
-    sh = shingles(df, id_col, text_col, n).withColumn("h", hash28_col("shingle"))
+    base = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
+    sh = base.withColumn("h", hash28_col("shingle"))
     spark = df.sparkSession
     perms = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(MINHASH_PERMS)], "j int, a long, b long"
@@ -125,7 +128,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: band-bucket candidate pairs, then exact
     Jaccard confirmation ≥ tau. Output (id1, id2, jacc)."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    # the shingle set feeds BOTH the signature build and the verify
+    # stage — cache it once (columnar) instead of re-tokenizing
+    sh = shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, _shingles=sh)
     bands = lsh_band_keys(sig)
     b1 = bands.select(F.col("id").alias("id1"), "band", "band_key")
     b2 = bands.select(F.col("id").alias("id2"), "band", "band_key")
@@ -136,7 +142,6 @@ def minhash_near_dups(
         .distinct()
     )
     # verify: exact jaccard restricted to candidates
-    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), "shingle")
     s2 = sh.select(F.col("id").alias("id2"), "shingle")
