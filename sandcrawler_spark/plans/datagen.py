@@ -75,6 +75,14 @@ def gen_frontier(
     host_idx = rng.choice(n_hosts, size=n_urls, p=_zipf_host_probs(n_hosts))
     path_no = rng.integers(0, max(4, n_urls // n_hosts) * 4, size=n_urls)
     sub = rng.integers(0, 5, size=n_urls)
+    # canonical identity dedup on INTEGER keys (np.unique over strings is
+    # ~100× slower at 10^7 scale), then build the string forms once;
+    # sorting by key ≠ lexicographic URL order, which is irrelevant —
+    # only uniqueness and determinism matter
+    key = (host_idx.astype(np.int64) * (max(4, n_urls // n_hosts) * 4) + path_no) * 5 + sub
+    _, first_idx = np.unique(key, return_index=True)
+    first_idx.sort()
+    host_idx, path_no, sub = host_idx[first_idx], path_no[first_idx], sub[first_idx]
     paths = np.where(
         sub > 0,
         np.char.add(
@@ -84,8 +92,6 @@ def gen_frontier(
         np.char.add(np.char.add("/p", path_no.astype("U10")), ".pdf"),
     )
     canon_urls = np.char.add(np.char.add("http://", hosts[host_idx]), paths)
-    canon_urls, first_idx = np.unique(canon_urls, return_index=True)
-    host_idx = host_idx[first_idx]
     n = len(canon_urls)
 
     # ------------------------------------------------------------- seeds
@@ -163,7 +169,7 @@ def gen_frontier(
         "liveweb-no-slash",  # SPN/liveweb rows: no '/' (persist.py:278 filter)
     )
     # SURT is only needed shape-wise here; keep it cheap + sorted-friendly
-    surts = np.char.add("org,example)", paths[first_idx][cap_url_idx])
+    surts = np.char.add("org,example)", paths[cap_url_idx])
     caps = pa.table(
         {
             "surt": pa.array(surts),
