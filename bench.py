@@ -5,7 +5,7 @@ Two parts, one JSON line out:
 1. Headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
    local[$SPARK_GRAFT_CPUS] — per-query wall seconds, total as `value`.
 2. Frontier scheduling-round throughput on a deterministic synthetic
-   power-law frontier (8M URLs / 100k hosts by default), measured at
+   power-law frontier (4M URLs / 50k hosts by default; sized so a cold run with one-time fixture generation stays under ~8 min), measured at
    local[N] and local[4N] cores (the sandbox stand-in for N vs 4N
    executors, BASELINE.md protocol): URLs scheduled+deduped/sec at both
    levels (best of 2 timed runs after a JIT warm-up crawl — the
@@ -53,8 +53,8 @@ HEADLINE = [
     "med_binary_meta",
 ]
 
-FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "8000000"))
-FRONTIER_HOSTS = int(os.environ.get("SPARK_GRAFT_FRONTIER_HOSTS", "100000"))
+FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))
+FRONTIER_HOSTS = int(os.environ.get("SPARK_GRAFT_FRONTIER_HOSTS", "50000"))
 FRONTIER_ROUNDS = 2
 LOW_CORES = max(2, CPUS // 8)   # N
 HIGH_CORES = max(4, CPUS // 2)  # 4N

@@ -27,6 +27,14 @@ def get_spark(
     bypassed — ``spark-submit --py-files`` provides the session and these
     configs move to ``spark-defaults.conf``.
     """
+    # python workers must be able to unpickle our UDFs regardless of the
+    # driver's cwd — export the package root before the JVM forks them
+    # (cluster mode ships the package via spark-submit --py-files instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0

@@ -19,7 +19,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# runnable as a plain script: the package lives one level up from tools/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
