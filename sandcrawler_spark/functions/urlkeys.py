@@ -204,12 +204,19 @@ def fuzzy_match_url(left: str, right: str) -> bool:
 
 # Conservative already-canonical detector for the vectorized fast path:
 # lowercase scheme + dotted lowercase host (no port/userinfo/trailing dot),
-# a path, no fragment/percent/whitespace, no dot segments. Anything that
-# COULD change under canonicalization falls through to the slow path.
+# a path, no fragment/percent, no dot segments — and path/query drawn ONLY
+# from the explicit whitelist of characters canonical_url PRESERVES
+# (unreserved + the _encode_component safe sets). Characters outside the
+# whitelist ([ ] " | < > { } \ ^ ` space, non-ASCII, ...) would be
+# percent-encoded by canonical_url, so they MUST fall through to the slow
+# path — a permissive negated class here once let `/x[y]` pass unchanged
+# while the oracle produced `/x%5By%5D`, breaking URL-seen parity.
 # Property-tested: match ⇒ canonical_url(u) == u (tests/test_functions.py).
+_PATH_SAFE = r"A-Za-z0-9\-._~/:@!$&'()*+,;="
 _CANONICAL_FAST_RE = (
     r"^(https?|ftp)://[a-z0-9]([a-z0-9-]*[a-z0-9])?"
-    r"(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+/[^#%\s?]*(\?[^#%\s]*)?$"
+    r"(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+"
+    rf"/[{_PATH_SAFE}]*(\?[{_PATH_SAFE}?]*)?$"
 )
 
 

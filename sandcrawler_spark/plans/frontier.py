@@ -91,12 +91,20 @@ def _dedup_candidates(frontier: DataFrame) -> DataFrame:
     fetch-priority row (ties → lowest seq: deterministic). Reference
     analogue: batch key-dedup before upsert (db.py:186-190) — but
     priority-best instead of last-wins, because this batch is a work
-    queue, not a persistence buffer."""
+    queue, not a persistence buffer.
+
+    The order is TOTAL over the row payload: two discovery paths can
+    reach the same URL at equal (priority, depth, citation, seq) but
+    different hop chains, so the hop chain itself is the final
+    tiebreaker — without it row_number() keeps an arbitrary chain and
+    later link-loop detection diverges across parallelism. The oracle
+    dedups with the same key."""
     w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
         F.col("priority").asc(),
         F.col("depth").asc(),
         F.col("citation_priority").desc(),
         F.col("seq").asc(),
+        F.concat_ws("|", "hops").asc(),
     )
     # same partition+order keys + full-partition frame → Catalyst fuses
     # both window expressions into ONE Window exec (one sort, one shuffle)
@@ -198,9 +206,15 @@ def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:
 
 def _resolve_status(fetched: DataFrame) -> DataFrame:
     """Terminal status state machine (ingest_file.py:637-901 flattened)."""
+    # NULL-guarded: a 200 capture with NULL mimetype for a gated type is
+    # wrong-mimetype, not success (a bare `cap_mime == m` is NULL for
+    # NULL mime and would fall through coalesce to the accept-all True).
     mime_ok = F.coalesce(
         *[
-            F.when(F.col("ingest_type") == t, F.col("cap_mime") == F.lit(m))
+            F.when(
+                F.col("ingest_type") == t,
+                F.coalesce(F.col("cap_mime") == F.lit(m), F.lit(False)),
+            )
             for t, m in _MIME_GATE.items()
         ],
         F.lit(True),  # src/component/file accept any mimetype
@@ -309,13 +323,15 @@ def run_round(
         candidates = new_unforced.unionByName(new_forced)
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
+    # One rule row per host is ENFORCED before the join: the ROBOTS
+    # schema invites multiple rows per host, and a duplicate rule would
+    # duplicate every candidate on that host (double-scheduling +
+    # duplicate url_seen rows). Policy: lexicographic-min rule wins —
+    # deterministic, mirrored by the oracle.
     rules = F.broadcast(
-        robots.select(
-            F.col("host").alias("r_host"),
-            "rule_kind",
-            "path_prefix",
-            "host_budget",
-        )
+        robots.groupBy(F.col("host").alias("r_host"))
+        .agg(F.min(F.struct("rule_kind", "path_prefix", "host_budget")).alias("__r"))
+        .select("r_host", "__r.rule_kind", "__r.path_prefix", "__r.host_budget")
     )
     candidates = candidates.join(rules, F.col("host") == F.col("r_host"), "left").drop(
         "r_host"

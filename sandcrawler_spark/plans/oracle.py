@@ -50,7 +50,19 @@ def run_oracle(
     ``reingest_seeds_path`` join the frontier; force_recrawl seeds then
     bypass generation-0 results exactly once."""
     seeds = _load(f"{data_dir}/seeds.parquet")
-    robots = {r["host"]: r for r in _load(f"{data_dir}/robots.parquet")}
+    # one rule per host, lexicographic-min wins (mirrors the engine's
+    # min-struct dedup before the broadcast robots join)
+    robots: dict = {}
+    for r in _load(f"{data_dir}/robots.parquet"):
+        rk = (
+            r["rule_kind"],
+            r["path_prefix"],
+            r["host_budget"] if r["host_budget"] is not None else -(2**31),
+        )
+        cur = robots.get(r["host"])
+        if cur is None or rk < cur[0]:
+            robots[r["host"]] = (rk, r)
+    robots = {h: v[1] for h, v in robots.items()}
     captures = defaultdict(list)
     for c in _load(f"{data_dir}/capture_history.parquet"):
         captures[c["url"]].append(c)
@@ -114,7 +126,15 @@ def run_oracle(
         for c in frontier:
             k = (c["ingest_type"], c["canonical_url"])
             force_any[k] = force_any.get(k, False) or c.get("force_recrawl", False)
-            key = (c["priority"], c["depth"], -c["citation_priority"], c["seq"])
+            # total order incl. hop-chain tiebreaker (mirrors Spark's
+            # _dedup_candidates window — deterministic across paths)
+            key = (
+                c["priority"],
+                c["depth"],
+                -c["citation_priority"],
+                c["seq"],
+                "|".join(c["hops"]),
+            )
             if k not in best or key < best[k][0]:
                 best[k] = (key, c)
         candidates = []

@@ -29,7 +29,8 @@ def _fast_match(u: str) -> bool:
 
 url_chars = st.text(
     alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    "-._~!$&'()*+,;=:@/?#%[] \t",
+    "-._~!$&'()*+,;=:@/?#%[] \t"
+    '"|<>{}\\^`é中',  # chars canonical_url percent-encodes — must NOT fast-match
     max_size=40,
 )
 
