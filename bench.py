@@ -84,7 +84,7 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
-def _frontier_data(n_urls: int, n_hosts: int, tag_extra: str = "b32") -> str:
+def _frontier_data(n_urls: int, n_hosts: int, tag_extra: str = "rel1") -> str:
     from sandcrawler_spark.plans.datagen import gen_frontier
 
     d = os.path.join(BENCH_CACHE, f"u{n_urls}_h{n_hosts}_{tag_extra}_s42")

@@ -32,7 +32,7 @@ join key is Spark's builtin ``xxhash64`` over the canonical string.
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote, urlsplit, urlunsplit
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
 from pyspark.sql import Column
@@ -162,6 +162,31 @@ def surt(raw: str | None) -> str | None:
     return f"{key}){tail}"
 
 
+def resolve_ref(base: str | None, ref: str | None) -> str | None:
+    """Resolve a possibly-relative reference against its base URL, then
+    canonicalize (C11). Mirrors the reference's urljoin of every redirect
+    Location and extracted resource URL against the fetch URL
+    (``python/sandcrawler/ia.py:894``,
+    ``html_metadata.py:1062-1064``).
+
+    Unlike seed intake, a scheme-less ref here is RELATIVE (RFC 3986):
+    ``resolve_ref("http://a/x/", "p.pdf")`` → ``http://a/x/p.pdf``, and
+    ``"www.b.org/y"`` is a relative path, not a host. Refs that are
+    already absolute pass straight into :func:`canonical_url`.
+    """
+    if ref is None:
+        return None
+    r = ref.strip()
+    if not r:
+        return None
+    if base is None or "://" in r:
+        return canonical_url(r)
+    try:
+        return canonical_url(urljoin(base, r))
+    except ValueError:
+        return None
+
+
 def host_of(raw: str | None) -> str | None:
     """Registered host of a URL after canonicalization (politeness key)."""
     cu = canonical_url(raw)
@@ -237,6 +262,23 @@ def _canonicalize_series(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def canonical_url_udf(urls: pd.Series) -> pd.Series:
     return _canonicalize_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def resolve_url_udf(base: pd.Series, ref: pd.Series) -> pd.Series:
+    """Vectorized :func:`resolve_ref`: urljoin against the base column,
+    then canonicalize. Absolute refs (contain ``://``) skip the per-row
+    urljoin and ride the canonicalization fast path; only genuinely
+    relative refs pay the Python resolution."""
+    mask = ref.notna()
+    absolute = mask & ref.str.contains("://", regex=False, na=False)
+    out = _canonicalize_series(ref.where(absolute, None))
+    rel_idx = ref.index[mask & ~absolute]
+    if len(rel_idx):
+        out.loc[rel_idx] = [
+            resolve_ref(b, r) for b, r in zip(base.loc[rel_idx], ref.loc[rel_idx])
+        ]
+    return out
 
 
 @F.pandas_udf(T.StringType())

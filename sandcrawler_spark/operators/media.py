@@ -15,6 +15,7 @@ by sha1 (minio.py / persist.py:396-402).
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 from collections.abc import Iterator
 
@@ -26,6 +27,73 @@ BINARY_META_SCHEMA = (
     "doc_id string, size_bytes long, md5hex string, sha256hex string, "
     "width int, height int"
 )
+
+TRANSFER_FIX_SCHEMA = (
+    "doc_id string, fixed boolean, body binary, size_bytes long, "
+    "sha1hex string, sha256hex string, md5hex string, mimetype string"
+)
+
+
+def fix_transfer_encoding_bytes(blob: bytes, cdx_mimetype: str | None) -> tuple[bytes, bool]:
+    """F10 scalar kernel (reference ``ia.py:1432-1463``): when the body
+    sniffs as gzip but the CDX record claims a different mimetype, the
+    transfer encoding was never stripped — gunzip and let the caller
+    recompute file_meta over the inner body. Content identity (sha1,
+    the dedup key) changes for exactly these rows."""
+    from sandcrawler_spark.functions.hashes import sniff_mimetype
+
+    if (
+        blob
+        and sniff_mimetype(blob) == "application/gzip"
+        and cdx_mimetype != "application/gzip"
+    ):
+        inner = gzip.decompress(blob)
+        if not inner:
+            raise ValueError("null body inside transfer encoding")
+        return inner, True
+    return blob, False
+
+
+def fix_transfer_encoding_df(
+    df: DataFrame, id_col: str, binary_col: str, cdx_mime_col: str
+) -> DataFrame:
+    """F10 as a distributed operator: Arrow-batched ``mapInPandas`` over
+    (id, body, cdx_mimetype) → corrected body + recomputed file_meta
+    {size, sha1, sha256, md5, sniffed mimetype} and a ``fixed`` flag.
+
+    The rehash matters at scale: sha1hex is the content-identity /
+    dedup key for every downstream join, so a mislabeled gzip body
+    would otherwise dedup against the WRONG identity."""
+    from sandcrawler_spark.functions.hashes import gen_file_metadata
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(binary_col).alias("blob"),
+        F.col(cdx_mime_col).alias("cdx_mimetype"),
+    )
+
+    def fix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fixed", "body", "size_bytes",
+                "sha1hex", "sha256hex", "md5hex", "mimetype",
+            )}
+            for doc_id, blob, cdx_mime in zip(
+                pdf["doc_id"], pdf["blob"], pdf["cdx_mimetype"]
+            ):
+                body, fixed = fix_transfer_encoding_bytes(bytes(blob), cdx_mime)
+                meta = gen_file_metadata(body, allow_empty=True)
+                rows["doc_id"].append(doc_id)
+                rows["fixed"].append(fixed)
+                rows["body"].append(body)
+                rows["size_bytes"].append(meta["size_bytes"])
+                rows["sha1hex"].append(meta["sha1hex"])
+                rows["sha256hex"].append(meta["sha256hex"])
+                rows["md5hex"].append(meta["md5hex"])
+                rows["mimetype"].append(meta["mimetype"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(fix, schema=TRANSFER_FIX_SCHEMA)
 
 
 def decode_image(blob: bytes, fake: bool = False) -> tuple[int, int]:

@@ -14,10 +14,69 @@ convention so DuckDB oracles can reproduce results bit-for-bit:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+# ------------------------------------------------- C9: token author-match
+# Semantics of the reference's scored-match filter
+# (python/scripts/filter_scored_matches.py:24-58): `left` is the
+# known-good author list, `right` the extracted one; every left author's
+# tokenized last name must appear (as a substring) in the tokenized
+# concatenation of the right list.
+
+
+def author_tokenize(s: str, remove_whitespace: bool = False) -> str:
+    """Lowercase, keep alnum+space, ASCII-fold by dropping non-ASCII
+    (filter_scored_matches.py:24-35)."""
+    s = s.replace("&apos;", "'")
+    s = "".join(c for c in s.lower() if c.isalnum() or c.isspace())
+    if remove_whitespace:
+        s = "".join(s.split())
+    return s.encode("ascii", "replace").replace(b"?", b"").decode("ascii")
+
+
+def check_authors(left: list[str] | None, right: list[str] | None) -> bool:
+    """Reference ``check_authors`` (filter_scored_matches.py:38-58):
+    empty left fails; left may not be longer than right; each left
+    author's last name (jr.-stripped, tokenized, >1 char) must be a
+    substring of the tokenized joined right list."""
+    left = list(left or [])
+    right = list(right or [])
+    if not left:
+        return False
+    if len(left) > len(right):
+        return False
+    right_all = author_tokenize(" ".join(right))
+    for name in left:
+        words = name.lower().replace("jr.", "").split()
+        if not words:
+            return False
+        last = author_tokenize(words[-1])
+        if len(last) <= 1:
+            return False
+        if last not in right_all:
+            return False
+    return True
+
+
+@F.pandas_udf(T.BooleanType())
+def check_authors_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Vectorized C9 over two array<string> columns (Arrow delivers
+    arrays as numpy ndarrays — normalized to lists before the kernel)."""
+    return pd.Series(
+        [
+            check_authors(
+                None if l is None else list(l), None if r is None else list(r)
+            )
+            for l, r in zip(left, right)
+        ],
+        dtype="boolean",
+    )
 
 
 def tokens_col(text_col: Column | str) -> Column:

@@ -158,11 +158,19 @@ def gen_frontier(
             rng.integers(0, 3, size=m)
         ],
     )
+    # ~3% of 200s report no mimetype at all (exercises the NULL-guarded
+    # mime gate: 200 + missing mime on a gated type = wrong-mimetype)
+    mime_null = (statuses < 300) & (rng.random(m) < 0.03)
     redir_target = (cap_url_idx + 1 + rng.integers(0, 3, size=m)) % n
     loop_mask = rng.random(m) < 0.02
     redir_target = np.where(loop_mask, cap_url_idx, redir_target)
     is_redir = (statuses == 301) | (statuses == 302)
     location = np.where(is_redir, canon_urls[redir_target], None)
+    # ~30% of same-host redirects send a ROOT-RELATIVE Location (C11:
+    # real servers do; the engine must urljoin against the fetch URL)
+    same_host = host_idx[redir_target] == host_idx[cap_url_idx]
+    rel_loc = is_redir & same_host & (rng.random(m) < 0.30)
+    location = np.where(rel_loc, paths[redir_target], location)
     warc_path = np.where(
         rng.random(m) < 0.9,
         np.char.add("CRAWL-2020/", np.char.add(sha1b32, ".warc.gz")),
@@ -175,7 +183,7 @@ def gen_frontier(
             "surt": pa.array(surts),
             "datetime": pa.array(dt14),
             "url": pa.array(canon_urls[cap_url_idx]),
-            "mimetype": pa.array(mimes),
+            "mimetype": pa.array(mimes, mask=mime_null),
             "status_code": pa.array(statuses, pa.int32()),
             "sha1b32": pa.array(sha1b32),
             "sha1hex": pa.array(sha1hex),
@@ -210,9 +218,23 @@ def gen_frontier(
         None,
     )
     link_tgt = (src_url_idx + 7 + rng.integers(0, 23, size=total)) % n
+    # C11: 40% of hrefs are RELATIVE (root-relative, bare filename,
+    # ../-chains, protocol-relative) — the engine must urljoin them
+    # against the page URL; every real HTML corpus has these
+    link_form = rng.integers(0, 10, size=total)
+    link_raw = canon_urls[link_tgt].astype("U160")
+    basenames = np.char.rpartition(paths[link_tgt], "/")[:, 2]
+    link_raw = np.where(link_form == 6, paths[link_tgt], link_raw)
+    link_raw = np.where(link_form == 7, basenames, link_raw)
+    link_raw = np.where(link_form == 8, np.char.add("../..", paths[link_tgt]), link_raw)
+    link_raw = np.where(
+        link_form == 9,
+        np.char.add("//", np.char.add(hosts[host_idx[link_tgt]], paths[link_tgt])),
+        link_raw,
+    )
     media = np.where(
         kinds == "link",
-        canon_urls[link_tgt],
+        link_raw,
         np.where(
             kinds == "text",
             None,

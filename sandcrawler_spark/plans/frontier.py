@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sandcrawler_spark.functions.urlkeys import canonical_url_udf
+from sandcrawler_spark.functions.urlkeys import canonical_url_udf, resolve_url_udf
 from sandcrawler_spark.operators.ranking import with_global_rank
 from sandcrawler_spark.plans import schemas as S
 from sandcrawler_spark.plans.state import SnapshotStore
@@ -205,7 +205,20 @@ def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:
 
 
 def _resolve_status(fetched: DataFrame) -> DataFrame:
-    """Terminal status state machine (ingest_file.py:637-901 flattened)."""
+    """Terminal status state machine (ingest_file.py:637-901 flattened).
+
+    The redirect Location is resolved against the fetch URL FIRST
+    (C11 urljoin — ia.py:894): loop detection, terminal_url, and the
+    redirect expansion all see the absolute canonical target. A
+    Location that fails resolution is treated like a missing one
+    (terminal-bad)."""
+    fetched = fetched.withColumn(
+        "cap_location",
+        F.when(
+            F.col("cap_status").isin(301, 302, 303, 307, 308),
+            resolve_url_udf(F.col("canonical_url"), F.col("cap_location")),
+        ),
+    )
     # NULL-guarded: a 200 capture with NULL mimetype for a gated type is
     # wrong-mimetype, not success (a bare `cap_mime == m` is NULL for
     # NULL mime and would fall through coalesce to the accept-all True).
@@ -412,12 +425,14 @@ def run_round(
         )
     )
 
-    # --- expansion 1: redirect targets (depth+1, hop chain extended)
+    # --- expansion 1: redirect targets (depth+1, hop chain extended).
+    # cap_location is ALREADY resolved+canonical (C11 in _resolve_status)
+    # — no second canonicalization pass.
     redirects = (
         fetched.filter(F.col("status") == S.STATUS_REDIRECT)
         .select(
             "ingest_type",
-            canonical_url_udf("cap_location").alias("canonical_url"),
+            F.col("cap_location").alias("canonical_url"),
             "priority",
             (F.col("depth") + 1).alias("depth"),
             "citation_priority",
@@ -452,7 +467,12 @@ def run_round(
         .filter(F.col("span.kind") == "link")
         .select(
             "ingest_type",
-            canonical_url_udf("span.media_ref").alias("canonical_url"),
+            # C11: hrefs are resolved against the page they were
+            # extracted from (html_metadata.py:1062-1064) — a relative
+            # media_ref becomes an absolute canonical URL here
+            resolve_url_udf(F.col("parent_url"), F.col("span.media_ref")).alias(
+                "canonical_url"
+            ),
             F.lit(2).alias("priority"),  # discovered links enter at bulk tier
             (F.col("depth") + 1).alias("depth"),
             F.bround(F.col("citation_priority") * 0.5, 6).alias("citation_priority"),

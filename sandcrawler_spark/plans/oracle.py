@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 
-from sandcrawler_spark.functions.urlkeys import canonical_url, host_of
+from sandcrawler_spark.functions.urlkeys import canonical_url, host_of, resolve_ref
 from sandcrawler_spark.plans import schemas as S
 from sandcrawler_spark.plans.priority import capture_rank_key, fetch_sort_key
 
@@ -219,6 +219,13 @@ def run_oracle(
                         best_mime, r["datetime"], r["warc_path"], r["sha1hex"],
                     ),
                 )
+            # C11: the redirect Location resolves against the fetch URL
+            # BEFORE loop/terminal bookkeeping (mirrors _resolve_status)
+            loc = (
+                resolve_ref(c["canonical_url"], cap["location"])
+                if cap is not None and cap["status_code"] in _REDIRECTS
+                else None
+            )
             if cap is None:
                 status = S.STATUS_NO_CAPTURE
             elif cap["status_code"] in (200, 226):
@@ -226,9 +233,9 @@ def run_oracle(
                 ok = mime_req is None or cap["mimetype"] == mime_req
                 status = S.STATUS_SUCCESS if ok else S.STATUS_WRONG_MIME
             elif cap["status_code"] in _REDIRECTS:
-                if cap["location"] is None:
+                if loc is None:
                     status = S.STATUS_TERMINAL_BAD
-                elif cap["location"] in c["hops"] or cap["location"] == c["canonical_url"]:
+                elif loc in c["hops"] or loc == c["canonical_url"]:
                     status = S.STATUS_LINK_LOOP
                 elif c["depth"] + 1 >= S.MAX_HOPS:
                     status = S.STATUS_MAX_HOPS
@@ -240,7 +247,7 @@ def run_oracle(
             res.url_seen[(c["ingest_type"], c["canonical_url"])] = {
                 "hit": status == S.STATUS_SUCCESS,
                 "status": status,
-                "terminal_url": cap["location"] if (cap and status == S.STATUS_REDIRECT) else c["canonical_url"],
+                "terminal_url": loc if status == S.STATUS_REDIRECT else c["canonical_url"],
                 "terminal_dt": cap["datetime"] if cap else None,
                 "terminal_status_code": cap["status_code"] if cap else None,
                 "terminal_sha1hex": cap["sha1hex"] if cap else None,
@@ -249,9 +256,9 @@ def run_oracle(
             }
             counters[f"status:{status}"] += 1
 
-            # expansion: redirect target
+            # expansion: redirect target (loc is already canonical)
             if status == S.STATUS_REDIRECT:
-                tgt = canonical_url(cap["location"])
+                tgt = loc
                 if tgt is not None:
                     new_candidates.append(
                         {
@@ -277,7 +284,8 @@ def run_oracle(
                 for span in docs[cap["sha1hex"]]:
                     if span["kind"] != "link":
                         continue
-                    tgt = canonical_url(span["media_ref"])
+                    # C11: hrefs resolve against the page URL
+                    tgt = resolve_ref(c["canonical_url"], span["media_ref"])
                     if tgt is None or tgt in new_hops:
                         continue
                     new_candidates.append(

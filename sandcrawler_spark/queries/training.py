@@ -7,6 +7,7 @@ convention; MinHash permutation constants reproduced literally in SQL).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sandcrawler_spark.operators import dedup, media, similarity, text
 from sandcrawler_spark.queries.battery import _t
@@ -96,6 +97,62 @@ def dd_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.45)
 
 
+@F.pandas_udf(T.BinaryType())
+def _gzip_udf(b):
+    import gzip
+
+    return b.map(lambda x: gzip.compress(bytes(x), mtime=0), na_action="ignore")
+
+
+def f10_transfer_fix(spark, sf_dir):
+    """F10 (ia.py:1432-1463): synthesize a capture corpus where half the
+    bodies are gzip transfer-encoded but only some CDX rows declare it;
+    the operator must sniff the mismatch, gunzip, and RE-HASH — proven
+    by the inner sha256 matching the oracle's sha256 over the plain
+    text. Declared-gzip rows stay compressed (no DuckDB gzip → their
+    hashes are NULLed on both sides)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    md = F.md5(F.col("doc_id").cast("string"))
+    gz = F.substring(md, 1, 1).isin(*"01234567")
+    declared = F.substring(md, 2, 1).isin(*"0123")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(gz, _gzip_udf(F.encode("text", "UTF-8")))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("blob"),
+        F.when(gz & declared, F.lit("application/gzip"))
+        .otherwise(F.lit("text/plain"))
+        .alias("cdx_mimetype"),
+    )
+    out = media.fix_transfer_encoding_df(src, "doc_id", "blob", "cdx_mimetype")
+    unreadable = F.col("mimetype") == "application/gzip"  # declared-gzip passthrough
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fixed",
+        "mimetype",
+        F.when(~unreadable, F.col("sha256hex")).alias("body_sha256"),
+        F.when(~unreadable, F.col("size_bytes")).alias("body_size"),
+    )
+
+
+def c9_author_match(spark, sf_dir):
+    """C9 (filter_scored_matches.py:24-58): token author-match over two
+    synthesized author lists per document — left = [first-two-tokens,
+    third-token], right = tokens 4..9 — through the ported
+    check_authors (tokenized-last-name substring containment)."""
+    d = _t(spark, sf_dir, "documents")
+    df = d.select("doc_id", text.tokens_col("text").alias("t")).filter(
+        F.size("t") >= 9
+    )
+    left = F.array(
+        F.concat_ws(" ", F.col("t")[0], F.col("t")[1]), F.col("t")[2]
+    )
+    right = F.slice("t", 4, 6)
+    return df.select(
+        "doc_id", text.check_authors_udf(left, right).alias("authors_ok")
+    )
+
+
 def med_binary_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -118,6 +175,8 @@ QUERIES2 = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "c7_title_slug": c7_title_slug,
     "med_binary_meta": med_binary_meta,
+    "f10_transfer_fix": f10_transfer_fix,
+    "c9_author_match": c9_author_match,
 }
 
 _JACCARD_TAIL = """
@@ -273,5 +332,36 @@ ORACLES2 = {
                CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) AS width,
                CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) AS height
         FROM documents
+    """,
+    # F10: the oracle can't gzip, so it verifies the OUTPUT contract:
+    # rows the engine fixed (or never compressed) must hash to the plain
+    # text's sha256; correctly-declared gzip rows are NULLed both sides.
+    "f10_transfer_fix": """
+        WITH f AS (
+            SELECT doc_id, text,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS gz,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                       IN ('0','1','2','3') AS declared
+            FROM documents WHERE length(text) > 0)
+        SELECT doc_id,
+               (gz AND NOT declared) AS fixed,
+               CASE WHEN gz AND declared THEN 'application/gzip'
+                    ELSE 'text/plain' END AS mimetype,
+               CASE WHEN NOT (gz AND declared) THEN sha256(text) END AS body_sha256,
+               CASE WHEN NOT (gz AND declared)
+                    THEN CAST(octet_length(encode(text)) AS BIGINT) END AS body_size
+        FROM f
+    """,
+    "c9_author_match": f"""
+        WITH {_SQL_TOKS},
+        a AS (SELECT doc_id, t[2] AS last1, t[3] AS last2,
+                     array_to_string(t[4:9], ' ') AS right_all
+              FROM toks WHERE len(t) >= 9)
+        SELECT doc_id,
+               length(last1) > 1 AND position(last1 IN right_all) > 0
+               AND length(last2) > 1 AND position(last2 IN right_all) > 0
+                   AS authors_ok
+        FROM a
     """,
 }

@@ -152,3 +152,87 @@ def test_spark_udf_parity(spark):
     h1 = df.select(url_hash64(canonical_url_udf("url"))).collect()
     h2 = df.select(url_hash64(canonical_url_udf("url"))).collect()
     assert h1 == h2
+
+
+def test_resolve_ref_goldens():
+    """C11 urljoin kernel (reference resolves every redirect Location and
+    extracted resource URL against its base: ia.py:894,
+    html_metadata.py:1062-1064)."""
+    from sandcrawler_spark.functions.urlkeys import resolve_ref
+
+    base = "http://h0.example.org/papers/d3/p1.pdf"
+    assert resolve_ref(base, "p2.pdf") == "http://h0.example.org/papers/d3/p2.pdf"
+    assert resolve_ref(base, "/p9.pdf") == "http://h0.example.org/p9.pdf"
+    assert resolve_ref(base, "../../p9.pdf") == "http://h0.example.org/p9.pdf"
+    # ..'s past the root pop nothing (RFC 3986 §5.2.4)
+    assert resolve_ref("http://h0.example.org/p1.pdf", "../../p9.pdf") == (
+        "http://h0.example.org/p9.pdf"
+    )
+    # protocol-relative inherits the base scheme
+    assert resolve_ref(base, "//h2.example.org/x.pdf") == "http://h2.example.org/x.pdf"
+    assert resolve_ref("https://a.org/p", "//b.org/x") == "https://b.org/x"
+    # absolute refs pass straight through to canonicalization
+    assert resolve_ref(base, "HTTP://ABS.ORG:80/y") == "http://abs.org/y"
+    # scheme-less host-looking refs are RELATIVE here (unlike seed intake)
+    assert resolve_ref(base, "www.b.org/y") == (
+        "http://h0.example.org/papers/d3/www.b.org/y"
+    )
+    assert resolve_ref(base, "") is None
+    assert resolve_ref(base, None) is None
+
+
+def test_resolve_url_udf_parity(spark):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.urlkeys import resolve_ref, resolve_url_udf
+
+    rows = [
+        ("http://h0.example.org/papers/d3/p1.pdf", "p2.pdf"),
+        ("http://h0.example.org/papers/d3/p1.pdf", "/p9.pdf"),
+        ("http://h0.example.org/p1.pdf", "../../p9.pdf"),
+        ("https://a.org/p", "//b.org/x"),
+        ("http://h0.example.org/p1.pdf", "HTTP://ABS.ORG:80/y"),
+        ("http://h0.example.org/p1.pdf", "http://ok.org/already/canonical.pdf"),
+        ("http://h0.example.org/p1.pdf", None),
+        (None, "x.pdf"),
+    ]
+    df = spark.createDataFrame(rows, "base string, ref string")
+    got = df.select("base", "ref", resolve_url_udf("base", "ref").alias("r")).collect()
+    for r in got:
+        assert r.r == resolve_ref(r.base, r.ref), (r.base, r.ref)
+
+
+def test_check_authors_reference_vectors():
+    """Ported verbatim from the reference's own test
+    (scripts/filter_scored_matches.py:61-70 test_check_authors)."""
+    from sandcrawler_spark.operators.text import check_authors
+
+    assert not check_authors([], [])
+    assert not check_authors([], ["one"])
+    assert check_authors(["one"], ["one"])
+    assert check_authors(["one two"], ["One Two"])
+    assert check_authors(["two"], ["One Two"])
+    assert check_authors(["two"], ["two, one"])
+    assert check_authors(["mago"], ["Mr. Magoo"])
+    assert check_authors(["Mr. Magoo"], ["Mr Magoo"])
+    assert check_authors(["one", "tw", "thr"], ["one", "two", "three"])
+
+
+def test_fix_transfer_encoding_bytes():
+    """F10 kernel (ia.py:1432-1463): gunzip exactly when the body sniffs
+    gzip but CDX disagrees; rehash happens downstream."""
+    import gzip
+
+    from sandcrawler_spark.operators.media import fix_transfer_encoding_bytes
+
+    body = b"%PDF-1.4 pretend pdf"
+    gz = gzip.compress(body, mtime=0)
+    # mislabeled: sniffs gzip, CDX claims pdf -> unwrapped
+    inner, fixed = fix_transfer_encoding_bytes(gz, "application/pdf")
+    assert fixed and inner == body
+    # correctly declared gzip -> untouched
+    same, fixed = fix_transfer_encoding_bytes(gz, "application/gzip")
+    assert not fixed and same == gz
+    # plain body -> untouched regardless of claim
+    same, fixed = fix_transfer_encoding_bytes(body, "text/html")
+    assert not fixed and same == body
