@@ -85,42 +85,54 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, _shingles: DataFrame | None = None
+) -> DataFrame:
+    """(id, mh0..mh7): k-permutation MinHash over 28-bit shingle hashes.
+
+    The k permutation hashes are k COLUMN EXPRESSIONS over the
+    un-exploded shingle rows, aggregated in ONE groupBy(id) with k
+    ``min``s — map-side partial aggregation shrinks the shuffle to one
+    row per (partition, id). The previous form crossJoined a k-row
+    permutation table, multiplying every (id, shingle) row ×k before
+    the shuffle — 8× the shuffle input for the identical result."""
+    base = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
+    sh = base.withColumn("h", hash28_col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, _shingles: DataFrame | None = None
 ) -> DataFrame:
-    """(id, j, mh): k-permutation MinHash over 28-bit shingle hashes."""
-    base = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
-    sh = base.withColumn("h", hash28_col("shingle"))
-    spark = df.sparkSession
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PERMS)], "j int, a long, b long"
-    )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P))
-        .groupBy("id", "j")
-        .agg(F.min("ph").alias("mh"))
-    )
+    """(id, j, mh) long form — a post-aggregation unpivot of the wide
+    signatures (k rows per id AFTER the heavy groupBy, not before)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n, _shingles)
+    k = len(MINHASH_PERMS)
+    stack = ", ".join(f"{j}, mh{j}" for j in range(k))
+    return wide.selectExpr("id", f"stack({k}, {stack}) AS (j, mh)")
 
 
-def lsh_band_keys(signatures: DataFrame) -> DataFrame:
-    """(id, band, band_key): hash of each band's minhash rows, ordered by
-    permutation index so the key is deterministic."""
-    return (
-        signatures.withColumn("band", F.floor(F.col("j") / LSH_ROWS_PER_BAND))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
+def lsh_band_keys(signatures_wide: DataFrame) -> DataFrame:
+    """(id, band, band_key) from wide signatures: each band key is an
+    md5 over its rows-per-band minhash values in permutation order —
+    pure projection, zero extra shuffles (the old long-form version
+    needed a second groupBy + collect_list per band)."""
+    k = len(MINHASH_PERMS)
+    n_bands = k // LSH_ROWS_PER_BAND
+    bands = []
+    for band in range(n_bands):
+        js = range(band * LSH_ROWS_PER_BAND, (band + 1) * LSH_ROWS_PER_BAND)
+        key = F.md5(F.concat_ws("-", *[F.col(f"mh{j}").cast("string") for j in js]))
+        bands.append(
+            F.struct(F.lit(band).cast("long").alias("band"), key.alias("band_key"))
         )
-    )
+    return signatures_wide.select(
+        "id", F.explode(F.array(*bands)).alias("bk")
+    ).select("id", "bk.band", "bk.band_key")
 
 
 def minhash_near_dups(
@@ -131,7 +143,7 @@ def minhash_near_dups(
     # the shingle set feeds BOTH the signature build and the verify
     # stage — cache it once (columnar) instead of re-tokenizing
     sh = shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(df, id_col, text_col, n, _shingles=sh)
+    sig = minhash_signatures_wide(df, id_col, text_col, n, _shingles=sh)
     bands = lsh_band_keys(sig)
     b1 = bands.select(F.col("id").alias("id1"), "band", "band_key")
     b2 = bands.select(F.col("id").alias("id2"), "band", "band_key")
@@ -165,46 +177,75 @@ def minhash_near_dups(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """60-bit SimHash: per token (with multiplicity) take hash60; each
-    bit contributes ±1; simhash bit = majority. Output (id, simhash)."""
+    bit contributes ±1; simhash bit = majority. Output (id, simhash).
+
+    Per-bit vote sums are ``bits`` aggregate COLUMNS in one
+    groupBy(id) over the token rows (all whole-stage codegen, partial
+    aggregation map-side) — the previous form exploded every token
+    into ``bits`` rows (60× shuffle input) and aggregated twice."""
     toks = (
         df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
         .withColumn("h", hash60_col("tok"))
     )
-    bitrows = toks.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    ).withColumn(
-        # pyspark's shiftright/shiftleft wrappers take only int literals;
-        # the underlying SQL expressions accept a column shift amount
-        "sgn",
-        F.expr("(shiftright(h, b) & 1) * 2 - 1"),
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        bitrows.groupBy("id", "b")
-        .agg(F.sum("sgn").alias("s"))
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+    return votes.select("id", acc.alias("simhash"))
+
+
+def simhash_bands(sh: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
+    """(id, chunk, chunk_val): split each simhash into ``max_hamming+1``
+    disjoint bit chunks. Pigeonhole: two hashes within Hamming distance
+    ``max_hamming`` differ in ≤ max_hamming chunks, so they AGREE on at
+    least one chunk — equi-joining on (chunk, chunk_val) proposes every
+    true pair with zero false negatives."""
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil
+    chunks = [
+        F.struct(
+            F.lit(c).cast("int").alias("chunk"),
+            F.expr(
+                f"shiftright(simhash, {c * width}) & {(1 << width) - 1}"
+            ).alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    return sh.select("id", F.explode(F.array(*chunks)).alias("ck")).select(
+        "id", "ck.chunk", "ck.chunk_val"
     )
 
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance (all-pairs XOR — fine
-    for verification scale; band on prefixes for corpus scale)."""
+    """SimHash near-dup pairs by Hamming distance — BANDED, not
+    all-pairs: candidates come from the chunk equi-join (exact by the
+    pigeonhole bound in :func:`simhash_bands`), then one XOR verifies.
+    The plan contains no cross join and scales as the bucket sizes, not
+    O(n²)."""
     sh = simhash(df, id_col, text_col)
-    a = sh.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
-    b = sh.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    bands = simhash_bands(sh, max_hamming)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["chunk", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    h1 = sh.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    h2 = sh.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
+        cand.join(h1, "id1")
+        .join(h2, "id2")
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")

@@ -80,6 +80,17 @@ def ann_ivf_assign(spark, sf_dir):
     return similarity.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
 
 
+def ann_ivf_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_search(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+    )
+
+
 def c7_title_slug(spark, sf_dir):
     """C7: fuzzy-match slug keys (StringUtilities.scala:17-40) — pseudo
     title = first 6 tokens; slug via the accent-strip pandas UDF."""
@@ -172,6 +183,7 @@ QUERIES2 = {
     "txt_fingerprint": txt_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
+    "ann_ivf_search": ann_ivf_search,
     "dd_embedding_neardup": dd_embedding_neardup,
     "c7_title_slug": c7_title_slug,
     "med_binary_meta": med_binary_meta,
@@ -301,6 +313,37 @@ ORACLES2 = {
         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY sim DESC, centroid_id ASC) AS rn FROM s)
         SELECT vec_id, centroid_id FROM r WHERE rn = 1
+    """,
+    # algorithm-parity oracle: the SAME probe->score->top-k pipeline in
+    # SQL (IVF search is approximate vs ground truth BY DESIGN; the
+    # correctness contract is deterministic algorithm equivalence)
+    "ann_ivf_search": """
+        WITH cen AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                     FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        asg AS (SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                                        centroid_id ASC) AS rn
+                    FROM c CROSS JOIN cen) WHERE rn = 1),
+        probes AS (SELECT q_id, qv, centroid_id FROM (
+                    SELECT q_id, qv, centroid_id,
+                           row_number() OVER (PARTITION BY q_id
+                               ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                        centroid_id ASC) AS rn
+                    FROM q CROSS JOIN cen) WHERE rn <= 2),
+        scored AS (SELECT p.q_id, c.vec_id,
+                          round(list_cosine_similarity(p.qv, c.v), 6) AS sim
+                   FROM probes p
+                   JOIN asg a ON a.centroid_id = p.centroid_id
+                   JOIN c ON c.vec_id = a.vec_id
+                   WHERE c.vec_id <> p.q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id ASC) AS rn FROM scored)
+        SELECT q_id, vec_id, sim FROM r WHERE rn <= 5
     """,
     "c7_title_slug": f"""
         WITH {_SQL_TOKS},
