@@ -141,12 +141,48 @@ def _burn(seconds: float) -> int:
 
 def hardware_ceiling(lo: int, hi: int) -> float:
     """Pure-CPU parallel throughput ratio hi/lo workers — the box's own
-    scaling ceiling, independent of Spark."""
+    scaling ceiling, independent of Spark. OPTIMISTIC for shuffle
+    workloads: a CPU burn shares no memory bandwidth, no shuffle files,
+    no JVM — see :func:`spark_shuffle_ceiling` for the representative
+    one."""
     with mp.Pool(hi) as p:
         t_hi = sum(p.map(_burn, [1.0] * hi))
     with mp.Pool(lo) as p:
         t_lo = sum(p.map(_burn, [1.0] * lo))
     return round(t_hi / t_lo, 2)
+
+
+def spark_shuffle_ceiling(lo: int, hi: int, n: int = 40_000_000) -> float:
+    """What Spark-on-this-box can deliver going lo→hi cores for a
+    PERFECTLY parallel shuffle workload: one synthetic groupBy over n
+    generated rows — zero algorithmic serialization, zero Python, zero
+    skew, no IO beyond shuffle. The frontier job cannot scale better
+    than this no matter how it is written, so crawl efficiency is
+    reported against it as well as against the (optimistic) CPU burn.
+    On a real N→4N cluster both ceilings are ≈4 because memory
+    bandwidth and shuffle disks scale WITH the executors; on one shared
+    VM they do not."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def one(cores: int) -> float:
+        spark = _new_spark(cores)
+        df = spark.range(0, n, 1, cores).select(
+            (F.col("id") % 5_000_000).alias("k"), F.xxhash64("id").alias("h")
+        )
+        df.groupBy("k").agg(F.count("*")).count()  # warm
+        best = 1e18
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            df.groupBy("k").agg(F.count("*").alias("c"), F.max("h")).filter(
+                "c>0"
+            ).count()
+            best = min(best, _t.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = one(lo), one(hi)
+    return round(t_lo / t_hi, 2)
 
 
 def main() -> None:
@@ -157,6 +193,7 @@ def main() -> None:
     hi = bench_frontier(HIGH_CORES, data_dir, warmup_dir)
     eff = round(hi["urls_per_sec"] / (4 * lo["urls_per_sec"]), 3)
 
+    spark_ceiling = spark_shuffle_ceiling(LOW_CORES, HIGH_CORES)
     spark = _new_spark(CPUS)
     times = bench_queries(spark)
     ceiling = hardware_ceiling(LOW_CORES, HIGH_CORES)
@@ -178,6 +215,10 @@ def main() -> None:
             "scaling_efficiency_vs_ceiling": round(
                 eff * 4 / ceiling, 3
             ) if ceiling else None,
+            "spark_shuffle_ceiling_n_to_4n": spark_ceiling,
+            "scaling_efficiency_vs_spark_ceiling": round(
+                eff * 4 / spark_ceiling, 3
+            ) if spark_ceiling else None,
             "order_match_across_parallelism": lo["order_digests"] == hi["order_digests"],
         },
     }

@@ -29,10 +29,20 @@ matches the single-threaded oracle byte-for-byte.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+
+_TRACE = bool(os.environ.get("SPARK_GRAFT_TRACE"))
+
+
+def _trace(label: str, t0: float) -> None:
+    if _TRACE:
+        print(f"[trace] {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
 from sandcrawler_spark.functions.urlkeys import canonical_url_udf, resolve_url_udf
 from sandcrawler_spark.operators.ranking import with_global_rank
@@ -93,30 +103,44 @@ def _dedup_candidates(frontier: DataFrame) -> DataFrame:
     priority-best instead of last-wins, because this batch is a work
     queue, not a persistence buffer.
 
-    The order is TOTAL over the row payload: two discovery paths can
-    reach the same URL at equal (priority, depth, citation, seq) but
-    different hop chains, so the hop chain itself is the final
-    tiebreaker — without it row_number() keeps an arbitrary chain and
-    later link-loop detection diverges across parallelism. The oracle
-    dedups with the same key."""
-    w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
-        F.col("priority").asc(),
-        F.col("depth").asc(),
-        F.col("citation_priority").desc(),
-        F.col("seq").asc(),
-        F.concat_ws("|", "hops").asc(),
+    The order key is TOTAL over the row payload: two discovery paths
+    can reach the same URL at equal (priority, depth, citation, seq)
+    but different hop chains, so the hop chain itself is the final
+    tiebreaker — without it the kept row is arbitrary across
+    parallelism and later link-loop detection diverges. The oracle
+    dedups with the same key.
+
+    Plan: ``min_by`` over an ordering struct in ONE hash aggregation —
+    NO window, NO sort. Partial aggregation collapses duplicates
+    map-side, so the shuffle carries ≈ one row per distinct key instead
+    of the whole frontier pool, and nothing is ever sorted. (The
+    previous row_number window shuffled AND sorted the full pool every
+    round — the dominant non-scaling cost of the scheduling job.)"""
+    keys = ["ingest_type", "canonical_url"]
+    payload = [c for c in frontier.columns if c not in keys]
+    order = F.struct(
+        F.col("priority"),
+        F.col("depth"),
+        (-F.col("citation_priority")).alias("neg_cite"),
+        F.col("seq"),
+        F.concat_ws("|", "hops").alias("hopchain"),
     )
-    # same partition+order keys + full-partition frame → Catalyst fuses
-    # both window expressions into ONE Window exec (one sort, one shuffle)
-    wk = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        frontier.withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "force_recrawl",
-            F.max(F.col("force_recrawl").cast("int")).over(wk) == 1,
+        frontier.groupBy(*keys)
+        .agg(
+            F.min_by(F.struct(*payload), order).alias("__b"),
+            F.max(F.col("force_recrawl").cast("int")).alias("__f"),
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .select(
+            *keys,
+            *[
+                F.col(f"__b.{c}").alias(c)
+                for c in payload
+                if c != "force_recrawl"
+            ],
+            (F.col("__f") == 1).alias("force_recrawl"),
+        )
+        .select(frontier.columns)  # original column order
     )
 
 
@@ -262,14 +286,20 @@ def resolve_url_seen(url_seen: DataFrame) -> DataFrame:
     read-side form of the reference's ON CONFLICT UPDATE for results
     (db.py:474-485), needed once force_recrawl rows exist (they write a
     second row for an already-seen key). Iceberg MERGE resolves in place
-    in production; applied only when the manifest records forced rows."""
-    w = Window.partitionBy("ingest_type", "canonical_url").orderBy(
-        F.col("round_id").desc()
-    )
+    in production; applied only when the manifest records forced rows.
+
+    Plan: ``max_by(payload, round_id)`` in ONE groupBy — map-side
+    partial aggregation collapses the (overwhelmingly single-row)
+    majority before the shuffle, so nothing is ever globally sorted the
+    way the previous full-history row_number window was. round_id is
+    unique per key (the anti-join guarantees in-round key novelty), so
+    the result is deterministic."""
+    keys = ["ingest_type", "canonical_url"]
+    payload = [c for c in url_seen.columns if c not in keys]
     return (
-        url_seen.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        url_seen.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), F.col("round_id")).alias("__r"))
+        .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in payload])
     )
 
 
@@ -294,6 +324,8 @@ def run_round(
     seen_count: int | None = None,
     scratch: list | None = None,
     generation: int = 0,
+    probe_udf=None,
+    has_forced: bool = True,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
@@ -305,11 +337,15 @@ def run_round(
     # is re-done once per re-ingest cycle, not once per round; its new
     # result row supersedes the old one (ON CONFLICT UPDATE,
     # db.py:474-485 — resolved last-round-wins at url_seen read time).
+    # ``has_forced=False`` (driver knows no seed table carries forced
+    # rows) skips the whole forced branch INCLUDING the per-round
+    # max-generation shuffle over the accumulated seen set.
     if url_seen is not None:
         from sandcrawler_spark.operators.bloom import seen_anti_join
 
-        forced = candidates.filter(F.col("force_recrawl"))
-        unforced = candidates.filter(~F.col("force_recrawl"))
+        unforced = (
+            candidates.filter(~F.col("force_recrawl")) if has_forced else candidates
+        )
         new_unforced = seen_anti_join(
             unforced,
             url_seen,
@@ -318,22 +354,27 @@ def run_round(
             use_bloom=use_bloom,
             n_keys=seen_count,  # from manifest counters: saves a count job
             scratch=scratch,
+            probe_udf=probe_udf,  # incrementally-maintained sharded bloom
         )
-        seen_gen = url_seen.groupBy(
-            F.col("ingest_type").alias("g_type"),
-            F.col("canonical_url").alias("g_url"),
-        ).agg(F.max("generation").alias("g_gen"))
-        new_forced = (
-            forced.join(
-                seen_gen,
-                (F.col("ingest_type") == F.col("g_type"))
-                & (F.col("canonical_url") == F.col("g_url")),
-                "left",
+        if has_forced:
+            forced = candidates.filter(F.col("force_recrawl"))
+            seen_gen = url_seen.groupBy(
+                F.col("ingest_type").alias("g_type"),
+                F.col("canonical_url").alias("g_url"),
+            ).agg(F.max("generation").alias("g_gen"))
+            new_forced = (
+                forced.join(
+                    seen_gen,
+                    (F.col("ingest_type") == F.col("g_type"))
+                    & (F.col("canonical_url") == F.col("g_url")),
+                    "left",
+                )
+                .filter(F.col("g_gen").isNull() | (F.col("g_gen") < F.lit(generation)))
+                .drop("g_type", "g_url", "g_gen")
             )
-            .filter(F.col("g_gen").isNull() | (F.col("g_gen") < F.lit(generation)))
-            .drop("g_type", "g_url", "g_gen")
-        )
-        candidates = new_unforced.unionByName(new_forced)
+            candidates = new_unforced.unionByName(new_forced)
+        else:
+            candidates = new_unforced
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
     # One rule row per host is ENFORCED before the join: the ROBOTS
@@ -513,115 +554,175 @@ def run_crawl(
     ``resume=True`` continues from the last committed round with
     identical results (north_rule checkpoint/lineage requirement).
     """
+    from sandcrawler_spark.operators.bloom import BloomStore
+
     store = SnapshotStore(state_dir, spark)
+    bloom = BloomStore(store.aux_path("bloom")) if use_bloom else None
     parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    robots = spark.read.parquet(f"{data_dir}/robots.parquet")
-    # pre-partition the per-round join sides ON their join keys and keep
-    # them cached: every round's best-capture/outlink join then reuses the
-    # exchange instead of re-shuffling the big side (bucketed-table shape)
-    captures = (
-        spark.read.parquet(f"{data_dir}/capture_history.parquet")
-        .repartition(parallelism, "url")
-        .persist()
-    )
-    docs = (
-        spark.read.parquet(f"{data_dir}/docs.parquet")
-        .repartition(parallelism, "doc_id")
-        .persist()
-    )
-
-    start_round = store.last_round + 1 if resume else 0
-    if start_round == 0 and store.last_round >= 0:
-        raise ValueError(f"state dir {state_dir} not empty; pass resume=True")
-
-    def _c(round_id: int, key: str, default=None):
-        rc = store.counters().get(str(round_id), {})
-        return rc.get(key, default)
-
-    generation = store.generation
-
-    for round_id in range(start_round, max_rounds):
-        # Append-only frontier: candidates for round r = prepared seeds ∪
-        # all additions discovered in rounds < r; processed keys fall out
-        # through the url_seen anti-join (no full-frontier rewrite per
-        # round — the Iceberg-native layout).
-        if round_id == 0:
-            frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
-            seeds_path = store.aux_path("seeds_prepared")
-            frontier.write.mode("overwrite").parquet(seeds_path)
-            frontier = spark.read.parquet(seeds_path)  # canonicalize ONCE
-        else:
-            stale = (
-                _c(round_id - 1, "scheduled") == 0
-                and _c(round_id - 1, "frontier_rows") == 0
-            )
-            if stale and store.seeds_added_at_round != round_id:
-                break  # no selections, no discoveries, no new seeds → done
-            frontier = None
-            for st_name in store.seed_tables:
-                t = spark.read.parquet(store.aux_path(st_name))
-                frontier = t if frontier is None else frontier.unionByName(t)
-            adds = store.read_table("frontier_add", upto_round=round_id - 1)
-            if adds is not None:
-                frontier = frontier.unionByName(adds)
-        url_seen = store.read_table("url_seen", upto_round=round_id - 1)
-        any_forced = any(_c(r, "forced", 0) for r in range(round_id))
-        if url_seen is not None and any_forced:
-            url_seen = resolve_url_seen(url_seen)
-        seen_count = sum(
-            _c(r, "deduped", 0) for r in range(round_id)
-        ) or None
-        scratch: list[DataFrame] = []
-        rr = run_round(
-            spark, frontier, url_seen, robots, captures, docs,
-            round_id, default_budget, use_bloom, seen_count=seen_count,
-            scratch=scratch, generation=generation,
+    # AQE off for the scheduling rounds: shuffle partitions are already
+    # sized explicitly, and AQE's per-shuffle-stage re-planning adds
+    # DRIVER latency comparable to sandbox-scale stage runtimes (4M-URL
+    # crawl: 35.6s → 27.8s at 16 cores). At the 10^10 design point the
+    # stages are minutes long and AQE (esp. skew-join splitting) earns
+    # its planning cost — re-enable via spark-defaults there.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        robots = spark.read.parquet(f"{data_dir}/robots.parquet")
+        # pre-partition the per-round join sides ON their join keys and keep
+        # them cached: every round's best-capture/outlink join then reuses the
+        # exchange instead of re-shuffling the big side (bucketed-table shape)
+        captures = (
+            spark.read.parquet(f"{data_dir}/capture_history.parquet")
+            .repartition(parallelism, "url")
+            .persist()
+        )
+        docs = (
+            spark.read.parquet(f"{data_dir}/docs.parquet")
+            .repartition(parallelism, "doc_id")
+            .persist()
         )
 
-        # Counters (A7) + crawl-order digest ride the WRITE jobs as
-        # Observations — zero extra actions per round.
-        obs_seen, obs_fetch, obs_frontier = Observation(), Observation(), Observation()
-        status_exprs = [
-            F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
-            for s in S.ALL_STATUSES
-        ]
-        seen_df = rr.url_seen_delta.observe(
-            obs_seen,
-            F.count(F.lit(1)).alias("deduped"),
-            F.sum(F.col("forced").cast("int")).alias("forced"),
-            *status_exprs,
-        )
-        fetch_df = rr.fetch_ranked.select(
-            "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
-        ).observe(
-            obs_fetch,
-            F.count(F.lit(1)).alias("scheduled"),
-            F.bit_xor(
-                F.xxhash64(
-                    F.concat_ws("|", F.col("rank").cast("string"), F.col("canonical_url"))
+        start_round = store.last_round + 1 if resume else 0
+        if start_round == 0 and store.last_round >= 0:
+            raise ValueError(f"state dir {state_dir} not empty; pass resume=True")
+
+        def _c(round_id: int, key: str, default=None):
+            rc = store.counters().get(str(round_id), {})
+            return rc.get(key, default)
+
+        generation = store.generation
+
+        for round_id in range(start_round, max_rounds):
+            # Append-only frontier: candidates for round r = prepared seeds ∪
+            # all additions discovered in rounds < r; processed keys fall out
+            # through the url_seen anti-join (no full-frontier rewrite per
+            # round — the Iceberg-native layout).
+            if round_id == 0:
+                frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
+                seeds_path = store.aux_path("seeds_prepared")
+                obs_seeds = Observation()
+                frontier.observe(
+                    obs_seeds, F.sum(F.col("force_recrawl").cast("int")).alias("nf")
+                ).write.mode("overwrite").parquet(seeds_path)
+                store.note_forced_seeds(int(obs_seeds.get["nf"] or 0))
+                frontier = spark.read.parquet(seeds_path)  # canonicalize ONCE
+            else:
+                stale = (
+                    _c(round_id - 1, "scheduled") == 0
+                    and _c(round_id - 1, "frontier_rows") == 0
                 )
-            ).alias("digest"),
-        )
-        frontier_df = rr.next_frontier.observe(
-            obs_frontier, F.count(F.lit(1)).alias("frontier_rows")
-        )
-        store.write_tables(
-            round_id,
-            {"url_seen": seen_df, "frontier_add": frontier_df, "fetch_order": fetch_df},
-        )
-        seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
-        counters = {
-            f"status:{s}": int(seen_vals[s]) for s in S.ALL_STATUSES if seen_vals[s]
-        }
-        counters["deduped"] = int(seen_vals["deduped"])
-        counters["scheduled"] = int(fetch_vals["scheduled"])
-        counters["order_digest"] = int(fetch_vals["digest"] or 0)
-        counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
-        counters["forced"] = int(seen_vals["forced"] or 0)
-        store.commit_round(round_id, counters)
-        for df in scratch:  # free this round's caches before the next
-            df.unpersist()
-    return store
+                if stale and store.seeds_added_at_round != round_id:
+                    break  # no selections, no discoveries, no new seeds → done
+                frontier = None
+                for st_name in store.seed_tables:
+                    t = spark.read.parquet(store.aux_path(st_name))
+                    frontier = t if frontier is None else frontier.unionByName(t)
+                adds = store.read_table("frontier_add", upto_round=round_id - 1)
+                if adds is not None:
+                    frontier = frontier.unionByName(adds)
+            url_seen = store.read_table("url_seen", upto_round=round_id - 1)
+            any_forced = any(_c(r, "forced", 0) for r in range(round_id))
+            if url_seen is not None and any_forced:
+                url_seen = resolve_url_seen(url_seen)
+            seen_count = sum(
+                _c(r, "deduped", 0) for r in range(round_id)
+            ) or None
+
+            # --- sharded incremental bloom: normally already up to date from
+            # the previous round's delta update (no Spark job here at all);
+            # rebuilt distributively only on resume-without-bloom or
+            # capacity overflow (amortized O(log n) times per crawl)
+            probe_udf = None
+            if url_seen is not None and use_bloom:
+                if not bloom.ready_for(round_id) or bloom.needs_rebuild():
+                    t0 = time.perf_counter()
+                    bloom.rebuild(
+                        url_seen.select(F.col("url_hash").alias("h")),
+                        n_keys=seen_count or url_seen.count(),
+                        round_id=round_id - 1,
+                    )
+                    _trace(f"round {round_id} bloom rebuild", t0)
+                probe_udf = bloom.might_contain_udf(spark)
+
+            scratch: list[DataFrame] = []
+            t0 = time.perf_counter()
+            rr = run_round(
+                spark, frontier, url_seen, robots, captures, docs,
+                round_id, default_budget, use_bloom, seen_count=seen_count,
+                scratch=scratch, generation=generation,
+                probe_udf=probe_udf, has_forced=store.forced_seeds > 0,
+            )
+            _trace(f"round {round_id} run_round (rank job)", t0)
+
+            # Counters (A7) + crawl-order digest ride the WRITE jobs as
+            # Observations — zero extra actions per round.
+            obs_seen, obs_fetch, obs_frontier = Observation(), Observation(), Observation()
+            status_exprs = [
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                for s in S.ALL_STATUSES
+            ]
+            seen_df = rr.url_seen_delta.observe(
+                obs_seen,
+                F.count(F.lit(1)).alias("deduped"),
+                F.sum(F.col("forced").cast("int")).alias("forced"),
+                *status_exprs,
+            )
+            fetch_df = rr.fetch_ranked.select(
+                "rank", "ingest_type", "canonical_url", "host", "priority", "depth"
+            ).observe(
+                obs_fetch,
+                F.count(F.lit(1)).alias("scheduled"),
+                F.bit_xor(
+                    F.xxhash64(
+                        F.concat_ws("|", F.col("rank").cast("string"), F.col("canonical_url"))
+                    )
+                ).alias("digest"),
+            )
+            frontier_df = rr.next_frontier.observe(
+                obs_frontier, F.count(F.lit(1)).alias("frontier_rows")
+            )
+            # Phased writes: the url_seen write runs FIRST and alone — it
+            # materializes the shared `fetched` cache (capture join + status)
+            # exactly once. The two remaining writes are then pure
+            # cache-readers and run concurrently. (Submitting all three
+            # concurrently made them race-compute the same uncached lineage
+            # — duplicated work that got WORSE with more cores.)
+            t0 = time.perf_counter()
+            store.write_tables(round_id, {"url_seen": seen_df})
+            _trace(f"round {round_id} write url_seen", t0)
+            t0 = time.perf_counter()
+            store.write_tables(
+                round_id, {"frontier_add": frontier_df, "fetch_order": fetch_df}
+            )
+            _trace(f"round {round_id} write frontier/fetch", t0)
+            seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
+            counters = {
+                f"status:{s}": int(seen_vals[s]) for s in S.ALL_STATUSES if seen_vals[s]
+            }
+            counters["deduped"] = int(seen_vals["deduped"])
+            counters["scheduled"] = int(fetch_vals["scheduled"])
+            counters["order_digest"] = int(fetch_vals["digest"] or 0)
+            counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
+            counters["forced"] = int(seen_vals["forced"] or 0)
+            store.commit_round(round_id, counters)
+            if use_bloom:
+                # O(delta) incremental bloom update for the NEXT round: one
+                # small column-pruned scan of the just-written delta, one
+                # parallel bitmap task per touched shard
+                t0 = time.perf_counter()
+                delta = store.read_round_table(round_id, "url_seen")
+                bloom.update(
+                    delta.select(F.col("url_hash").alias("h")),
+                    n_delta=counters["deduped"],
+                    round_id=round_id,
+                )
+                _trace(f"round {round_id} bloom delta update", t0)
+            for df in scratch:  # free this round's caches before the next
+                df.unpersist()
+        return store
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
 
 def run_reingest(
@@ -647,7 +748,11 @@ def run_reingest(
     gen = store.bump_generation()
     prepared = prepare_seeds(spark.read.parquet(reingest_seeds_path))
     name = f"seeds_gen{gen}"
-    prepared.write.mode("overwrite").parquet(store.aux_path(name))
+    obs = Observation()
+    prepared.observe(
+        obs, F.sum(F.col("force_recrawl").cast("int")).alias("nf")
+    ).write.mode("overwrite").parquet(store.aux_path(name))
+    store.note_forced_seeds(int(obs.get["nf"] or 0))
     store.add_seed_table(name, at_round=store.last_round + 1)
     return run_crawl(
         spark, data_dir, state_dir,

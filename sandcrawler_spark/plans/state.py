@@ -89,6 +89,20 @@ class SnapshotStore:
     def seeds_added_at_round(self) -> int:
         return int(self._manifest.get("seeds_added_at_round", -1))
 
+    @property
+    def forced_seeds(self) -> int:
+        """Total force_recrawl rows across registered seed tables. The
+        scheduler skips the whole forced-bypass branch (and its
+        per-round max-generation shuffle over the seen set) when this
+        is zero. Missing key (pre-existing state dirs) → assume forced
+        rows may exist."""
+        return int(self._manifest.get("forced_seeds", 1 << 30))
+
+    def note_forced_seeds(self, n: int) -> None:
+        prev = int(self._manifest.get("forced_seeds", 0))
+        self._manifest["forced_seeds"] = prev + int(n)
+        self.save_manifest()
+
     def save_manifest(self) -> None:
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
