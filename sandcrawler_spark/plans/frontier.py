@@ -51,6 +51,9 @@ from sandcrawler_spark.plans.state import SnapshotStore
 
 DEFAULT_BUDGET = 3
 SALT_BUCKETS = 8
+# token-bucket politeness: bucket capacity = CAP_MULT × per-round refill
+# (the robots host_budget); refill happens once per scheduling round
+TOKEN_BUCKET_CAP_MULT = 2
 
 def _fetch_order_cols():
     """Total fetch-priority order (north_rule heap keys + URL totality).
@@ -303,6 +306,19 @@ def resolve_url_seen(url_seen: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_rules(robots: DataFrame) -> DataFrame:
+    """One rule row per host, ENFORCED before any join: the ROBOTS
+    schema invites multiple rows per host, and a duplicate rule would
+    duplicate every candidate on that host (double-scheduling +
+    duplicate url_seen rows). Policy: lexicographic-min rule wins —
+    deterministic, mirrored by the oracle."""
+    return (
+        robots.groupBy("host")
+        .agg(F.min(F.struct("rule_kind", "path_prefix", "host_budget")).alias("__r"))
+        .select("host", "__r.rule_kind", "__r.path_prefix", "__r.host_budget")
+    )
+
+
 @dataclass
 class RoundResult:
     fetch_ranked: DataFrame      # selected fetch list with global 'rank'
@@ -326,6 +342,7 @@ def run_round(
     generation: int = 0,
     probe_udf=None,
     has_forced: bool = True,
+    host_tokens: DataFrame | None = None,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
@@ -377,15 +394,8 @@ def run_round(
             candidates = new_unforced
 
     # --- robots / blocklist / budget (small side → broadcast; F6/J1)
-    # One rule row per host is ENFORCED before the join: the ROBOTS
-    # schema invites multiple rows per host, and a duplicate rule would
-    # duplicate every candidate on that host (double-scheduling +
-    # duplicate url_seen rows). Policy: lexicographic-min rule wins —
-    # deterministic, mirrored by the oracle.
     rules = F.broadcast(
-        robots.groupBy(F.col("host").alias("r_host"))
-        .agg(F.min(F.struct("rule_kind", "path_prefix", "host_budget")).alias("__r"))
-        .select("r_host", "__r.rule_kind", "__r.path_prefix", "__r.host_budget")
+        _dedup_rules(robots).withColumnRenamed("host", "r_host")
     )
     candidates = candidates.join(rules, F.col("host") == F.col("r_host"), "left").drop(
         "r_host"
@@ -406,6 +416,29 @@ def run_round(
     candidates = candidates.withColumn("block_status", block_status).withColumn(
         "host_budget", F.coalesce("host_budget", F.lit(default_budget))
     )
+    # --- token-bucket politeness (north_star: per-host token buckets on
+    # a hosts table): this round's effective budget is the host's whole
+    # available token count — an idle host accumulates tokens (up to its
+    # bucket capacity) and may BURST above the steady per-round rate,
+    # unlike the flat budget. `host_tokens` is the persisted hosts-state
+    # table maintained by run_crawl; hosts never seen before start full.
+    if host_tokens is not None:
+        candidates = candidates.join(
+            F.broadcast(
+                host_tokens.select(F.col("host").alias("t_host"), "tokens")
+            ),
+            F.col("host") == F.col("t_host"),
+            "left",
+        ).drop("t_host")
+        candidates = candidates.withColumn(
+            "host_budget",
+            F.floor(
+                F.coalesce(
+                    F.col("tokens"),
+                    F.col("host_budget") * F.lit(TOKEN_BUCKET_CAP_MULT),
+                )
+            ).cast("int"),
+        ).drop("tokens")
     # columnar persist, not localCheckpoint: checkpoint blocks are
     # deserialized rows and thrash GC at high task concurrency
     candidates = candidates.persist()
@@ -545,6 +578,7 @@ def run_crawl(
     default_budget: int = DEFAULT_BUDGET,
     use_bloom: bool = True,
     resume: bool = False,
+    token_bucket: bool = False,
 ) -> SnapshotStore:
     """Multi-round crawl driver with snapshot commit + exact resume.
 
@@ -553,6 +587,12 @@ def run_crawl(
     atomically. Killing the process between commits and re-running with
     ``resume=True`` continues from the last committed round with
     identical results (north_rule checkpoint/lineage requirement).
+
+    ``token_bucket=True`` switches politeness from a flat per-round
+    budget to per-host token buckets persisted on a ``hosts`` state
+    table (north_star): refill = robots host_budget per round, capacity
+    = TOKEN_BUCKET_CAP_MULT × refill, so idle hosts accumulate burst
+    capacity. Deterministic and mirrored by the oracle.
     """
     from sandcrawler_spark.operators.bloom import BloomStore
 
@@ -645,6 +685,14 @@ def run_crawl(
                     _trace(f"round {round_id} bloom rebuild", t0)
                 probe_udf = bloom.might_contain_udf(spark)
 
+            host_tokens = None
+            if token_bucket:
+                host_tokens = (
+                    store.read_round_table(round_id - 1, "hosts")
+                    if round_id > 0
+                    else spark.createDataFrame([], "host string, tokens int")
+                )
+
             scratch: list[DataFrame] = []
             t0 = time.perf_counter()
             rr = run_round(
@@ -652,6 +700,7 @@ def run_crawl(
                 round_id, default_budget, use_bloom, seen_count=seen_count,
                 scratch=scratch, generation=generation,
                 probe_udf=probe_udf, has_forced=store.forced_seeds > 0,
+                host_tokens=host_tokens,
             )
             _trace(f"round {round_id} run_round (rank job)", t0)
 
@@ -691,10 +740,45 @@ def run_crawl(
             t0 = time.perf_counter()
             store.write_tables(round_id, {"url_seen": seen_df})
             _trace(f"round {round_id} write url_seen", t0)
+            phase2 = {"frontier_add": frontier_df, "fetch_order": fetch_df}
+            if token_bucket:
+                # next round's bucket state: tokens' = min(cap, tokens -
+                # consumed + refill). Only hosts that ever consumed need a
+                # row — absent hosts are implicitly full (min(cap, cap-0+b)
+                # = cap), so the state table stays O(active hosts).
+                consumed = rr.fetch_ranked.groupBy("host").agg(
+                    F.count("*").alias("__c")
+                )
+                prev = host_tokens.withColumnRenamed("tokens", "__t")
+                budgets = F.broadcast(
+                    _dedup_rules(robots).select("host", "host_budget")
+                )
+                universe = (
+                    prev.select("host").unionByName(consumed.select("host")).distinct()
+                )
+                refill = F.coalesce("host_budget", F.lit(default_budget))
+                hosts_df = (
+                    universe.join(prev, "host", "left")
+                    .join(consumed, "host", "left")
+                    .join(budgets, "host", "left")
+                    .select(
+                        "host",
+                        F.least(
+                            refill * F.lit(TOKEN_BUCKET_CAP_MULT),
+                            F.coalesce(
+                                F.col("__t"),
+                                refill * F.lit(TOKEN_BUCKET_CAP_MULT),
+                            )
+                            - F.coalesce(F.col("__c"), F.lit(0))
+                            + refill,
+                        )
+                        .cast("int")
+                        .alias("tokens"),
+                    )
+                )
+                phase2["hosts"] = hosts_df
             t0 = time.perf_counter()
-            store.write_tables(
-                round_id, {"frontier_add": frontier_df, "fetch_order": fetch_df}
-            )
+            store.write_tables(round_id, phase2)
             _trace(f"round {round_id} write frontier/fetch", t0)
             seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
             counters = {

@@ -44,6 +44,8 @@ def run_oracle(
     default_budget: int = 3,
     reingest_seeds_path: str | None = None,
     reingest_rounds: int = 0,
+    token_bucket: bool = False,
+    cap_mult: int = 2,
 ) -> OracleResult:
     """Optionally follows the crawl with a re-ingest cycle: after
     ``max_rounds``, generation bumps to 1 and the seeds at
@@ -89,6 +91,7 @@ def run_oracle(
 
     res = OracleResult()
     generation = 0
+    host_tokens: dict = {}  # token-bucket state (only when enabled)
 
     # Append-only candidate pool (mirrors the engine's Iceberg-native
     # frontier layout): seeds + every discovered candidate stay in the
@@ -180,14 +183,20 @@ def run_oracle(
             else:
                 eligible.append(c)
 
-        # 4. per-host politeness selection
+        # 4. per-host politeness selection (flat budget, or token-bucket
+        # state when enabled — mirrors run_round's hosts-table join:
+        # refill = budget/round, capacity = cap_mult × refill, absent
+        # hosts start full)
         by_host: dict = defaultdict(list)
         for c in eligible:
             by_host[c["host"]].append(c)
         selected, leftovers = [], []
+        consumed_by_host: dict = {}
         for host, items in by_host.items():
             rule = robots.get(host)
             budget = rule["host_budget"] if rule is not None and rule["host_budget"] is not None else default_budget
+            if token_bucket:
+                budget = host_tokens.get(host, cap_mult * budget)
             items.sort(
                 key=lambda c: fetch_sort_key(
                     c["priority"], c["depth"], c["citation_priority"], c["canonical_url"]
@@ -195,6 +204,15 @@ def run_oracle(
             )
             selected.extend(items[:budget])
             leftovers.extend(items[budget:])
+            consumed_by_host[host] = len(items[:budget])
+        if token_bucket:
+            for host in set(host_tokens) | set(consumed_by_host):
+                rule = robots.get(host)
+                b = rule["host_budget"] if rule is not None and rule["host_budget"] is not None else default_budget
+                cap = cap_mult * b
+                host_tokens[host] = min(
+                    cap, host_tokens.get(host, cap) - consumed_by_host.get(host, 0) + b
+                )
 
         # 5. global deterministic fetch order
         selected.sort(
