@@ -250,3 +250,39 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def self_join_matchable(
+    df,
+    slug_col: str = "slug",
+    release_col: str = "release",
+    work_col: str = "work",
+):
+    """J6: self-join work grouping (GroupFatcatWorksJob.scala:23-42):
+    join a table to itself on the slug key, keep pairs that are
+    "self-matchable" (Scorable.scala:63-80) — both releases present and
+    different, both works present, and ``work1 > work2`` so each pair is
+    emitted exactly once. Returns (slug, release/work pairs) with every
+    left/right payload column suffixed _1/_2.
+
+    Spark shape: one shuffle on the slug key (sort-merge or AQE-chosen);
+    the work1>work2 predicate halves the pair space the same way the
+    reference's reducer-side check does — no distinct needed since the
+    join key + id predicate is already unique per pair."""
+    payload = [c for c in df.columns if c != slug_col]
+    l = df.select(
+        F.col(slug_col).alias("slug"),
+        *[F.col(c).alias(f"{c}_1") for c in payload],
+    )
+    r = df.select(
+        F.col(slug_col).alias("slug"),
+        *[F.col(c).alias(f"{c}_2") for c in payload],
+    )
+    return l.join(r, "slug").filter(
+        F.col(f"{release_col}_1").isNotNull()
+        & F.col(f"{release_col}_2").isNotNull()
+        & (F.col(f"{release_col}_1") != F.col(f"{release_col}_2"))
+        & F.col(f"{work_col}_1").isNotNull()
+        & F.col(f"{work_col}_2").isNotNull()
+        & (F.col(f"{work_col}_1") > F.col(f"{work_col}_2"))
+    )

@@ -740,6 +740,32 @@ def run_crawl(
             t0 = time.perf_counter()
             store.write_tables(round_id, {"url_seen": seen_df})
             _trace(f"round {round_id} write url_seen", t0)
+            # Bloom delta update rides the phase-2 writes on its own
+            # thread: it depends only on the just-written url_seen delta
+            # (a disjoint scan, so no lineage is race-computed twice) and
+            # the OR is an idempotent driver-side bitmap mutation — safe
+            # to redo if a crash forces the round to re-run. The bloom is
+            # a prefilter backed by the exact anti-join, so even a bloom
+            # ahead of the committed manifest only costs extra exact
+            # checks, never correctness.
+            bloom_future = None
+            bloom_pool = None
+            if use_bloom:
+                from concurrent.futures import ThreadPoolExecutor
+
+                n_deduped = int(obs_seen.get["deduped"])
+                t_bloom = time.perf_counter()
+
+                def _bloom_update():
+                    delta = store.read_round_table(round_id, "url_seen")
+                    bloom.update(
+                        delta.select(F.col("url_hash").alias("h")),
+                        n_delta=n_deduped,
+                        round_id=round_id,
+                    )
+
+                bloom_pool = ThreadPoolExecutor(max_workers=1)
+                bloom_future = bloom_pool.submit(_bloom_update)
             phase2 = {"frontier_add": frontier_df, "fetch_order": fetch_df}
             if token_bucket:
                 # next round's bucket state: tokens' = min(cap, tokens -
@@ -789,19 +815,11 @@ def run_crawl(
             counters["order_digest"] = int(fetch_vals["digest"] or 0)
             counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
             counters["forced"] = int(seen_vals["forced"] or 0)
+            if bloom_future is not None:
+                bloom_future.result()  # re-raises a failed bloom update
+                bloom_pool.shutdown(wait=False)
+                _trace(f"round {round_id} bloom delta update (overlapped)", t_bloom)
             store.commit_round(round_id, counters)
-            if use_bloom:
-                # O(delta) incremental bloom update for the NEXT round: one
-                # small column-pruned scan of the just-written delta, one
-                # parallel bitmap task per touched shard
-                t0 = time.perf_counter()
-                delta = store.read_round_table(round_id, "url_seen")
-                bloom.update(
-                    delta.select(F.col("url_hash").alias("h")),
-                    n_delta=counters["deduped"],
-                    round_id=round_id,
-                )
-                _trace(f"round {round_id} bloom delta update", t0)
             for df in scratch:  # free this round's caches before the next
                 df.unpersist()
         return store

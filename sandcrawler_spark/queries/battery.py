@@ -517,10 +517,165 @@ def st_session_window(spark, sf_dir):
     )
 
 
+_F5_EXTS = ["c", "h", "py", "java", "html", "pdf", "tar.gz", "txt"]
+_F5_MIMES = [
+    "text/x-c", "text/x-c", "text/plain", "text/plain",
+    "text/html", "application/pdf", "application/gzip", "text/plain",
+]
+
+
+def f5_suffix_filter(spark, sf_dir):
+    """F5: source-code / tarball suffix filters
+    (pig/filter-cdx-source-code-crude.pig:22-30 +
+    filter-cdx-tarball.pig:21-34) over a CDX-shaped projection of
+    documents: status gate + mimetype rlike + path-suffix rlike, then
+    the pig scripts' distinct-by-sha1 top-1 — exercised through the
+    dedicated cdx.filter_source_code / filter_tarballs operators."""
+    from sandcrawler_spark.sources.cdx import filter_source_code, filter_tarballs
+
+    d = _t(spark, sf_dir, "documents")
+    idx = (F.col("doc_id") % 8 + 1).cast("int")
+    exts = F.array(*[F.lit(x) for x in _F5_EXTS])
+    mimes = F.array(*[F.lit(x) for x in _F5_MIMES])
+    cdx = d.select(
+        F.concat(
+            F.lit("org,example)/"), F.col("source"), F.lit("/file"),
+            F.col("doc_id").cast("string"), F.lit("."), F.element_at(exts, idx),
+        ).alias("surt"),
+        (F.col("doc_id") % 86400 + 20200101000000).cast("string").alias("datetime"),
+        F.when(F.col("doc_id") % 7 == 0, 404).otherwise(200).alias("http_status"),
+        F.element_at(mimes, idx).alias("mimetype"),
+        F.concat(F.lit("sha"), (F.col("doc_id") % 333).cast("string")).alias("sha1b32"),
+        F.element_at(exts, idx).alias("ext"),
+    )
+    out = filter_source_code(cdx).unionByName(filter_tarballs(cdx))
+    return out.groupBy("ext").agg(
+        F.count("*").alias("n"), F.min("surt").alias("first_surt")
+    )
+
+
+def j6_selfjoin_dedup(spark, sf_dir):
+    """J6: self-join work grouping (GroupFatcatWorksJob.scala:23-42 via
+    operators.dedup.self_join_matchable): slug = type#size, release =
+    partkey, work = brand; selfMatchable pairs scored by the reference's
+    ×1000 Levenshtein similarity (Scorable.scala:85-95)."""
+    from sandcrawler_spark.operators.dedup import self_join_matchable
+
+    p = _t(spark, sf_dir, "part").select(
+        F.concat_ws("#", "p_type", F.col("p_size").cast("string")).alias("slug"),
+        F.col("p_partkey").alias("release"),
+        F.col("p_brand").alias("work"),
+        F.col("p_name").alias("title"),
+    )
+    pairs = self_join_matchable(p, "slug", "release", "work")
+    score = F.floor(
+        1000
+        * (
+            1
+            - F.levenshtein("title_1", "title_2")
+            / F.greatest(F.length("title_1"), F.length("title_2"))
+        )
+    ).cast("bigint")
+    return (
+        pairs.withColumn("score", score)
+        .groupBy("slug")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("score").alias("best_score"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+def c14_fs_sanitize(spark, sf_dir):
+    """C14: filesystem-path sanitization (misc.py:303-310) — the
+    pure-Catalyst segment fold in functions.paths.sanitize_fs_path_col
+    over six adversarial path templates; the oracle states the expected
+    normpath output per template independently."""
+    from sandcrawler_spark.functions.paths import sanitize_fs_path_col
+
+    d = _t(spark, sf_dir, "documents")
+    name = F.concat(F.lit("thing"), F.col("doc_id").cast("string"), F.lit(".png"))
+    tmpl = (F.col("doc_id") % 6).cast("int")
+    path = (
+        F.when(tmpl == 0, F.concat(F.lit("/"), name))
+        .when(tmpl == 1, F.concat(F.lit("../../"), name))
+        .when(tmpl == 2, name)
+        .when(tmpl == 3, F.concat(F.lit("subdir/./"), name))
+        .when(tmpl == 4, F.concat(F.lit("a/b/../"), name))
+        .otherwise(F.concat(F.lit("x//y/../../z/"), name))
+    )
+    return (
+        d.select(tmpl.alias("tmpl"), sanitize_fs_path_col(path).alias("clean"))
+        .groupBy("tmpl")
+        .agg(F.count("*").alias("n"), F.min("clean").alias("first_path"))
+    )
+
+
 # ============================================== ORACLE SQL (DuckDB) strings
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": _FLAGSHIP_SQL,
+    "f5_suffix_filter": """
+        WITH cdx AS (
+            SELECT 'org,example)/' || source || '/file' || CAST(doc_id AS VARCHAR)
+                       || '.' || (['c','h','py','java','html','pdf','tar.gz','txt'])[(doc_id % 8) + 1] AS surt,
+                   CAST(doc_id % 86400 + 20200101000000 AS VARCHAR) AS datetime,
+                   CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status,
+                   (['text/x-c','text/x-c','text/plain','text/plain',
+                     'text/html','application/pdf','application/gzip','text/plain'])[(doc_id % 8) + 1] AS mimetype,
+                   'sha' || CAST(doc_id % 333 AS VARCHAR) AS sha1b32,
+                   (['c','h','py','java','html','pdf','tar.gz','txt'])[(doc_id % 8) + 1] AS ext
+            FROM documents),
+        src AS (
+            SELECT *, row_number() OVER (PARTITION BY sha1b32
+                       ORDER BY surt, datetime, http_status, mimetype, ext) AS rn
+            FROM cdx
+            WHERE http_status = 200 AND regexp_matches(mimetype, '.*text.*')
+              AND regexp_matches(surt, '.*\\.(c|h|py|java)$')),
+        tar AS (
+            SELECT *, row_number() OVER (PARTITION BY sha1b32
+                       ORDER BY surt, datetime, http_status, mimetype, ext) AS rn
+            FROM cdx
+            WHERE http_status = 200
+              AND regexp_matches(mimetype, '.*(octet|gzip|gtar|tgz).*')
+              AND regexp_matches(surt, '(?i).+\\.tar\\.gz.*')),
+        u AS (SELECT ext, surt FROM src WHERE rn = 1
+              UNION ALL SELECT ext, surt FROM tar WHERE rn = 1)
+        SELECT ext, count(*) AS n, min(surt) AS first_surt FROM u GROUP BY ext
+    """,
+    "j6_selfjoin_dedup": """
+        WITH p AS (
+            SELECT p_type || '#' || CAST(p_size AS VARCHAR) AS slug,
+                   p_partkey AS release, p_brand AS work, p_name AS title
+            FROM part),
+        pairs AS (
+            SELECT a.slug, a.title AS t1, b.title AS t2
+            FROM p a JOIN p b ON a.slug = b.slug
+            WHERE a.release IS NOT NULL AND b.release IS NOT NULL
+              AND a.release <> b.release
+              AND a.work IS NOT NULL AND b.work IS NOT NULL AND a.work > b.work),
+        scored AS (
+            SELECT slug,
+                   CAST(floor(1000 * (1 - CAST(levenshtein(t1, t2) AS DOUBLE)
+                        / greatest(length(t1), length(t2)))) AS BIGINT) AS score
+            FROM pairs)
+        SELECT slug, count(*) AS n_pairs, max(score) AS best_score,
+               round(avg(score), 4) AS avg_score
+        FROM scored GROUP BY slug
+    """,
+    "c14_fs_sanitize": """
+        WITH t AS (
+            SELECT CAST(doc_id % 6 AS INT) AS tmpl,
+                   'thing' || CAST(doc_id AS VARCHAR) || '.png' AS name
+            FROM documents)
+        SELECT tmpl, count(*) AS n,
+               min(CASE WHEN tmpl = 3 THEN 'subdir/' || name
+                        WHEN tmpl = 4 THEN 'a/' || name
+                        WHEN tmpl = 5 THEN 'z/' || name
+                        ELSE name END) AS first_path
+        FROM t GROUP BY tmpl
+    """,
     "f2_status_mime_filter": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events WHERE event_type IN ('purchase','signup') AND value > 50
@@ -706,6 +861,9 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "q1_pricing_summary": flagship,
+    "f5_suffix_filter": f5_suffix_filter,
+    "j6_selfjoin_dedup": j6_selfjoin_dedup,
+    "c14_fs_sanitize": c14_fs_sanitize,
     "f2_status_mime_filter": f2_status_mime_filter,
     "f4_regex_filter": f4_regex_filter,
     "f12_length_filter": f12_length_filter,

@@ -94,3 +94,45 @@ SCHOLARLY_SURT_RE = (
 def filter_scholarly(cdx: DataFrame) -> DataFrame:
     """F4: scholarly-URL heuristic — one Catalyst-compiled rlike."""
     return cdx.filter(F.col("surt").rlike(SCHOLARLY_SURT_RE))
+
+
+def _sha1_top1(cdx: DataFrame) -> DataFrame:
+    """Distinct-by-sha1 keeping one deterministic row (the pig scripts'
+    ``GROUP BY sha1sum`` + ``TOP(1, ...)``, filter-cdx-tarball.pig:30-34)
+    as a map-side-combinable min_by — no window, no global sort."""
+    payload = [c for c in cdx.columns if c != "sha1b32"]
+    key = F.struct("surt", "datetime", *[c for c in payload if c not in ("surt", "datetime")])
+    return (
+        cdx.groupBy("sha1b32")
+        .agg(F.min_by(key, key).alias("__r"))
+        .select("sha1b32", *[F.col(f"__r.{c}").alias(c) for c in payload])
+    )
+
+
+SOURCE_SUFFIX_RE = r".*\.(c|h|py|java)$"
+
+
+def filter_source_code(cdx: DataFrame) -> DataFrame:
+    """F5a: crude source-code capture filter
+    (pig/filter-cdx-source-code-crude.pig:22-30): HTTP 200, text-ish
+    mimetype, URL path ends in a source suffix; unique by sha1."""
+    return _sha1_top1(
+        cdx.filter(
+            (F.col("http_status") == 200)
+            & F.col("mimetype").rlike(".*text.*")
+            & F.col("surt").rlike(SOURCE_SUFFIX_RE)
+        )
+    )
+
+
+def filter_tarballs(cdx: DataFrame) -> DataFrame:
+    """F5b: tarball capture filter (pig/filter-cdx-tarball.pig:21-34):
+    HTTP 200, archive-ish mimetype, '.tar.gz' anywhere in the path
+    (case-insensitive); unique by sha1."""
+    return _sha1_top1(
+        cdx.filter(
+            (F.col("http_status") == 200)
+            & F.col("mimetype").rlike(".*(octet|gzip|gtar|tgz).*")
+            & F.col("surt").rlike(r"(?i).+\.tar\.gz.*")
+        )
+    )

@@ -34,6 +34,12 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=3)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--token-bucket",
+        action="store_true",
+        help="per-host token-bucket politeness (persisted hosts state table) "
+        "instead of the flat per-round budget",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +60,7 @@ def main() -> int:
         default_budget=args.budget,
         use_bloom=not args.no_bloom,
         resume=args.resume,
+        token_bucket=args.token_bucket,
     )
     print(json.dumps({"rounds": store.committed_rounds, "counters": store.counters()}))
     return 0
