@@ -54,6 +54,12 @@ SALT_BUCKETS = 8
 # token-bucket politeness: bucket capacity = CAP_MULT × per-round refill
 # (the robots host_budget); refill happens once per scheduling round
 TOKEN_BUCKET_CAP_MULT = 2
+# robots-rules join strategy cutover: up to this many deduped rule rows
+# the rules side is broadcast (one hash map per executor, zero shuffle);
+# above it — e.g. 10^8 hosts at the 10^10-URL design point — the join
+# falls back to a shuffle join on host, where AQE's skew-join splitting
+# defuses hot-host partitions (politeness salting happens downstream)
+RULES_BROADCAST_MAX = 4_000_000
 
 def _fetch_order_cols():
     """Total fetch-priority order (north_rule heap keys + URL totality).
@@ -343,6 +349,8 @@ def run_round(
     probe_udf=None,
     has_forced: bool = True,
     host_tokens: DataFrame | None = None,
+    prepared_rules: DataFrame | None = None,
+    rules_broadcastable: bool = True,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
@@ -393,10 +401,15 @@ def run_round(
         else:
             candidates = new_unforced
 
-    # --- robots / blocklist / budget (small side → broadcast; F6/J1)
-    rules = F.broadcast(
-        _dedup_rules(robots).withColumnRenamed("host", "r_host")
-    )
+    # --- robots / blocklist / budget (F6/J1). Small rules side →
+    # broadcast; a rules table past RULES_BROADCAST_MAX (the 10^8-host
+    # design point) shuffle-joins on host instead, with AQE skew-join
+    # splitting the hot-host partitions.
+    rules = (
+        prepared_rules if prepared_rules is not None else _dedup_rules(robots)
+    ).withColumnRenamed("host", "r_host")
+    if rules_broadcastable:
+        rules = F.broadcast(rules)
     candidates = candidates.join(rules, F.col("host") == F.col("r_host"), "left").drop(
         "r_host"
     )
@@ -423,12 +436,11 @@ def run_round(
     # unlike the flat budget. `host_tokens` is the persisted hosts-state
     # table maintained by run_crawl; hosts never seen before start full.
     if host_tokens is not None:
+        tok = host_tokens.select(F.col("host").alias("t_host"), "tokens")
+        if rules_broadcastable:  # hosts state is bounded by rule cardinality
+            tok = F.broadcast(tok)
         candidates = candidates.join(
-            F.broadcast(
-                host_tokens.select(F.col("host").alias("t_host"), "tokens")
-            ),
-            F.col("host") == F.col("t_host"),
-            "left",
+            tok, F.col("host") == F.col("t_host"), "left"
         ).drop("t_host")
         candidates = candidates.withColumn(
             "host_budget",
@@ -579,6 +591,7 @@ def run_crawl(
     use_bloom: bool = True,
     resume: bool = False,
     token_bucket: bool = False,
+    rules_broadcast_max: int = RULES_BROADCAST_MAX,
 ) -> SnapshotStore:
     """Multi-round crawl driver with snapshot commit + exact resume.
 
@@ -609,6 +622,11 @@ def run_crawl(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         robots = spark.read.parquet(f"{data_dir}/robots.parquet")
+        # Rules are static across rounds: dedup ONCE, cache, and decide
+        # the join strategy from the actual cardinality (the one count
+        # action here replaces a per-round dedup recompute).
+        rules_tbl = _dedup_rules(robots).persist()
+        rules_broadcastable = rules_tbl.count() <= rules_broadcast_max
         # pre-partition the per-round join sides ON their join keys and keep
         # them cached: every round's best-capture/outlink join then reuses the
         # exchange instead of re-shuffling the big side (bucketed-table shape)
@@ -701,6 +719,8 @@ def run_crawl(
                 scratch=scratch, generation=generation,
                 probe_udf=probe_udf, has_forced=store.forced_seeds > 0,
                 host_tokens=host_tokens,
+                prepared_rules=rules_tbl,
+                rules_broadcastable=rules_broadcastable,
             )
             _trace(f"round {round_id} run_round (rank job)", t0)
 
@@ -776,9 +796,9 @@ def run_crawl(
                     F.count("*").alias("__c")
                 )
                 prev = host_tokens.withColumnRenamed("tokens", "__t")
-                budgets = F.broadcast(
-                    _dedup_rules(robots).select("host", "host_budget")
-                )
+                budgets = rules_tbl.select("host", "host_budget")
+                if rules_broadcastable:
+                    budgets = F.broadcast(budgets)
                 universe = (
                     prev.select("host").unionByName(consumed.select("host")).distinct()
                 )
@@ -824,6 +844,10 @@ def run_crawl(
                 df.unpersist()
         return store
     finally:
+        try:
+            rules_tbl.unpersist()
+        except NameError:
+            pass
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
 

@@ -172,7 +172,46 @@ def med_binary_meta(spark, sf_dir):
     return media.binary_meta(d, "doc_id", "blob", fake_decode=True)
 
 
+def sp_html_spans(spark, sf_dir):
+    """§2.10 HTML span producer end-to-end (html_metadata.py:886-955,
+    1034-1077 semantics via operators.html.html_to_spans): synthesize a
+    page per document — paragraph text, an outlink anchor, a resource
+    img (duplicated, exercising first-occurrence dedup), parse to
+    interleaved spans, explode. The oracle states the expected span
+    sequence (kinds, offsets, raw-href links, urljoined resources)
+    independently."""
+    from sandcrawler_spark.operators.html import html_to_spans
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.length(F.trim("text")) > 0)
+    )
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/d/"), sid,
+    )
+    img = F.concat(F.lit('<img src="img/'), sid, F.lit('.png">'))
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit('</p><a href="/doc/'), sid, F.lit('">next</a>'),
+        img, img,  # duplicate resource → deduped to one span
+        F.lit("</body></html>"),
+    )
+    src = d.select("doc_id", html.alias("html"), base.alias("base"))
+    spans = html_to_spans(src, "doc_id", "html", "base")
+    return spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 QUERIES2 = {
+    "sp_html_spans": sp_html_spans,
     "dd_exact_dedup": dd_exact_dedup,
     "dd_jaccard_pairs": dd_jaccard_pairs,
     "dd_minhash_lsh": dd_minhash_lsh,
@@ -200,6 +239,25 @@ _JACCARD_TAIL = """
 """
 
 ORACLES2 = {
+    "sp_html_spans": """
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS chunk,
+                   CAST(doc_id AS VARCHAR) AS sid
+            FROM documents
+            WHERE doc_id < 500 AND length(trim(text)) > 0)
+        SELECT doc_id, 0 AS offset, 'text' AS kind,
+               chunk AS span_text, CAST(NULL AS VARCHAR) AS media_ref FROM d
+        UNION ALL
+        SELECT doc_id, 1, 'link', NULL, '/doc/' || sid FROM d
+        UNION ALL
+        SELECT doc_id, 2, 'text', 'next', NULL FROM d
+        UNION ALL
+        SELECT doc_id, 3, 'image', NULL,
+               'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.org/d/img/' || sid || '.png'
+        FROM d
+    """,
     "dd_exact_dedup": """
         SELECT count(*) AS n_docs,
                count(DISTINCT md5(lower(trim(text)))) AS n_distinct
