@@ -28,6 +28,27 @@ def _has_kafka(spark: SparkSession) -> bool:
         return False
 
 
+def topic_priority_col(topic=F.col("topic")):
+    """Topic name → priority tier (kafka/topics.md:28-43): the three
+    request topics rank priority < daily < bulk. Pure column expression
+    so the mapping is testable without the connector jars."""
+    return (
+        F.when(topic.contains("priority"), 0)
+        .when(topic.contains("daily"), 1)
+        .otherwise(2)
+    )
+
+
+def keyed_json_payload(df: DataFrame, key_col: str = "sha1hex") -> DataFrame:
+    """Result rows → (key, value) Kafka records: key = content sha1,
+    value = the full row as JSON (workers.py:265-349 KafkaSink shape).
+    Pure projection, shared by the gated streaming sink and tests."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
 def read_kafka_requests(
     spark: SparkSession,
     brokers: str,
@@ -48,14 +69,9 @@ def read_kafka_requests(
         .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
         .load()
     )
-    priority = (
-        F.when(F.col("topic").contains("priority"), 0)
-        .when(F.col("topic").contains("daily"), 1)
-        .otherwise(2)
-    )
     return raw.select(
         F.col("value").cast("string").alias("json"),
-        priority.alias("priority"),
+        topic_priority_col().alias("priority"),
         "timestamp",
     )
 
@@ -66,10 +82,7 @@ def write_kafka_results(
     """S4: produce JSON results keyed by content sha1 (workers.py:265-349)."""
     if not _has_kafka(df.sparkSession):
         raise RuntimeError("spark-sql-kafka connector not on classpath")
-    payload = df.select(
-        F.col(key_col).alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
+    payload = keyed_json_payload(df, key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

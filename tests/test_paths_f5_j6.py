@@ -98,3 +98,22 @@ def test_j6_self_join_matchable(spark):
     got = self_join_matchable(df).select("release_1", "release_2").collect()
     pairs = sorted((r["release_1"], r["release_2"]) for r in got)
     assert pairs == [("r1", "r2"), ("r4", "r2")]
+
+
+def test_sanitize_property_vs_posixpath():
+    """Hypothesis: the scalar kernel equals the reference's
+    normpath-chroot-relpath composition for arbitrary segment soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.sampled_from(["a", "b", "thing.png", "..", ".", "", "x y", "-"])
+    path = st.lists(seg, min_size=0, max_size=8).map("/".join)
+    lead = st.sampled_from(["", "/"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(lead, path)
+    def run(prefix, p):
+        s = prefix + p
+        assert sanitize_fs_path(s) == _expected(s), s
+
+    run()
