@@ -64,3 +64,61 @@ def url_seen_dedup_stream(requests: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+RATE_STATE_SCHEMA = T.StructType([T.StructField("tokens", T.LongType())])
+
+
+def _make_rate_fn(refill: int, cap_mult: int):
+    cap = cap_mult * refill
+
+    def _rate_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # refill at the start of each batch the host appears in (the
+        # state fn is only invoked for keys with traffic, so the bucket
+        # clock ticks on ACTIVE batches); unconsumed tokens carry over
+        # up to the burst capacity, and a never-seen host starts full
+        tokens = min(cap, (state.get[0] if state.exists else cap - refill) + refill)
+        take = min(tokens, len(pdf))
+        state.update((tokens - take,))
+        if take == 0:
+            return iter(())
+        adm = pdf.sort_values(["priority", "seq"], kind="mergesort").head(take)
+        yield adm[["host", "canonical_url", "priority", "seq"]]
+
+    return _rate_fn
+
+
+def rate_limit_stream(
+    requests: DataFrame, refill_per_batch: int = 3, cap_mult: int = 2
+) -> DataFrame:
+    """§2.9 backpressure as a custom stateful operator: per-host
+    token-bucket admission over a request stream — the streaming twin
+    of the batch crawl's ``token_bucket=True`` politeness (reference:
+    per-host SPN slot gate ia.py:1071-1084 + backoff pause
+    workers.py:569-591). At each micro-batch in which a host has
+    traffic its bucket refills by ``refill_per_batch`` tokens up to
+    ``cap_mult×refill`` (unconsumed tokens carry over, so a lightly
+    loaded host banks burst capacity; a never-seen host starts full);
+    the highest-priority rows (total order: priority, seq) are admitted
+    up to the available tokens, the rest are SHED (the reference
+    re-enqueues; a caller can recover the complement by anti-joining
+    admissions back against the input). Token state is checkpointed
+    group state, so rate limits survive restarts."""
+    return requests.groupBy("host").applyInPandasWithState(
+        _make_rate_fn(refill_per_batch, cap_mult),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

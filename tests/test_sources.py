@@ -257,3 +257,57 @@ def test_kafka_keyed_json_payload(spark):
     assert json.loads(row["value"]) == {
         "sha1hex": "aa11", "url": "http://x.example.org/a", "status": 200,
     }
+
+
+def test_rate_limit_stream_token_bucket(spark, tmp_path):
+    """Streaming per-host token bucket: first batch bursts to capacity,
+    a saturated host is then held to the refill rate (state carried
+    across restarts via the checkpoint); priority order decides which
+    rows are admitted."""
+    import json as _json
+
+    from sandcrawler_spark.streaming.stateful import rate_limit_stream
+
+    indir = tmp_path / "rl_in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "rl_ckpt")
+    schema = "host string, canonical_url string, priority int, seq long"
+
+    def run_batch(fname, rows):
+        (indir / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(indir))
+        out = rate_limit_stream(stream, refill_per_batch=2, cap_mult=2)
+        got: list = []
+
+        def sink(df, epoch_id):
+            got.extend(df.collect())
+
+        q = (
+            out.writeStream.outputMode("append").foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # batch 1: 6 requests on one host; capacity = 2x2 = 4 -> burst of 4,
+    # admitted in (priority, seq) order
+    b1 = run_batch("b1.json", [
+        {"host": "h1", "canonical_url": f"http://h1/{i}", "priority": p, "seq": i}
+        for i, p in enumerate([3, 1, 2, 1, 9, 0])
+    ])
+    assert sorted(r["seq"] for r in b1) == [1, 2, 3, 5]  # prio 0,1,1,2 win
+    assert len(b1) == 4
+
+    # batch 2 (restart): bucket empty + refill 2 -> exactly 2 admitted
+    b2 = run_batch("b2.json", [
+        {"host": "h1", "canonical_url": f"http://h1/n{i}", "priority": 5, "seq": 10 + i}
+        for i in range(5)
+    ] + [
+        {"host": "h2", "canonical_url": "http://h2/a", "priority": 5, "seq": 99}
+    ])
+    by_host: dict = {}
+    for r in b2:
+        by_host.setdefault(r["host"], []).append(r["seq"])
+    assert sorted(by_host["h1"]) == [10, 11]   # refill rate, not burst
+    assert by_host["h2"] == [99]               # fresh host starts full
