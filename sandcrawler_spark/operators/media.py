@@ -132,3 +132,116 @@ def binary_meta(df: DataFrame, id_col: str, binary_col: str, fake_decode: bool =
             )
 
     return src.mapInPandas(extract, schema=BINARY_META_SCHEMA)
+
+RESIZE_SCHEMA = "doc_id string, width int, height int, thumb binary"
+
+FRAME_SCHEMA = "doc_id string, frame_idx int, t_sec double, frame binary"
+
+FEATURE_SCHEMA = "doc_id string, embedding array<float>"
+
+
+def resize_image(blob: bytes, max_dim: int, fake: bool = False) -> tuple[int, int, bytes]:
+    """STUB resize kernel (reference: pdftocairo page-0 thumbnail at a
+    capped box, pdfextract.py:174-204). ``fake=True`` scales the stub
+    dimensions to fit ``max_dim`` and emits a deterministic thumb
+    payload derived from (content hash, box) — stable across engines."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this environment")
+    w, h = decode_image(blob, fake=True)
+    scale = min(1.0, max_dim / max(w, h))
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    thumb = hashlib.sha256(blob + f"|{tw}x{th}".encode()).digest()
+    return tw, th, thumb
+
+
+def resize_images(
+    df: DataFrame, id_col: str, binary_col: str, max_dim: int = 180,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Multimodal resize stage: binary in → (width, height, thumb
+    binary) out, Arrow-batched ``mapInPandas``. Thumbnails are small, so
+    output batches shrink relative to input — the stage is safe to run
+    straight off the scan with no repartition."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob"))
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_image(bytes(b), max_dim, fake=fake_decode) for b in pdf["blob"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [o[0] for o in out],
+                "height": [o[1] for o in out],
+                "thumb": [o[2] for o in out],
+            })
+
+    return src.mapInPandas(rz, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, fps: float = 0.5,
+    max_frames: int = 8, fake_decode: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to ≤``max_frames``
+    frame rows (doc_id, frame_idx, t_sec, frame binary). The 1→N
+    explosion happens INSIDE the Arrow batch, so a 100 TB video corpus
+    never materializes a per-frame shuffle before downstream filters
+    can prune. STUB decoder: fake duration/frames derived from the
+    content hash; a real build swaps in pyav/ffmpeg behind the same
+    signature."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob"))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, payloads = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "video codecs not available in this environment"
+                    )
+                h = hashlib.md5(blob).digest()
+                duration = 1.0 + h[2]  # deterministic fake seconds
+                n = min(max_frames, max(1, int(duration * fps)))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ts.append(round(i / fps, 3))
+                    payloads.append(
+                        hashlib.sha256(blob + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "t_sec": ts, "frame": payloads}
+            )
+
+    return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, id_col: str, binary_col: str, dim: int = 16,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Feature-extraction stage: binary → unit-norm ``array<float>``
+    embedding, the input shape for the ANN / embedding-near-dup
+    operators (operators/similarity.py). STUB model: deterministic
+    bytes-of-sha256 → centered floats → L2 normalize; a real build
+    swaps in an ONNX/torch encoder behind the same batch signature."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob"))
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for b in pdf["blob"]:
+                blob = bytes(b)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "feature encoder not available in this environment"
+                    )
+                raw = hashlib.sha256(blob).digest()
+                while len(raw) < dim:
+                    raw += hashlib.sha256(raw).digest()
+                v = [float(x) - 127.5 for x in raw[:dim]]
+                norm = sum(x * x for x in v) ** 0.5 or 1.0
+                embs.append([x / norm for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return src.mapInPandas(feats, schema=FEATURE_SCHEMA)

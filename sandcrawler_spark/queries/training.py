@@ -172,6 +172,37 @@ def med_binary_meta(spark, sf_dir):
     return media.binary_meta(d, "doc_id", "blob", fake_decode=True)
 
 
+def med_resize(spark, sf_dir):
+    """Multimodal resize stage over the documents table (stub codec:
+    hash-derived dims scaled into a 100px box, thumb = sha256(blob |
+    box)); the oracle re-derives dims + thumb hash in SQL."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    out = media.resize_images(d, "doc_id", "blob", max_dim=100)
+    return out.select(
+        "doc_id", "width", "height",
+        F.lower(F.hex("thumb")).alias("thumb_sha256"),
+    )
+
+
+def med_frames(spark, sf_dir):
+    """Video frame sampling over the documents table (stub decoder:
+    hash-derived duration, ≤8 frames at 0.5 fps, frame payload =
+    sha256(blob | frame_idx_be32)); the 1→N fan-out happens inside the
+    Arrow batch. Oracle: unnest(range(n)) per doc in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    out = media.sample_frames(d, "doc_id", "blob", fps=0.5, max_frames=8)
+    return out.select(
+        "doc_id", "frame_idx", "t_sec",
+        F.lower(F.hex("frame")).alias("frame_sha256"),
+    )
+
+
 def sp_html_spans(spark, sf_dir):
     """§2.10 HTML span producer end-to-end (html_metadata.py:886-955,
     1034-1077 semantics via operators.html.html_to_spans): synthesize a
@@ -226,6 +257,8 @@ QUERIES2 = {
     "dd_embedding_neardup": dd_embedding_neardup,
     "c7_title_slug": c7_title_slug,
     "med_binary_meta": med_binary_meta,
+    "med_resize": med_resize,
+    "med_frames": med_frames,
     "f10_transfer_fix": f10_transfer_fix,
     "c9_author_match": c9_author_match,
 }
@@ -433,6 +466,40 @@ ORACLES2 = {
                CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 192 AS INT) AS width,
                CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 192 AS INT) AS height
         FROM documents
+    """,
+    # med_resize / med_frames: sha256() in this DuckDB build is
+    # VARCHAR-only, but blob = UTF-8(text), so hashing the concatenated
+    # VARCHAR hashes the identical byte stream (NUL bytes in the
+    # frame-index suffix round-trip through decode(unhex(...))).
+    "med_resize": """
+        WITH dims AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 192 AS w,
+                   64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 192 AS h
+            FROM documents),
+        boxed AS (
+            SELECT doc_id, text,
+                   GREATEST(1, CAST(floor(w * LEAST(1.0, 100.0 / GREATEST(w, h))) AS INT)) AS tw,
+                   GREATEST(1, CAST(floor(h * LEAST(1.0, 100.0 / GREATEST(w, h))) AS INT)) AS th
+            FROM dims)
+        SELECT doc_id, tw AS width, th AS height,
+               sha256(concat(text, '|', tw, 'x', th)) AS thumb_sha256
+        FROM boxed
+    """,
+    "med_frames": """
+        WITH f AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   1.0 + CAST(concat('0x', substr(md5(text), 5, 2)) AS BIGINT) AS dur
+            FROM documents),
+        g AS (
+            SELECT doc_id, text,
+                   LEAST(8, GREATEST(1, CAST(floor(dur * 0.5) AS INT))) AS n
+            FROM f),
+        x AS (SELECT doc_id, text, unnest(range(n)) AS i FROM g)
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(i * 2.0 AS DOUBLE) AS t_sec,
+               sha256(text || decode(unhex(lpad(to_hex(i), 8, '0')))) AS frame_sha256
+        FROM x
     """,
     # F10: the oracle can't gzip, so it verifies the OUTPUT contract:
     # rows the engine fixed (or never compressed) must hash to the plain

@@ -311,3 +311,76 @@ def test_rate_limit_stream_token_bucket(spark, tmp_path):
         by_host.setdefault(r["host"], []).append(r["seq"])
     assert sorted(by_host["h1"]) == [10, 11]   # refill rate, not burst
     assert by_host["h2"] == [99]               # fresh host starts full
+
+
+def test_blob_path_reference_convention():
+    """Key layout parity with the reference's _blob_path (minio.py:35-49)."""
+    from sandcrawler_spark.sources.blobs import blob_path, content_type_for
+
+    sha1 = "da39a3ee5e6b4b0d3255bfef95601890afd80709"
+    assert blob_path("pdf", sha1) == f"pdf/da/39/{sha1}"
+    assert blob_path("pdf", sha1, ".pdf") == f"pdf/da/39/{sha1}.pdf"
+    assert (
+        blob_path("grobid", sha1, ".tei.xml", "qa/")
+        == f"qa/grobid/da/39/{sha1}.tei.xml"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        blob_path("pdf", "deadbeef")  # not a 40-char sha1
+
+    assert content_type_for(".tei.xml") == "application/xml"
+    assert content_type_for(".png") == "image/png"
+    assert content_type_for(".jpeg") == "image/jpeg"
+    assert content_type_for(".txt") == "text/plain"
+    assert content_type_for(".pdf") == "application/octet-stream"
+    assert content_type_for("") == "application/octet-stream"
+
+
+def test_put_blobs_object_store_sink(spark, tmp_path):
+    """S14: executor-side blob PUTs land at the exact minio key per
+    blob, receipts agree, null sha1 is computed from the blob, and the
+    Catalyst key expression plans the same keys."""
+    import hashlib
+
+    from sandcrawler_spark.sources.blobs import blob_path, blob_path_col, put_blobs
+
+    payloads = [b"alpha-blob", b"beta-blob", b"gamma-blob"]
+    sha1s = [hashlib.sha1(b).hexdigest() for b in payloads]
+    rows = [
+        (payloads[0], sha1s[0], ".pdf"),
+        (payloads[1], sha1s[1], None),   # null extension -> bare key
+        (payloads[2], None, ".txt"),     # null sha1 -> computed
+    ]
+    df = spark.createDataFrame(rows, "blob binary, sha1hex string, ext string")
+
+    store = str(tmp_path / "store")
+    receipts = put_blobs(
+        df, store, "pdf", bucket="bkt", extension_col="ext"
+    ).collect()
+    got = {r["obj_path"]: r for r in receipts}
+    expected_keys = [
+        blob_path("pdf", sha1s[0], ".pdf"),
+        blob_path("pdf", sha1s[1]),
+        blob_path("pdf", sha1s[2], ".txt"),
+    ]
+    assert sorted(got) == sorted(expected_keys)
+    for key, payload in zip(expected_keys, payloads):
+        p = os.path.join(store, "bkt", key)
+        assert open(p, "rb").read() == payload
+        assert got[key]["n_bytes"] == len(payload)
+    assert got[expected_keys[2]]["content_type"] == "text/plain"
+
+    # Catalyst twin plans identical keys for the non-null-sha1 rows
+    planned = (
+        df.filter("sha1hex is not null")
+        .select(blob_path_col("pdf", extension="ext").alias("k"))
+        .collect()
+    )
+    assert sorted(r["k"] for r in planned) == sorted(expected_keys[:2])
+
+    # s3:// endpoint is an explicit gated boundary, not silent local IO
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        put_blobs(df, "s3://bucket", "pdf")
