@@ -227,3 +227,55 @@ def ivf_search(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "sim")
     )
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF centroid training: Lloyd's iterations under the cosine
+    metric (assignment via the same :func:`ivf_assign` used at search
+    time, so train and serve agree on ties).
+
+    Scale shape: the corpus-side work per iteration is ONE broadcast
+    crossJoin (k centroids, always tiny) + ONE groupBy(cell) with
+    map-side partial aggregation of per-dimension sums — the classic
+    distributed k-means plan. Only the k×dim centroid table ever
+    reaches the driver (collected each iteration to cut the lineage,
+    exactly like MLlib's implementation). Init is the k smallest ids —
+    deterministic; for production quality swap in a k-means|| seeding
+    pass, which changes only this function's first step. Cell means are
+    deterministic up to float aggregation order (cosine assignment is
+    scale-invariant, so means need no re-normalization).
+
+    Empty cells keep their previous centroid (no NaN centroids, stable
+    k). Returns a DataFrame (id_col, vec_col) shaped like the
+    ``centroids`` input of :func:`ivf_assign` / :func:`ivf_search`.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    init = c.orderBy("vec_id").limit(k).collect()
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)]
+
+    for _ in range(iters):
+        cen_df = spark.createDataFrame(
+            cents, f"vec_id long, embedding array<double>"
+        )
+        assign = ivf_assign(c.withColumnRenamed("v", "embedding"), cen_df)
+        means = (
+            c.withColumnRenamed("v", "embedding")
+            .join(assign, "vec_id")
+            .groupBy("centroid_id")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["centroid_id"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+
+    return spark.createDataFrame(
+        cents, f"{id_col} long, {vec_col} array<double>"
+    )

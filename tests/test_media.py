@@ -90,3 +90,46 @@ def test_real_codec_paths_are_gated():
         resize_image(b"x", 100, fake=False)
     with pytest.raises(NotImplementedError):
         decode_image(b"x", fake=False)
+
+
+def test_train_ivf_centroids_separated_clusters(spark):
+    """Lloyd's under cosine: on well-separated clusters (interleaved
+    ids so the deterministic init seeds one point per cluster) training
+    recovers one centroid per cluster, assignments match ground truth,
+    and the trained centroids slot straight into ivf_search."""
+    from sandcrawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for i in range(30):
+        cl = i % 3
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(4)]  # small jitter
+        v[cl] += 3.0  # dominant axis per cluster
+        rows.append((i, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_ivf_centroids(corpus, k=3, iters=3)
+    got = {r["vec_id"]: r["embedding"] for r in cents.collect()}
+    assert len(got) == 3
+    # each centroid points along exactly one cluster axis
+    axes = sorted(max(range(4), key=lambda d: c[d]) for c in got.values())
+    assert axes == [0, 1, 2]
+
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in ivf_assign(corpus, cents).collect()}
+    for i in range(30):
+        # all members of a cluster share a centroid, and it's the one
+        # whose dominant axis matches
+        peer = assign[i % 3]
+        assert assign[i] == peer
+        assert max(range(4), key=lambda d: got[assign[i]][d]) == i % 3
+
+    # trained centroids drive the probed search end-to-end
+    queries = corpus.filter("vec_id < 3")
+    top = ivf_search(corpus, queries, cents, k=2, nprobe=1).collect()
+    assert len(top) == 6
+    for r in top:
+        assert r["vec_id"] % 3 == r["q_id"] % 3  # neighbors from own cluster
