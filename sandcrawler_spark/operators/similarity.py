@@ -3,9 +3,13 @@
 - brute-force cosine top-k: the exactness baseline. All arithmetic is
   Catalyst ``zip_with``/``aggregate`` in DOUBLE — JVM-side, sequential
   fold, so DuckDB's sequential list functions reproduce it bitwise.
-- IVF-style assignment: vectors → nearest of K centroid vectors; the
-  scale path searches only the probed cells. (Centroid *training* is
-  out of scope; any fixed centroid set works for the partition logic.)
+- IVF-style assignment + probed search: vectors → nearest of K centroid
+  vectors; the scale path searches only the probed cells. Centroids come
+  from :func:`train_ivf_centroids` (distributed Lloyd's under cosine)
+  or any fixed centroid set.
+- near-dup pair generation: exact blocked-GEMM (:func:`embedding_near_dups`)
+  for verification scale; random-hyperplane banded LSH
+  (:func:`embedding_near_dups_lsh`) as the sub-quadratic 10^9-vector path.
 
 Scale notes (10^9 vectors): broadcast the query/centroid side (small),
 keep the corpus partitioned; top-k per query via per-partition top-k +
@@ -278,4 +282,96 @@ def train_ivf_centroids(
 
     return spark.createDataFrame(
         cents, f"{id_col} long, {vec_col} array<double>"
+    )
+
+def hyperplane_signatures(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH signatures: bit p of the signature
+    is sign(v · h_p) for ``n_planes`` fixed Gaussian hyperplanes
+    (seeded, identical on every executor and across runs). Computed as
+    one Arrow-batched numpy matmul per batch — no per-row Python, no
+    shuffle. P(bit agrees) = 1 − θ/π, so near-duplicate vectors share
+    most bits."""
+    assert n_planes <= 62
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+
+    def sign_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if len(M) == 0:
+                yield pd.DataFrame({"vec_id": [], "sig": []})
+                continue
+            bits = (M @ planes.T) >= 0.0
+            sig = bits.astype(np.int64) @ weights
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+
+    return c.mapInPandas(sign_bits, schema="vec_id long, sig long")
+
+
+def embedding_near_dups_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale
+    path for 10^9-vector corpora (exact :func:`embedding_near_dups` is
+    the oracle/verification-scale twin). Pipeline: SRP signatures →
+    band into ``n_bands`` chunks (pairs agreeing on ≥1 whole band
+    become candidates via bucket equi-join — work scales with bucket
+    sizes, never O(n²)) → EXACT cosine verify ≥ tau, so false
+    positives cost only verify work and every reported pair is truly
+    ≥ tau; recall is the banded-LSH probability (high for the
+    near-duplicate regime tau ≥ ~0.8 where θ is small)."""
+    sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes, seed)
+    width = -(-n_planes // n_bands)  # ceil
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.expr(
+                        f"shiftright(sig, {b * width}) & {(1 << width) - 1}"
+                    ).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_val")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2")
+        )
+        .distinct()
+    )
+    v1 = corpus.select(
+        F.col(id_col).cast("long").alias("id1"), F.col(vec_col).alias("v1")
+    )
+    v2 = corpus.select(
+        F.col(id_col).cast("long").alias("id2"), F.col(vec_col).alias("v2")
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", F.round(cosine_col(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("sim") >= tau)
+        .select("id1", "id2", "sim")
     )

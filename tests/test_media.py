@@ -133,3 +133,47 @@ def test_train_ivf_centroids_separated_clusters(spark):
     assert len(top) == 6
     for r in top:
         assert r["vec_id"] % 3 == r["q_id"] % 3  # neighbors from own cluster
+
+
+def test_embedding_near_dups_lsh_vs_exact(spark):
+    """SRP-banded LSH near-dup path: every reported pair is exact-
+    verified (subset of the exact blocked-GEMM answer at the same tau)
+    and recall is total in the near-duplicate regime this operator
+    targets (clusters of vectors at cosine ≈ 0.99)."""
+    import math
+    import random
+
+    from sandcrawler_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(6):  # 6 well-spread base directions, 3 near-copies each
+        base = [rng.gauss(0, 1) for _ in range(12)]
+        n = math.sqrt(sum(x * x for x in base))
+        base = [x / n for x in base]
+        for _ in range(3):
+            jit = [x + rng.gauss(0, 0.01) for x in base]
+            jn = math.sqrt(sum(x * x for x in jit))
+            rows.append((vid, [x / jn for x in jit]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in embedding_near_dups(corpus, tau=0.9).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in embedding_near_dups_lsh(corpus, tau=0.9).collect()
+    }
+    # 6 clusters x C(3,2) intra-cluster pairs = 18 true near-dups
+    assert len(exact) == 18
+    # precision 1: every LSH pair is exact-verified, sims identical
+    for pair, sim in approx.items():
+        assert exact[pair] == sim
+    # recall in the near-dup regime: banding keeps every true pair here
+    assert set(approx) == set(exact)
