@@ -135,16 +135,40 @@ def lsh_band_keys(signatures_wide: DataFrame) -> DataFrame:
     ).select("id", "bk.band", "bk.band_key")
 
 
+def cap_bucket_width(
+    bands: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Hot-bucket skew guard for banded candidate generation: DROP
+    buckets wider than ``max_bucket`` before the self-join (a bucket of
+    m members proposes m²/2 pairs — one boilerplate cluster of 10^5
+    docs would otherwise put 5·10^9 pairs in a single task). Oversized
+    buckets are near-boilerplate by construction; at corpus scale the
+    cap trades their (usually worthless) pairs for bounded tasks. Off
+    by default (``None``) — small-scale/oracle runs are exact."""
+    if max_bucket is None:
+        return bands
+    ok = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+    return bands.join(ok, keys, "left_semi")
+
+
 def minhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, tau: float = 0.8, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.8, n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: band-bucket candidate pairs, then exact
-    Jaccard confirmation ≥ tau. Output (id1, id2, jacc)."""
+    Jaccard confirmation ≥ tau. Output (id1, id2, jacc).
+    ``max_bucket`` enables the hot-bucket skew cap (see
+    :func:`cap_bucket_width`)."""
     # the shingle set feeds BOTH the signature build and the verify
     # stage — cache it once (columnar) instead of re-tokenizing
     sh = shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures_wide(df, id_col, text_col, n, _shingles=sh)
-    bands = lsh_band_keys(sig)
+    bands = cap_bucket_width(lsh_band_keys(sig), ["band", "band_key"], max_bucket)
     b1 = bands.select(F.col("id").alias("id1"), "band", "band_key")
     b2 = bands.select(F.col("id").alias("id2"), "band", "band_key")
     cand = (
@@ -225,15 +249,19 @@ def simhash_bands(sh: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFr
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance — BANDED, not
     all-pairs: candidates come from the chunk equi-join (exact by the
     pigeonhole bound in :func:`simhash_bands`), then one XOR verifies.
     The plan contains no cross join and scales as the bucket sizes, not
-    O(n²)."""
+    O(n²). ``max_bucket`` enables the hot-bucket skew cap
+    (:func:`cap_bucket_width`; trades exactness for bounded tasks)."""
     sh = simhash(df, id_col, text_col)
-    bands = simhash_bands(sh, max_hamming)
+    bands = cap_bucket_width(
+        simhash_bands(sh, max_hamming), ["chunk", "chunk_val"], max_bucket
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["chunk", "chunk_val"])

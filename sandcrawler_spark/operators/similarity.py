@@ -327,6 +327,7 @@ def embedding_near_dups_lsh(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale
     path for 10^9-vector corpora (exact :func:`embedding_near_dups` is
@@ -336,7 +337,11 @@ def embedding_near_dups_lsh(
     sizes, never O(n²)) → EXACT cosine verify ≥ tau, so false
     positives cost only verify work and every reported pair is truly
     ≥ tau; recall is the banded-LSH probability (high for the
-    near-duplicate regime tau ≥ ~0.8 where θ is small)."""
+    near-duplicate regime tau ≥ ~0.8 where θ is small). ``max_bucket``
+    enables the hot-bucket skew cap (boilerplate embedding clusters —
+    see ``dedup.cap_bucket_width``)."""
+    from sandcrawler_spark.operators.dedup import cap_bucket_width
+
     sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes, seed)
     width = -(-n_planes // n_bands)  # ceil
     bands = sigs.select(
@@ -353,6 +358,7 @@ def embedding_near_dups_lsh(
             ])
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.band_val")
+    bands = cap_bucket_width(bands, ["band", "band_val"], max_bucket)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_val"])

@@ -177,3 +177,28 @@ def test_embedding_near_dups_lsh_vs_exact(spark):
         assert exact[pair] == sim
     # recall in the near-dup regime: banding keeps every true pair here
     assert set(approx) == set(exact)
+
+
+def test_hot_bucket_cap_bounds_boilerplate(spark):
+    """max_bucket drops oversized LSH buckets (boilerplate clusters)
+    while keeping ordinary near-dup pairs; default None is exact."""
+    from sandcrawler_spark.operators.dedup import minhash_near_dups
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(12)]  # hot bucket: 12 identical docs
+    rows += [
+        (100, "completely different article about spark shuffle planning"),
+        (101, "completely different article about spark shuffle planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r["id1"], r["id2"])
+             for r in minhash_near_dups(df, "doc_id", "text").collect()}
+    assert (100, 101) in exact
+    assert sum(1 for a, b in exact if a < 100 and b < 100) == 66  # 12C2
+
+    capped = {(r["id1"], r["id2"])
+              for r in minhash_near_dups(df, "doc_id", "text",
+                                         max_bucket=5).collect()}
+    assert (100, 101) in capped            # small buckets untouched
+    assert not any(a < 100 for a, b in capped)  # hot cluster dropped
