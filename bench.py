@@ -33,6 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# bench-only: shuffle files on tmpfs (the library default is disk; see
+# session._tmpfs_local_dir for the opt-in + free-space guard)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")

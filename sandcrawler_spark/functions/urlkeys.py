@@ -171,15 +171,18 @@ def resolve_ref(base: str | None, ref: str | None) -> str | None:
 
     Unlike seed intake, a scheme-less ref here is RELATIVE (RFC 3986):
     ``resolve_ref("http://a/x/", "p.pdf")`` → ``http://a/x/p.pdf``, and
-    ``"www.b.org/y"`` is a relative path, not a host. Refs that are
-    already absolute pass straight into :func:`canonical_url`.
+    ``"www.b.org/y"`` is a relative path, not a host. The join is
+    UNCONDITIONAL like the reference's (urljoin already returns an
+    absolute ref unchanged) — a relative ref that merely *contains*
+    ``://`` in its query (``page?next=http://x``) is still resolved
+    against the base, not misread as absolute.
     """
     if ref is None:
         return None
     r = ref.strip()
     if not r:
         return None
-    if base is None or "://" in r:
+    if base is None:
         return canonical_url(r)
     try:
         return canonical_url(urljoin(base, r))
@@ -267,11 +270,14 @@ def canonical_url_udf(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def resolve_url_udf(base: pd.Series, ref: pd.Series) -> pd.Series:
     """Vectorized :func:`resolve_ref`: urljoin against the base column,
-    then canonicalize. Absolute refs (contain ``://``) skip the per-row
-    urljoin and ride the canonicalization fast path; only genuinely
-    relative refs pay the Python resolution."""
+    then canonicalize. Refs with an ANCHORED RFC-3986 scheme prefix
+    (``^[A-Za-z][A-Za-z0-9+.-]*://``) are absolute — urljoin would
+    return them unchanged — so they skip the per-row resolution and
+    ride the canonicalization fast path; everything else (including a
+    relative ref whose query embeds ``://``) pays the Python urljoin,
+    matching :func:`resolve_ref` exactly."""
     mask = ref.notna()
-    absolute = mask & ref.str.contains("://", regex=False, na=False)
+    absolute = mask & ref.str.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", na=False)
     out = _canonicalize_series(ref.where(absolute, None))
     rel_idx = ref.index[mask & ~absolute]
     if len(rel_idx):

@@ -15,32 +15,38 @@ Layout (the design that survives 10^10 seen URLs):
   single 64-bit key hash (h1 + i·h2 — Kirsch-Mitzenmacher), offset into
   the shard's bit range, so membership tests vectorize to pure numpy
   over Arrow batches.
-- The build is INCREMENTAL: each scheduling round ORs in only that
-  round's url_seen DELTA. The update job groups delta hashes by shard
-  (`groupBy(shard).applyInPandas`) so every shard bitmap is built by
-  one parallel task from only its rows — there is no monolithic
-  full-history rescan and no driver-side OR over per-partition
-  full-size bitmaps (the round-1 design rebuilt the whole bloom from
-  the entire accumulated seen set every round: O(total²) cumulative).
-- :class:`BloomStore` persists the bitmap + metadata per committed
-  round next to the snapshot manifest, so resumed crawls reload it
-  instead of rebuilding; a missing/stale file falls back to one
-  distributed rebuild from the url_seen table.
+- Shard bitmaps are STORED AS A TABLE (one row per shard, binary bitmap
+  column) under a versioned directory next to the snapshot manifest —
+  never driver-resident. The per-round update is a distributed job:
+  build this round's per-shard DELTA bitmaps (`groupBy(shard).
+  applyInPandas` — one parallel task per shard from only its rows), OR
+  them into the stored shard rows with a full-outer join + vectorized
+  binary-OR, and write the next version. The driver moves only the
+  ≤B-row plan, no bitmap bytes.
+- Probing never moves bitmaps through the driver either:
+  * sideload probe (default while the bloom fits executor memory): a
+    pandas UDF whose WORKERS read the current shard files directly from
+    shared storage (the same storage the Iceberg/snapshot state lives
+    on) and cache the assembled bitmap per version — broadcast
+    semantics without a driver hop, zero candidate shuffle.
+  * cogrouped probe (the 12-GiB design point): candidates co-partition
+    with the stored shard rows on the shard key, so each task holds ONE
+    shard's bitmap and only candidates move.
 - Capacity: ``m = 16n`` bits for the EXPECTED key count with headroom;
   when the live count outgrows it (fpr would degrade), the store
   schedules a full distributed rebuild at double capacity — amortized
   O(log n) rebuilds over the crawl's lifetime.
-
-At sandbox scale the probe side broadcasts the (few-MB) bitmap. At the
-12-GiB design point the same shard layout co-partitions candidates with
-shard bitmaps instead (`probe_cogrouped`) — each executor then holds
-only the blooms for its hash ranges, and NOTHING is driver-resident.
+- Crash safety: a new version directory is fully written BEFORE the
+  (os.replace-atomic) metadata pointer moves to it; a corrupt/missing
+  version falls back to one distributed rebuild.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -50,6 +56,9 @@ from pyspark.sql import types as T
 
 _K = 7  # probes; with m = 16n bits → fpr ≈ 0.6%
 DEFAULT_SHARDS = 32
+# above this total bitmap size the round loop switches from the
+# worker-sideload probe to the cogrouped probe (bytes)
+SIDELOAD_MAX_BYTES = 256 << 20
 
 
 def _next_pow2(x: int) -> int:
@@ -67,13 +76,52 @@ def _shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
     return (h.astype(np.int64) % num_shards + num_shards) % num_shards
 
 
+# Worker-side cache of assembled bitmaps, keyed by version directory.
+# Version dirs are immutable once the meta pointer names them, so a hit
+# never goes stale; old versions are evicted to bound worker memory.
+_SIDELOAD_CACHE: dict[str, np.ndarray] = {}
+
+
+def _sideload_bits(path: str, num_shards: int, n_bytes: int) -> np.ndarray:
+    bits = _SIDELOAD_CACHE.get(path)
+    if bits is None:
+        bits = np.zeros(num_shards * n_bytes, dtype=np.uint8)
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f, columns=["shard", "bm"])
+            for s, bm in zip(t.column("shard").to_pylist(), t.column("bm").to_pylist()):
+                if bm is not None:
+                    arr = np.frombuffer(bm, dtype=np.uint8)
+                    bits[s * n_bytes : s * n_bytes + len(arr)] = arr
+        if len(_SIDELOAD_CACHE) >= 4:
+            _SIDELOAD_CACHE.clear()
+        _SIDELOAD_CACHE[path] = bits
+    return bits
+
+
+@F.pandas_udf(T.BinaryType())
+def _or_bitmaps(a: pd.Series, b: pd.Series) -> pd.Series:
+    def one(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return np.bitwise_or(
+            np.frombuffer(x, dtype=np.uint8), np.frombuffer(y, dtype=np.uint8)
+        ).tobytes()
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
 class BloomStore:
     """Persistent sharded bloom over int64 key hashes.
 
-    The in-memory form is one concatenated uint8 array; shard ``s``
-    owns bytes ``[s*m_shard/8, (s+1)*m_shard/8)``. Probe positions are
-    local to the shard's bit range.
-    """
+    The durable form is a per-shard table: ``shards/v{version}/``
+    parquet with rows ``(shard int, bm binary)``; an absent shard row is
+    an all-zero bitmap. NOTHING bitmap-sized ever lives on the driver —
+    updates are distributed OR-jobs over this table and probes read it
+    executor-side (sideload or cogroup)."""
 
     def __init__(self, root: str, num_shards: int = DEFAULT_SHARDS) -> None:
         self.root = root
@@ -81,7 +129,7 @@ class BloomStore:
         self.m_shard_bits = 0  # bits per shard (pow2)
         self.n_keys = 0
         self.round_id = -1
-        self.bits: np.ndarray | None = None
+        self.version = -1
         os.makedirs(root, exist_ok=True)
         self._load()
 
@@ -89,25 +137,38 @@ class BloomStore:
     def _meta_path(self) -> str:
         return os.path.join(self.root, "bloom_meta.json")
 
-    def _bits_path(self) -> str:
-        return os.path.join(self.root, "bloom_bits.npy")
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, "shards", f"v{version:06d}")
+
+    @property
+    def shards_path(self) -> str | None:
+        return self._version_dir(self.version) if self.version >= 0 else None
 
     def _load(self) -> None:
         if not os.path.exists(self._meta_path()):
             return
-        with open(self._meta_path()) as f:
-            meta = json.load(f)
-        self.num_shards = meta["num_shards"]
-        self.m_shard_bits = meta["m_shard_bits"]
-        self.n_keys = meta["n_keys"]
-        self.round_id = meta["round_id"]
-        if os.path.exists(self._bits_path()):
-            self.bits = np.load(self._bits_path())
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+            self.num_shards = meta["num_shards"]
+            self.m_shard_bits = meta["m_shard_bits"]
+            self.n_keys = meta["n_keys"]
+            self.round_id = meta["round_id"]
+            self.version = meta.get("version", -1)
+            if self.version >= 0 and not os.path.isdir(self._version_dir(self.version)):
+                raise FileNotFoundError(self._version_dir(self.version))
+        except (OSError, ValueError, KeyError, FileNotFoundError):
+            # corrupt/partial state (crash mid-write): discard; the
+            # crawl driver falls back to one distributed rebuild
+            self.m_shard_bits = 0
+            self.n_keys = 0
+            self.round_id = -1
+            self.version = -1
 
-    def _save(self) -> None:
-        # bits first, then metadata via atomic rename: a crash between the
-        # two leaves the previous consistent (meta, bits) pair readable
-        np.save(self._bits_path(), self.bits)
+    def _commit_meta(self) -> None:
+        """Atomic pointer move (os.replace) AFTER the version dir is
+        fully written; then prune superseded version dirs (keep one
+        prior for crash-window reads)."""
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -116,26 +177,35 @@ class BloomStore:
                     "m_shard_bits": self.m_shard_bits,
                     "n_keys": self.n_keys,
                     "round_id": self.round_id,
+                    "version": self.version,
                 },
                 f,
             )
         os.replace(tmp, self._meta_path())
+        for d in glob.glob(os.path.join(self.root, "shards", "v*")):
+            try:
+                v = int(os.path.basename(d)[1:])
+            except ValueError:
+                continue
+            if v < self.version - 1:
+                shutil.rmtree(d, ignore_errors=True)
 
     # ------------------------------------------------------------ state
     def ready_for(self, round_id: int) -> bool:
         """True iff the bloom reflects all rounds < ``round_id``."""
-        return self.bits is not None and self.round_id == round_id - 1
+        return self.version >= 0 and self.round_id == round_id - 1
 
     def _alloc(self, expected_keys: int) -> None:
         m_total = _next_pow2(16 * max(expected_keys, 1024))
         self.m_shard_bits = max(1024, m_total // self.num_shards)
-        self.bits = np.zeros(self.num_shards * self.m_shard_bits // 8, dtype=np.uint8)
+
+    def total_bytes(self) -> int:
+        return self.num_shards * self.m_shard_bits // 8
 
     def _shard_delta_df(self, hashes: DataFrame) -> DataFrame:
         """Distributed per-shard bitmap build over an int64 ``h`` column:
         one parallel task per shard, each emitting its own (small)
-        bitmap — collected rows are ready-made per-shard results, never
-        OR-reduced driver-side across partitions."""
+        bitmap row — ready to join/write, never collected."""
         mask = self.m_shard_bits - 1
         n_bytes = self.m_shard_bits // 8
         B = self.num_shards
@@ -150,28 +220,43 @@ class BloomStore:
         tagged = hashes.withColumn("shard", F.pmod(F.col("h"), F.lit(B)))
         return tagged.groupBy("shard").applyInPandas(build, schema="shard int, bm binary")
 
-    def update(self, delta_hashes: DataFrame, n_delta: int, round_id: int) -> None:
-        """OR this round's url_seen delta into the bloom (O(delta) work).
+    def _write_version(self, shards: DataFrame) -> None:
+        self.version += 1
+        # ≤num_shards rows of bitmap bytes — one output file per shard
+        # row keeps the sideload read and the cogroup scan aligned
+        shards.repartition(min(self.num_shards, 32), "shard").write.mode(
+            "overwrite"
+        ).parquet(self._version_dir(self.version))
 
-        ``delta_hashes``: DataFrame with int64 column ``h``. Triggers a
-        capacity rebuild REQUEST instead of updating when the key count
-        outgrows m/16 — caller then invokes :meth:`rebuild`."""
-        if self.bits is None:
+    def update(self, delta_hashes: DataFrame, n_delta: int, round_id: int) -> None:
+        """OR this round's url_seen delta into the stored shard table —
+        one distributed job (delta build → outer-join OR → write), no
+        driver-side bitmap transfer.
+
+        ``delta_hashes``: DataFrame with int64 column ``h``."""
+        if self.version < 0 and self.m_shard_bits == 0:
             self._alloc(max(8 * n_delta, 1 << 16))
-        rows = self._shard_delta_df(delta_hashes).collect()
-        n_bytes = self.m_shard_bits // 8
-        for r in rows:
-            s = r["shard"]
-            self.bits[s * n_bytes : (s + 1) * n_bytes] |= np.frombuffer(
-                r["bm"], dtype=np.uint8
+        delta = self._shard_delta_df(delta_hashes)
+        if self.version >= 0:
+            spark = delta_hashes.sparkSession
+            cur = spark.read.parquet(self._version_dir(self.version)).select(
+                "shard", F.col("bm").alias("bm_old")
             )
+            merged = (
+                delta.select("shard", F.col("bm").alias("bm_new"))
+                .join(cur, "shard", "full_outer")
+                .select("shard", _or_bitmaps("bm_old", "bm_new").alias("bm"))
+            )
+        else:
+            merged = delta
+        self._write_version(merged)
         self.n_keys += n_delta
         self.round_id = round_id
-        self._save()
+        self._commit_meta()
 
     def needs_rebuild(self) -> bool:
         return (
-            self.bits is not None
+            self.version >= 0
             and 16 * self.n_keys > self.num_shards * self.m_shard_bits * 2
         )
 
@@ -180,30 +265,31 @@ class BloomStore:
         persisted bloom). Amortized: capacity doubles each time, so over
         a crawl's lifetime total rebuild work is O(final size)."""
         self._alloc(2 * max(n_keys, 1))
-        self.n_keys = 0
-        rows = self._shard_delta_df(url_seen_hashes).collect()
-        n_bytes = self.m_shard_bits // 8
-        for r in rows:
-            s = r["shard"]
-            self.bits[s * n_bytes : (s + 1) * n_bytes] |= np.frombuffer(
-                r["bm"], dtype=np.uint8
-            )
+        self._write_version(self._shard_delta_df(url_seen_hashes))
         self.n_keys = n_keys
         self.round_id = round_id
-        self._save()
+        self._commit_meta()
 
     # ------------------------------------------------------------ probe
-    def might_contain_udf(self, spark):
-        """Vectorized membership probe over an int64 hash column
-        (broadcast mode — bitmap is a few MB at sandbox scale)."""
-        bc = spark.sparkContext.broadcast(self.bits.tobytes())
+    def might_contain_udf(self, spark=None):
+        """Vectorized membership probe over an int64 hash column.
+
+        Sideload mode: each PYTHON WORKER reads the current version's
+        shard files from shared storage once and caches the assembled
+        bitmap — the driver ships only the path string. Used while the
+        bloom fits executor memory (``total_bytes() <=
+        SIDELOAD_MAX_BYTES``); past that the round loop switches to
+        :meth:`probe_cogrouped`."""
+        path = self.shards_path
+        if path is None:
+            raise ValueError("bloom has no committed version yet")
         mask = self.m_shard_bits - 1
         n_bytes = self.m_shard_bits // 8
         B = self.num_shards
 
         @F.pandas_udf(T.BooleanType())
         def might_contain(h: pd.Series) -> pd.Series:
-            bm = np.frombuffer(bc.value, dtype=np.uint8)
+            bm = _sideload_bits(path, B, n_bytes)
             hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
             base = _shard_of(hv, B).astype(np.uint64) * n_bytes
             out = np.ones(len(hv), dtype=bool)
@@ -215,19 +301,16 @@ class BloomStore:
         return might_contain
 
     def probe_cogrouped(self, candidates: DataFrame, hash_col: str) -> DataFrame:
-        """12-GiB-bloom probe path: co-partition candidates with shard
-        bitmaps on the shard key so each task holds ONE shard's bitmap —
-        nothing driver-resident or broadcast. Returns candidates with a
-        ``__maybe`` boolean appended. Same answers as the broadcast
-        probe (property-tested); used when the bloom outgrows broadcast."""
+        """12-GiB-bloom probe path: co-partition candidates with the
+        STORED shard rows on the shard key so each task holds ONE
+        shard's bitmap — nothing driver-resident or broadcast. Returns
+        candidates with a ``__maybe`` boolean appended. Same answers as
+        the sideload probe (property-tested)."""
         spark = candidates.sparkSession
         mask = self.m_shard_bits - 1
-        n_bytes = self.m_shard_bits // 8
-        shard_rows = [
-            (s, self.bits[s * n_bytes : (s + 1) * n_bytes].tobytes())
-            for s in range(self.num_shards)
-        ]
-        shards_df = spark.createDataFrame(shard_rows, "shard int, bm binary")
+        if self.shards_path is None:
+            raise ValueError("bloom has no committed version yet")
+        shards_df = spark.read.parquet(self.shards_path).select("shard", "bm")
         tagged = candidates.withColumn(
             "__h", F.xxhash64(hash_col)
         ).withColumn("shard", F.pmod(F.col("__h"), F.lit(self.num_shards)))
@@ -315,6 +398,7 @@ def seen_anti_join(
     n_keys: int | None = None,
     scratch: list | None = None,
     probe_udf=None,
+    probe_fn=None,
 ) -> DataFrame:
     """candidates ∖ url_seen on ``keys`` (J3 left_anti), with the bloom
     short-circuit for definitely-new rows.
@@ -322,7 +406,10 @@ def seen_anti_join(
     ``probe_udf``: a prebuilt membership probe (from
     :meth:`BloomStore.might_contain_udf`) — the crawl driver passes its
     incrementally-maintained bloom so no per-round rebuild happens
-    here. Without one, falls back to a one-shot build (standalone use).
+    here. ``probe_fn``: alternative whole-DataFrame tagger
+    (:meth:`BloomStore.probe_cogrouped`-style, df → df + ``__maybe``)
+    for blooms too large to sideload. Without either, falls back to a
+    one-shot build (standalone use).
     """
     seen_keys = url_seen.select(*[F.col(k).alias(f"__s_{k}") for k in keys])
     cond = None
@@ -333,10 +420,15 @@ def seen_anti_join(
     if not use_bloom:
         return candidates.join(seen_keys, cond, "left_anti")
 
-    if probe_udf is None:
-        bloom_bytes, mask = build_bloom(url_seen, hash_key, n_keys=n_keys)
-        probe_udf = bloom_might_contain_udf(candidates.sparkSession, bloom_bytes, mask)
-    tagged = candidates.withColumn("__maybe", probe_udf(F.xxhash64(hash_key)))
+    if probe_fn is not None:
+        tagged = probe_fn(candidates)
+    else:
+        if probe_udf is None:
+            bloom_bytes, mask = build_bloom(url_seen, hash_key, n_keys=n_keys)
+            probe_udf = bloom_might_contain_udf(
+                candidates.sparkSession, bloom_bytes, mask
+            )
+        tagged = candidates.withColumn("__maybe", probe_udf(F.xxhash64(hash_key)))
     tagged = tagged.persist()  # reused for both branches (columnar cache)
     if scratch is not None:
         scratch.append(tagged)

@@ -325,6 +325,71 @@ def _dedup_rules(robots: DataFrame) -> DataFrame:
     )
 
 
+def _new_candidates(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    generation: int = 0,
+    has_forced: bool = True,
+    use_bloom: bool = True,
+    seen_count: int | None = None,
+    scratch: list | None = None,
+    probe_udf=None,
+    probe_fn=None,
+) -> DataFrame:
+    """Drop candidates already processed: the URL-seen anti-join with
+    bloom prefilter (J3/J8; SURVEY §7.0) for unforced rows, the
+    generation gate for force_recrawl rows.
+
+    force_recrawl rows BYPASS the seen-check (reference: force_recrawl
+    skips check_existing_ingest, ingest_file.py:633-635) — but only
+    against results of an EARLIER crawl generation, so a forced request
+    is re-done once per re-ingest cycle, not once per round; its new
+    result row supersedes the old one (ON CONFLICT UPDATE,
+    db.py:474-485 — resolved last-round-wins at url_seen read time).
+    ``has_forced=False`` (driver knows no seed table carries forced
+    rows) skips the whole forced branch INCLUDING the per-round
+    max-generation shuffle over the accumulated seen set.
+
+    Shared by the per-round scheduler and the frontier compactor — one
+    definition means compaction provably removes exactly the rows the
+    next round's filter would have removed anyway (digest neutrality).
+    """
+    from sandcrawler_spark.operators.bloom import seen_anti_join
+
+    unforced = (
+        candidates.filter(~F.col("force_recrawl")) if has_forced else candidates
+    )
+    new_unforced = seen_anti_join(
+        unforced,
+        url_seen,
+        keys=["ingest_type", "canonical_url"],
+        hash_key="canonical_url",
+        use_bloom=use_bloom,
+        n_keys=seen_count,  # from manifest counters: saves a count job
+        scratch=scratch,
+        probe_udf=probe_udf,  # incrementally-maintained sharded bloom
+        probe_fn=probe_fn,  # cogrouped probe once past sideload size
+    )
+    if not has_forced:
+        return new_unforced
+    forced = candidates.filter(F.col("force_recrawl"))
+    seen_gen = url_seen.groupBy(
+        F.col("ingest_type").alias("g_type"),
+        F.col("canonical_url").alias("g_url"),
+    ).agg(F.max("generation").alias("g_gen"))
+    new_forced = (
+        forced.join(
+            seen_gen,
+            (F.col("ingest_type") == F.col("g_type"))
+            & (F.col("canonical_url") == F.col("g_url")),
+            "left",
+        )
+        .filter(F.col("g_gen").isNull() | (F.col("g_gen") < F.lit(generation)))
+        .drop("g_type", "g_url", "g_gen")
+    )
+    return new_unforced.unionByName(new_forced)
+
+
 @dataclass
 class RoundResult:
     fetch_ranked: DataFrame      # selected fetch list with global 'rank'
@@ -347,6 +412,7 @@ def run_round(
     scratch: list | None = None,
     generation: int = 0,
     probe_udf=None,
+    probe_fn=None,
     has_forced: bool = True,
     host_tokens: DataFrame | None = None,
     prepared_rules: DataFrame | None = None,
@@ -356,50 +422,18 @@ def run_round(
     candidates = _dedup_candidates(frontier)
 
     # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
-    # force_recrawl rows BYPASS the seen-check (reference: force_recrawl
-    # skips check_existing_ingest, ingest_file.py:633-635) — but only
-    # against results of an EARLIER crawl generation, so a forced request
-    # is re-done once per re-ingest cycle, not once per round; its new
-    # result row supersedes the old one (ON CONFLICT UPDATE,
-    # db.py:474-485 — resolved last-round-wins at url_seen read time).
-    # ``has_forced=False`` (driver knows no seed table carries forced
-    # rows) skips the whole forced branch INCLUDING the per-round
-    # max-generation shuffle over the accumulated seen set.
     if url_seen is not None:
-        from sandcrawler_spark.operators.bloom import seen_anti_join
-
-        unforced = (
-            candidates.filter(~F.col("force_recrawl")) if has_forced else candidates
-        )
-        new_unforced = seen_anti_join(
-            unforced,
+        candidates = _new_candidates(
+            candidates,
             url_seen,
-            keys=["ingest_type", "canonical_url"],
-            hash_key="canonical_url",
+            generation=generation,
+            has_forced=has_forced,
             use_bloom=use_bloom,
-            n_keys=seen_count,  # from manifest counters: saves a count job
+            seen_count=seen_count,
             scratch=scratch,
-            probe_udf=probe_udf,  # incrementally-maintained sharded bloom
+            probe_udf=probe_udf,
+            probe_fn=probe_fn,
         )
-        if has_forced:
-            forced = candidates.filter(F.col("force_recrawl"))
-            seen_gen = url_seen.groupBy(
-                F.col("ingest_type").alias("g_type"),
-                F.col("canonical_url").alias("g_url"),
-            ).agg(F.max("generation").alias("g_gen"))
-            new_forced = (
-                forced.join(
-                    seen_gen,
-                    (F.col("ingest_type") == F.col("g_type"))
-                    & (F.col("canonical_url") == F.col("g_url")),
-                    "left",
-                )
-                .filter(F.col("g_gen").isNull() | (F.col("g_gen") < F.lit(generation)))
-                .drop("g_type", "g_url", "g_gen")
-            )
-            candidates = new_unforced.unionByName(new_forced)
-        else:
-            candidates = new_unforced
 
     # --- robots / blocklist / budget (F6/J1). Small rules side →
     # broadcast; a rules table past RULES_BROADCAST_MAX (the 10^8-host
@@ -582,6 +616,98 @@ def run_round(
     return RoundResult(fetch_ranked, seen_delta, additions, {})
 
 
+def _assemble_frontier(
+    spark: SparkSession, store: SnapshotStore, upto_round: int
+) -> tuple[DataFrame | None, int]:
+    """Candidate sources for a round: compaction base (if any) ∪ seed
+    tables registered after the compaction ∪ frontier_add deltas since
+    the compaction. Returns (frontier, input_row_count) — the count is
+    derived from manifest counters, no Spark action."""
+    comp = store.compaction
+    comp_round = comp["round"] if comp else -1
+    frontier = None
+    input_rows = 0
+    if comp is not None:
+        frontier = spark.read.parquet(store.aux_path(comp["table"]))
+        input_rows += comp["rows"]
+    for st_name in store.seed_tables:
+        if store.seed_table_round(st_name) <= comp_round:
+            continue  # folded into the compaction base
+        t = spark.read.parquet(store.aux_path(st_name))
+        frontier = t if frontier is None else frontier.unionByName(t)
+        input_rows += store.seed_table_rows(st_name)
+    adds = store.read_table(
+        "frontier_add",
+        upto_round=upto_round,
+        from_round=comp_round + 1 if comp else None,
+    )
+    if adds is not None:
+        frontier = adds if frontier is None else frontier.unionByName(adds)
+        counters = store.counters()
+        input_rows += sum(
+            counters.get(str(r), {}).get("frontier_rows", 0)
+            for r in range(comp_round + 1, upto_round + 1)
+        )
+    return frontier, input_rows
+
+
+def _compact_frontier(
+    spark: SparkSession,
+    store: SnapshotStore,
+    round_id: int,
+    probe_udf,
+    probe_fn,
+    use_bloom: bool,
+    seen_count: int | None,
+) -> None:
+    """Rewrite the accumulated frontier sources as ONE base table of
+    still-active candidates, so the next rounds' candidate scan is
+    O(active frontier) instead of O(cumulative additions) (VERDICT r2
+    item 2; Iceberg analogue: snapshot compaction / rewrite_data_files).
+
+    Digest-neutral by construction: unforced rows removed here are
+    exactly the rows the per-round URL-seen filter (the same
+    ``seen_anti_join``) would remove anyway, ``_dedup_candidates`` is
+    associative over unions, and force_recrawl rows are kept
+    UNCONDITIONALLY — they stay dormant while their generation matches
+    but re-arm when a re-ingest bumps the generation, exactly as under
+    append-only assembly."""
+    from sandcrawler_spark.operators.bloom import seen_anti_join
+
+    frontier, _ = _assemble_frontier(spark, store, upto_round=round_id)
+    if frontier is None:
+        return
+    cand = _dedup_candidates(frontier)
+    url_seen = store.read_table("url_seen", upto_round=round_id)
+    scratch: list[DataFrame] = []
+    has_forced = store.forced_seeds > 0
+    if url_seen is not None:
+        unforced = cand.filter(~F.col("force_recrawl")) if has_forced else cand
+        kept = seen_anti_join(
+            unforced,
+            url_seen,
+            keys=["ingest_type", "canonical_url"],
+            hash_key="canonical_url",
+            use_bloom=use_bloom,
+            n_keys=seen_count,
+            scratch=scratch,
+            probe_udf=probe_udf,
+            probe_fn=probe_fn,
+        )
+        if has_forced:
+            kept = kept.unionByName(cand.filter(F.col("force_recrawl")))
+    else:
+        kept = cand
+    name = f"frontier_base_r{round_id:05d}"
+    obs = Observation()
+    kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        store.aux_path(name)
+    )
+    store.set_compaction(round_id, name, int(obs.get["n"]))
+    for df in scratch:
+        df.unpersist()
+
+
 def run_crawl(
     spark: SparkSession,
     data_dir: str,
@@ -592,6 +718,8 @@ def run_crawl(
     resume: bool = False,
     token_bucket: bool = False,
     rules_broadcast_max: int = RULES_BROADCAST_MAX,
+    compact_factor: float | None = 2.0,
+    compact_min_rows: int = 50_000,
 ) -> SnapshotStore:
     """Multi-round crawl driver with snapshot commit + exact resume.
 
@@ -661,10 +789,14 @@ def run_crawl(
                 seeds_path = store.aux_path("seeds_prepared")
                 obs_seeds = Observation()
                 frontier.observe(
-                    obs_seeds, F.sum(F.col("force_recrawl").cast("int")).alias("nf")
+                    obs_seeds,
+                    F.sum(F.col("force_recrawl").cast("int")).alias("nf"),
+                    F.count(F.lit(1)).alias("n"),
                 ).write.mode("overwrite").parquet(seeds_path)
                 store.note_forced_seeds(int(obs_seeds.get["nf"] or 0))
+                store.note_seed_rows("seeds_prepared", int(obs_seeds.get["n"]))
                 frontier = spark.read.parquet(seeds_path)  # canonicalize ONCE
+                frontier_input_rows = int(obs_seeds.get["n"])
             else:
                 stale = (
                     _c(round_id - 1, "scheduled") == 0
@@ -672,13 +804,9 @@ def run_crawl(
                 )
                 if stale and store.seeds_added_at_round != round_id:
                     break  # no selections, no discoveries, no new seeds → done
-                frontier = None
-                for st_name in store.seed_tables:
-                    t = spark.read.parquet(store.aux_path(st_name))
-                    frontier = t if frontier is None else frontier.unionByName(t)
-                adds = store.read_table("frontier_add", upto_round=round_id - 1)
-                if adds is not None:
-                    frontier = frontier.unionByName(adds)
+                frontier, frontier_input_rows = _assemble_frontier(
+                    spark, store, upto_round=round_id - 1
+                )
             url_seen = store.read_table("url_seen", upto_round=round_id - 1)
             any_forced = any(_c(r, "forced", 0) for r in range(round_id))
             if url_seen is not None and any_forced:
@@ -688,12 +816,18 @@ def run_crawl(
             ) or None
 
             # --- sharded incremental bloom: normally already up to date from
-            # the previous round's delta update (no Spark job here at all);
-            # rebuilt distributively only on resume-without-bloom or
-            # capacity overflow (amortized O(log n) times per crawl)
+            # the previous round's delta update (no Spark job here at all).
+            # A bloom behind the committed rounds (resume after a crash in
+            # the update window) catches up by replaying the missing rounds'
+            # url_seen DELTAS — O(missing deltas), not a full rebuild; the
+            # full distributed rebuild remains only for capacity overflow or
+            # absent/corrupt state (amortized O(log n) times per crawl).
             probe_udf = None
+            probe_fn = None
             if url_seen is not None and use_bloom:
-                if not bloom.ready_for(round_id) or bloom.needs_rebuild():
+                if bloom.needs_rebuild() or (
+                    not bloom.ready_for(round_id) and bloom.version < 0
+                ):
                     t0 = time.perf_counter()
                     bloom.rebuild(
                         url_seen.select(F.col("url_hash").alias("h")),
@@ -701,7 +835,22 @@ def run_crawl(
                         round_id=round_id - 1,
                     )
                     _trace(f"round {round_id} bloom rebuild", t0)
-                probe_udf = bloom.might_contain_udf(spark)
+                elif not bloom.ready_for(round_id):
+                    t0 = time.perf_counter()
+                    for r in range(bloom.round_id + 1, round_id):
+                        delta = store.read_round_table(r, "url_seen")
+                        bloom.update(
+                            delta.select(F.col("url_hash").alias("h")),
+                            n_delta=_c(r, "deduped", 0),
+                            round_id=r,
+                        )
+                    _trace(f"round {round_id} bloom catch-up", t0)
+                from sandcrawler_spark.operators.bloom import SIDELOAD_MAX_BYTES
+
+                if bloom.total_bytes() <= SIDELOAD_MAX_BYTES:
+                    probe_udf = bloom.might_contain_udf(spark)
+                else:
+                    probe_fn = lambda df: bloom.probe_cogrouped(df, "canonical_url")  # noqa: E731
 
             host_tokens = None
             if token_bucket:
@@ -717,7 +866,8 @@ def run_crawl(
                 spark, frontier, url_seen, robots, captures, docs,
                 round_id, default_budget, use_bloom, seen_count=seen_count,
                 scratch=scratch, generation=generation,
-                probe_udf=probe_udf, has_forced=store.forced_seeds > 0,
+                probe_udf=probe_udf, probe_fn=probe_fn,
+                has_forced=store.forced_seeds > 0,
                 host_tokens=host_tokens,
                 prepared_rules=rules_tbl,
                 rules_broadcastable=rules_broadcastable,
@@ -835,11 +985,51 @@ def run_crawl(
             counters["order_digest"] = int(fetch_vals["digest"] or 0)
             counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
             counters["forced"] = int(seen_vals["forced"] or 0)
+            # phase-profile evidence that compaction keeps round input
+            # O(active): derived from manifest counters, no extra action
+            counters["frontier_input_rows"] = frontier_input_rows
             if bloom_future is not None:
                 bloom_future.result()  # re-raises a failed bloom update
                 bloom_pool.shutdown(wait=False)
                 _trace(f"round {round_id} bloom delta update (overlapped)", t_bloom)
             store.commit_round(round_id, counters)
+
+            # --- frontier compaction: when additions since the last base
+            # outgrow it, fold sources into one active-only base table
+            if compact_factor is not None:
+                comp = store.compaction
+                comp_round = comp["round"] if comp else -1
+                adds_since = sum(
+                    _c(r, "frontier_rows", 0)
+                    for r in range(comp_round + 1, round_id + 1)
+                )
+                base_rows = comp["rows"] if comp else store.seed_rows
+                if adds_since >= compact_min_rows and adds_since > compact_factor * max(
+                    base_rows, 1
+                ):
+                    t0 = time.perf_counter()
+                    # fresh probe: the bloom now reflects this round too
+                    c_probe_udf = c_probe_fn = None
+                    if use_bloom and bloom.version >= 0:
+                        from sandcrawler_spark.operators.bloom import (
+                            SIDELOAD_MAX_BYTES,
+                        )
+
+                        if bloom.total_bytes() <= SIDELOAD_MAX_BYTES:
+                            c_probe_udf = bloom.might_contain_udf(spark)
+                        else:
+                            c_probe_fn = lambda df: bloom.probe_cogrouped(  # noqa: E731
+                                df, "canonical_url"
+                            )
+                    _compact_frontier(
+                        spark, store, round_id,
+                        probe_udf=c_probe_udf, probe_fn=c_probe_fn,
+                        use_bloom=use_bloom,
+                        seen_count=sum(
+                            _c(r, "deduped", 0) for r in range(round_id + 1)
+                        ) or None,
+                    )
+                    _trace(f"round {round_id} frontier compaction", t0)
             for df in scratch:  # free this round's caches before the next
                 df.unpersist()
         return store

@@ -74,6 +74,12 @@ class SnapshotStore:
     def seed_tables(self) -> list[str]:
         return list(self._manifest.get("seed_tables", ["seeds_prepared"]))
 
+    def seed_table_round(self, name: str) -> int:
+        """Round at which a seed table was registered (0 for the initial
+        seeds) — compaction folds in only tables registered at or before
+        the compaction round."""
+        return int(self._manifest.get("seed_table_rounds", {}).get(name, 0))
+
     def add_seed_table(self, name: str, at_round: int | None = None) -> None:
         tables = self.seed_tables
         if name not in tables:
@@ -83,6 +89,40 @@ class SnapshotStore:
             # new seeds re-arm the crawl even if the previous round made
             # no progress (exhausted-state re-ingest)
             self._manifest["seeds_added_at_round"] = at_round
+            rounds = dict(self._manifest.get("seed_table_rounds", {}))
+            rounds[name] = at_round
+            self._manifest["seed_table_rounds"] = rounds
+        self.save_manifest()
+
+    def note_seed_rows(self, name: str, n: int) -> None:
+        rows = dict(self._manifest.get("seed_table_rows", {}))
+        rows[name] = int(n)
+        self._manifest["seed_table_rows"] = rows
+        self.save_manifest()
+
+    def seed_table_rows(self, name: str) -> int:
+        return int(self._manifest.get("seed_table_rows", {}).get(name, 0))
+
+    @property
+    def seed_rows(self) -> int:
+        return sum(self._manifest.get("seed_table_rows", {}).values())
+
+    # ------------------------------------------------------- compaction
+    @property
+    def compaction(self) -> dict | None:
+        """Latest frontier compaction: {"round", "table", "rows"} — the
+        base table replaces seeds ∪ frontier_add deltas ≤ round in the
+        per-round candidate assembly, keeping round input O(active
+        frontier) instead of O(cumulative additions)."""
+        c = self._manifest.get("compaction")
+        return dict(c) if c else None
+
+    def set_compaction(self, round_id: int, table: str, rows: int) -> None:
+        self._manifest["compaction"] = {
+            "round": int(round_id),
+            "table": table,
+            "rows": int(rows),
+        }
         self.save_manifest()
 
     @property
@@ -153,13 +193,21 @@ class SnapshotStore:
         self.write_tables(round_id, tables)
         self.commit_round(round_id, counters)
 
-    def read_table(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+    def read_table(
+        self,
+        table: str,
+        upto_round: int | None = None,
+        from_round: int | None = None,
+    ) -> DataFrame | None:
         """Union of a table's committed deltas (Iceberg snapshot-read
-        emulation). Parquet multi-path read keeps partition parallelism."""
+        emulation). Parquet multi-path read keeps partition parallelism.
+        ``from_round`` skips deltas already folded into a compaction
+        base."""
         rounds = [
             r
             for r in self._manifest["rounds"]
-            if upto_round is None or r <= upto_round
+            if (upto_round is None or r <= upto_round)
+            and (from_round is None or r >= from_round)
         ]
         paths = [
             self._round_dir(r, table)

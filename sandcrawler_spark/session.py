@@ -15,6 +15,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tmpfs_local_dir() -> str | None:
+    """tmpfs shuffle dir iff explicitly requested AND safely sized."""
+    if os.environ.get("SPARK_GRAFT_TMPFS", "").lower() not in ("1", "true", "yes"):
+        return None
+    if "SPARK_LOCAL_DIRS" in os.environ or not os.path.isdir("/dev/shm"):
+        return None
+    import shutil
+
+    if shutil.disk_usage("/dev/shm").free < 8 << 30:
+        return None
+    return "/dev/shm/sandcrawler-spark-local"
+
+
 def get_spark(
     app: str = "sandcrawler_spark",
     cores: int | None = None,
@@ -70,12 +83,16 @@ def get_spark(
         # to sort-based; the frontier dedup keys fit comfortably in RAM
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     )
-    # shuffle/spill files on tmpfs when available: this VM's disk is the
-    # scaling bottleneck for concurrent shuffle writers (measured: 16-core
-    # 2-round crawl 27.8s → 23.2s, and N→4N ratio 1.6 → 2.1). On a real
-    # cluster this is the NVMe-local-disk default — not a cheat.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
-        b = b.config("spark.local.dir", "/dev/shm/sandcrawler-spark-local")
+    # shuffle/spill files on tmpfs — OPT-IN (SPARK_GRAFT_TMPFS=1, set by
+    # bench.py/submit_crawl): this VM's disk is the scaling bottleneck for
+    # concurrent shuffle writers (measured: 16-core 2-round crawl 27.8s →
+    # 23.2s, N→4N ratio 1.6 → 2.1). Not the library default because tmpfs
+    # is RAM-capped: a spill larger than free tmpfs would fail where disk
+    # succeeds, so it also requires ≥8 GiB free at session build time. On
+    # a real cluster local NVMe via SPARK_LOCAL_DIRS is the equivalent.
+    tmpfs = _tmpfs_local_dir()
+    if tmpfs:
+        b = b.config("spark.local.dir", tmpfs)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

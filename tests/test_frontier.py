@@ -96,6 +96,32 @@ def test_no_bloom_same_result(spark, fixture_dir, tmp_path):
     assert _spark_seen(with_b) == _spark_seen(no_b)
 
 
+def test_compaction_digest_neutral_and_bounded_input(spark, fixture_dir, tmp_path):
+    """Frontier compaction must not change ANY observable result (fetch
+    orders, URL-seen set) while keeping per-round candidate-scan input
+    O(active frontier) instead of O(cumulative additions)."""
+    rounds = 6
+    plain = run_crawl(
+        spark, fixture_dir, str(tmp_path / "nc"), max_rounds=rounds,
+        compact_factor=None,
+    )
+    compacted = run_crawl(
+        spark, fixture_dir, str(tmp_path / "cc"), max_rounds=rounds,
+        compact_factor=0.0, compact_min_rows=1,  # compact every round
+    )
+    assert compacted.compaction is not None  # it actually ran
+    assert _spark_orders(plain) == _spark_orders(compacted)
+    assert _spark_seen(plain) == _spark_seen(compacted)
+
+    rs = sorted(map(int, plain.counters()))
+    plain_in = [plain.counters()[str(r)]["frontier_input_rows"] for r in rs]
+    comp_in = [compacted.counters()[str(r)]["frontier_input_rows"] for r in rs]
+    # append-only input grows monotonically; compacted input tracks the
+    # shrinking active frontier — strictly smaller once state accumulates
+    assert all(c <= p for c, p in zip(comp_in, plain_in))
+    assert comp_in[-1] < plain_in[-1]
+
+
 def test_politeness_keeps_unselected(spark):
     """Regression: phase-1 salt overflow must remain in the output as
     unselected rows (they are next round's frontier), while selection

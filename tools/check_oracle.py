@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -57,6 +58,7 @@ def main() -> int:
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -65,8 +67,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             continue
+        spark_sec = time.perf_counter() - t0
         if sql is None:
-            print(f"ok?  {name}: rows={len(s_rows)} (rows-only check, no oracle)")
+            print(f"ok?  {name}: rows={len(s_rows)} ({spark_sec:.1f}s, rows-only check, no oracle)")
             continue
         try:
             rel = con.sql(sql)
@@ -92,7 +95,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_rows)} rows, {spark_sec:.1f}s)")
     print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
     return 1 if failures else 0
 
