@@ -374,12 +374,19 @@ def build_bloom(seen: DataFrame, key_col: str, n_keys: int | None = None) -> tup
 
 
 def bloom_might_contain_udf(spark, bloom_bytes: bytes, mask: int):
-    """Vectorized membership probe over an int64 hash column."""
-    bc = spark.sparkContext.broadcast(bloom_bytes)
+    """Vectorized membership probe over an int64 hash column.
+
+    The bitmap ships inside the UDF closure, NOT as an explicit
+    SparkContext broadcast: an unmanaged broadcast per call leaks one
+    bitmap per round on driver and executors (ADVICE r2). One-shot
+    blooms here are small by construction (the round loop's large,
+    incremental bloom lives in :class:`BloomStore`, which sideloads
+    from shared storage), so closure shipping costs one serialization
+    per stage and nothing persists after the job."""
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(h: pd.Series) -> pd.Series:
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        bm = np.frombuffer(bloom_bytes, dtype=np.uint8)
         hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
         out = np.ones(len(hv), dtype=bool)
         for pos in _probe_positions(hv, mask):

@@ -232,52 +232,204 @@ def ivf_search(
         .select("q_id", "vec_id", "sim")
     )
 
+def cell_means(assigned: DataFrame, cell_col: str = "centroid_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Per-cell vector mean, array-native: ONE embedding column end to
+    end, never ``dim`` separate ``avg(embedding[i])`` aggregates.
+
+    Two stages, mirroring Spark's own partial/final agg split:
+    (1) ``mapInPandas`` folds each Arrow batch into per-cell partial
+    (sum-vector, count) rows with a single numpy scatter-add — the
+    explicit map-side combine, so the shuffle carries at most
+    partitions×cells rows, not the corpus; (2) a ``groupBy(cell)``
+    ``applyInPandas`` adds the partials. Output: (cell, mean, n).
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cid = pdf[cell_col].to_numpy()
+            uniq, inv = np.unique(cid, return_inverse=True)
+            sums = np.zeros((len(uniq), M.shape[1]))
+            np.add.at(sums, inv, M)
+            yield pd.DataFrame(
+                {"cell": uniq, "psum": list(sums), "pn": np.bincount(inv)}
+            )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack([np.asarray(v) for v in pdf["psum"]]).sum(axis=0)
+        n = int(pdf["pn"].sum())
+        return pd.DataFrame(
+            {"cell": pdf["cell"].iloc[:1], "mean": [S / n], "n": [n]}
+        )
+
+    part = assigned.select(F.col(cell_col), F.col(vec_col)).mapInPandas(
+        partials, schema="cell long, psum array<double>, pn long"
+    )
+    return part.groupBy("cell").applyInPandas(
+        combine, schema="cell long, mean array<double>, n long"
+    )
+
+
+def _hash_frac(col, salt: int):
+    """Deterministic pseudo-uniform in [0,1) from an id column — the
+    sampling coin for k-means|| (Date/random are banned in this repo's
+    deterministic plans)."""
+    return (F.abs(F.xxhash64(col, F.lit(salt))) / F.lit(float(1 << 63)))
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """k-means|| seeding (Bahmani et al., VLDB'12) under cosine,
+    deterministic: start from the min-id vector; each round samples
+    points with probability l·cost(x)/Σcost (l = 2k, coin =
+    hash(id, round)); the oversampled candidate set is weighted by a
+    distributed nearest-candidate count and reduced to k driver-side
+    with greedy farthest-point selection (the deterministic stand-in
+    for weighted k-means++). Only O(k·rounds) vectors ever reach the
+    driver."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    first = c.orderBy("vec_id").limit(1).collect()[0]
+    cands = [(int(first["vec_id"]), [float(x) for x in first["v"]])]
+    ell = 2.0 * k
+
+    def costs(cvecs: list) -> DataFrame:
+        # numpy matmul per Arrow batch against the (small) candidate
+        # matrix — closure-shipped, no dim-sized literal trees in the plan
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cvecs])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                )
+                best = np.round((Mn @ Cn.T).max(axis=1), 6)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "v": pdf["v"],
+                     "cost": 1.0 - best}
+                )
+
+        return c.mapInPandas(
+            score, schema="vec_id long, v array<double>, cost double"
+        )
+
+    for r in range(rounds):
+        with_cost = costs(cands)
+        total = with_cost.agg(F.sum("cost")).collect()[0][0] or 0.0
+        if total <= 0:
+            break
+        picked = (
+            with_cost.filter(
+                _hash_frac(F.col("vec_id"), r) < F.col("cost") * ell / total
+            )
+            .select("vec_id", "v")
+            .collect()
+        )
+        seen = {i for i, _ in cands}
+        for row in picked:
+            if row["vec_id"] not in seen:
+                cands.append((int(row["vec_id"]), [float(x) for x in row["v"]]))
+                seen.add(row["vec_id"])
+
+    if len(cands) <= k:
+        # not enough candidates — pad with smallest ids (deterministic)
+        pad = c.orderBy("vec_id").limit(k + len(cands)).collect()
+        seen = {i for i, _ in cands}
+        for row in pad:
+            if len(cands) >= k:
+                break
+            if row["vec_id"] not in seen:
+                cands.append((int(row["vec_id"]), [float(x) for x in row["v"]]))
+        return [v for _, v in cands[:k]]
+
+    # weight candidates by nearest-candidate population (distributed)
+    spark = corpus.sparkSession
+    cand_df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(cands)],
+        "vec_id long, embedding array<double>",
+    )
+    w = {
+        r["centroid_id"]: r["count"]
+        for r in ivf_assign(c.withColumnRenamed("v", "embedding"), cand_df)
+        .groupBy("centroid_id").count().collect()
+    }
+    vecs = [np.asarray(v, dtype=np.float64) for _, v in cands]
+    weights = np.array([w.get(i, 0) for i in range(len(vecs))], dtype=np.float64)
+    # greedy weighted farthest-point: start at the heaviest candidate
+    chosen = [int(np.argmax(weights))]
+    V = np.stack(vecs)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    while len(chosen) < k:
+        sims = Vn @ Vn[chosen].T            # candidates × chosen
+        cost = (1.0 - sims.max(axis=1)) * weights
+        cost[chosen] = -1.0
+        chosen.append(int(np.argmax(cost)))
+    return [vecs[i].tolist() for i in chosen]
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "smallest_ids",
 ) -> DataFrame:
     """IVF centroid training: Lloyd's iterations under the cosine
     metric (assignment via the same :func:`ivf_assign` used at search
     time, so train and serve agree on ties).
 
     Scale shape: the corpus-side work per iteration is ONE broadcast
-    crossJoin (k centroids, always tiny) + ONE groupBy(cell) with
-    map-side partial aggregation of per-dimension sums — the classic
-    distributed k-means plan. Only the k×dim centroid table ever
+    crossJoin (k centroids, always tiny) + :func:`cell_means` — a
+    single array-column partial/final mean (numpy scatter-add per Arrow
+    batch, then a k-row combine), so a dim-768 corpus plans ONE
+    embedding aggregate, not 768. Only the k×dim centroid table ever
     reaches the driver (collected each iteration to cut the lineage,
-    exactly like MLlib's implementation). Init is the k smallest ids —
-    deterministic; for production quality swap in a k-means|| seeding
-    pass, which changes only this function's first step. Cell means are
-    deterministic up to float aggregation order (cosine assignment is
+    exactly like MLlib's implementation). Cell means are deterministic
+    up to float aggregation order (cosine assignment is
     scale-invariant, so means need no re-normalization).
+
+    ``init``: "smallest_ids" (deterministic, test-friendly) or
+    "kmeans||" (:func:`kmeans_parallel_init` — hash-deterministic
+    Bahmani seeding, the production-quality choice).
 
     Empty cells keep their previous centroid (no NaN centroids, stable
     k). Returns a DataFrame (id_col, vec_col) shaped like the
     ``centroids`` input of :func:`ivf_assign` / :func:`ivf_search`.
     """
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
 
-    init = c.orderBy("vec_id").limit(k).collect()
-    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)]
+    if init == "kmeans||":
+        seed_vecs = kmeans_parallel_init(corpus, k, id_col=id_col, vec_col=vec_col)
+        cents = list(enumerate(seed_vecs))
+    else:
+        rows = c.orderBy("vec_id").limit(k).collect()
+        cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
     for _ in range(iters):
         cen_df = spark.createDataFrame(
-            cents, f"vec_id long, embedding array<double>"
+            cents, "vec_id long, embedding array<double>"
         )
         assign = ivf_assign(c.withColumnRenamed("v", "embedding"), cen_df)
-        means = (
-            c.withColumnRenamed("v", "embedding")
-            .join(assign, "vec_id")
-            .groupBy("centroid_id")
-            .agg(*[F.avg(F.col("embedding")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
-        new = {r["centroid_id"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        means = cell_means(
+            c.withColumnRenamed("v", "embedding").join(assign, "vec_id"),
+            cell_col="centroid_id", vec_col="embedding",
+        ).collect()
+        new = {r["cell"]: [float(x) for x in r["mean"]] for r in means}
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
 
     return spark.createDataFrame(

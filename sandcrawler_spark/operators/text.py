@@ -32,7 +32,14 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 def author_tokenize(s: str, remove_whitespace: bool = False) -> str:
     """Lowercase, keep alnum+space, ASCII-fold by dropping non-ASCII
-    (filter_scored_matches.py:24-35)."""
+    (filter_scored_matches.py:24-35).
+
+    Deliberate divergence (ADVICE r2): the reference computes
+    ``s.replace('&apos;', "'")`` but DISCARDS the result (a no-op bug),
+    so ``O&apos;Brien`` tokenizes there as ``oaposbrien``. We apply the
+    replacement — names containing the XML entity tokenize to the
+    intended ``obrien`` here. This only widens matches for entity-
+    escaped names; the golden vectors in tests cover both forms."""
     s = s.replace("&apos;", "'")
     s = "".join(c for c in s.lower() if c.isalnum() or c.isspace())
     if remove_whitespace:

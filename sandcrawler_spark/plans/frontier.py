@@ -753,8 +753,10 @@ def run_crawl(
         # Rules are static across rounds: dedup ONCE, cache, and decide
         # the join strategy from the actual cardinality (the one count
         # action here replaces a per-round dedup recompute).
+        t_rules = time.perf_counter()
         rules_tbl = _dedup_rules(robots).persist()
         rules_broadcastable = rules_tbl.count() <= rules_broadcast_max
+        _trace("rules prep (dedup+count)", t_rules)
         # pre-partition the per-round join sides ON their join keys and keep
         # them cached: every round's best-capture/outlink join then reuses the
         # exchange instead of re-shuffling the big side (bucketed-table shape)
@@ -784,6 +786,7 @@ def run_crawl(
             # all additions discovered in rounds < r; processed keys fall out
             # through the url_seen anti-join (no full-frontier rewrite per
             # round — the Iceberg-native layout).
+            t_prep = time.perf_counter()
             if round_id == 0:
                 frontier = prepare_seeds(spark.read.parquet(f"{data_dir}/seeds.parquet"))
                 seeds_path = store.aux_path("seeds_prepared")
@@ -797,6 +800,7 @@ def run_crawl(
                 store.note_seed_rows("seeds_prepared", int(obs_seeds.get["n"]))
                 frontier = spark.read.parquet(seeds_path)  # canonicalize ONCE
                 frontier_input_rows = int(obs_seeds.get["n"])
+                _trace(f"round {round_id} seeds prepare+write", t_prep)
             else:
                 stale = (
                     _c(round_id - 1, "scheduled") == 0
@@ -807,6 +811,7 @@ def run_crawl(
                 frontier, frontier_input_rows = _assemble_frontier(
                     spark, store, upto_round=round_id - 1
                 )
+                _trace(f"round {round_id} assemble frontier", t_prep)
             url_seen = store.read_table("url_seen", upto_round=round_id - 1)
             any_forced = any(_c(r, "forced", 0) for r in range(round_id))
             if url_seen is not None and any_forced:

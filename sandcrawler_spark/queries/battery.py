@@ -612,10 +612,59 @@ def c14_fs_sanitize(spark, sf_dir):
     )
 
 
+def c11_urljoin(spark, sf_dir):
+    """C11: urljoin resolution (reference ia.py:894 — redirect Location
+    — and html_metadata.py:1062-1064 — resource hrefs — both resolved
+    unconditionally against the fetch URL). Six ref shapes per doc:
+    sibling-relative, root-relative, dot-segment, absolute, a relative
+    ref with an embedded ``://`` in its query (must still be joined,
+    ADVICE r2), and protocol-relative. The oracle states the resolved
+    canonical URL per template independently."""
+    from sandcrawler_spark.functions.urlkeys import resolve_url_udf
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/a/b/page"),
+    )
+    tmpl = (F.col("doc_id") % 6).cast("int")
+    ref = (
+        F.when(tmpl == 0, F.concat(F.lit("img/x"), sid, F.lit(".png")))
+        .when(tmpl == 1, F.concat(F.lit("/root/y"), sid))
+        .when(tmpl == 2, F.concat(F.lit("../up"), sid))
+        .when(tmpl == 3, F.concat(F.lit("http://other.org/abs"), sid))
+        .when(tmpl == 4, F.concat(F.lit("page?next=http://x"), sid))
+        .otherwise(F.concat(F.lit("//cdn.example.net/z"), sid))
+    )
+    return d.select(
+        "doc_id",
+        tmpl.alias("tmpl"),
+        resolve_url_udf(base, ref).alias("resolved"),
+    )
+
+
 # ============================================== ORACLE SQL (DuckDB) strings
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": _FLAGSHIP_SQL,
+    "c11_urljoin": """
+        SELECT doc_id,
+               CAST(doc_id % 6 AS INT) AS tmpl,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/a/b/img/x' || CAST(doc_id AS VARCHAR) || '.png'
+                 WHEN 1 THEN 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/root/y' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/a/up' || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN 'http://other.org/abs' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/a/b/page?next=http://x' || CAST(doc_id AS VARCHAR)
+                 ELSE 'http://cdn.example.net/z' || CAST(doc_id AS VARCHAR)
+               END AS resolved
+        FROM documents
+    """,
     "f5_suffix_filter": """
         WITH cdx AS (
             SELECT 'org,example)/' || source || '/file' || CAST(doc_id AS VARCHAR)
@@ -898,4 +947,5 @@ QUERIES = {
     "s2_json_scan": s2_json_scan,
     "st_tumbling_window": st_tumbling_window,
     "st_session_window": st_session_window,
+    "c11_urljoin": c11_urljoin,
 }

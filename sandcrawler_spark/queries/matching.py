@@ -102,6 +102,37 @@ def load_bibjson(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(_BIBJSON_SCHEMA).json(path)
 
 
+def _prep_side(df: DataFrame, tag: str, deny: frozenset[str]) -> DataFrame:
+    """(title, doi, sha[, authors]) -> (slug, ctitle<tag>, doi<tag>,
+    sha<tag>[, authors<tag>]) — the per-side half of the benchmark."""
+    slug_udf = _slug_udf(deny)
+    cols = [
+        slug_udf("title").alias("slug"),
+        _clean_udf("title").alias(f"ctitle{tag}"),
+        F.col("doi").alias(f"doi{tag}"),
+        F.col("sha").alias(f"sha{tag}"),
+    ]
+    if "authors" in df.columns:
+        cols.append(F.col("authors").alias(f"authors{tag}"))
+    return (
+        df.filter(F.col("title").isNotNull())
+        .select(*cols)
+        .filter(F.col("slug").isNotNull())
+    )
+
+
+def _score_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    longer = F.greatest(F.length("ctitle1"), F.length("ctitle2"))
+    score = F.when(longer == 0, F.lit(1000)).otherwise(
+        (
+            (longer - F.levenshtein("ctitle1", "ctitle2"))
+            / longer.cast("double")
+            * 1000
+        ).cast("int")
+    )
+    return left.join(right, "slug").withColumn("score", score)
+
+
 def match_benchmark(
     spark: SparkSession,
     left_path: str,
@@ -114,35 +145,56 @@ def match_benchmark(
     the JVM (builtin ``levenshtein``), only the unicode cleanup is a
     pandas UDF."""
     deny = denylist if denylist is not None else SLUG_DENYLIST
-    slug_udf = _slug_udf(deny)
+    left = _prep_side(load_bibjson(spark, left_path).drop("authors"), "1", deny)
+    right = _prep_side(load_bibjson(spark, right_path).drop("authors"), "2", deny)
+    return _score_pairs(left, right).select(
+        "slug", "score", "doi1", "sha1", "doi2", "sha2"
+    )
 
-    def side(path: str, tag: str) -> DataFrame:
-        df = load_bibjson(spark, path)
-        return (
-            df.filter(F.col("title").isNotNull())
-            .select(
-                slug_udf("title").alias("slug"),
-                _clean_udf("title").alias(f"ctitle{tag}"),
-                F.col("doi").alias(f"doi{tag}"),
-                F.col("sha").alias(f"sha{tag}"),
+
+def match_benchmark_html(
+    spark: SparkSession,
+    html_df: DataFrame,
+    right_path: str,
+    denylist: frozenset[str] | None = None,
+    check_author_overlap: bool = False,
+) -> DataFrame:
+    """The HTML-input benchmark variant: the left side is raw HTML
+    pages — ``(doc_id, url, html)`` — run through the biblio extractor
+    (operators.biblio ⇔ html_metadata.py:886-955), so the chain the
+    reference runs as separate stages (HTML → biblio → slug join →
+    author check, C9/J5/W4) executes end-to-end in one plan.
+
+    ``check_author_overlap=True`` appends the C9 filter: the extracted
+    page authors must pass ``check_authors`` against the right-side
+    bibjson authors (filter_scored_matches.py:38-58 semantics)."""
+    from sandcrawler_spark.operators.biblio import html_to_biblio
+    from sandcrawler_spark.operators.text import check_authors
+
+    deny = denylist if denylist is not None else SLUG_DENYLIST
+    bib = html_to_biblio(html_df, "doc_id", "html", "url").select(
+        F.col("biblio.title").alias("title"),
+        F.col("biblio.doi").alias("doi"),
+        F.col("doc_id").cast("string").alias("sha"),
+        F.col("biblio.contrib_names").alias("authors"),
+    )
+    left = _prep_side(bib, "1", deny)
+    right = _prep_side(load_bibjson(spark, right_path), "2", deny)
+    pairs = _score_pairs(left, right)
+
+    if check_author_overlap:
+        @F.pandas_udf(T.BooleanType())
+        def authors_ok(l: pd.Series, r: pd.Series) -> pd.Series:
+            def aslist(v):  # arrow hands arrays back as numpy, not list
+                return list(v) if v is not None else []
+
+            return pd.Series(
+                [check_authors(aslist(a), aslist(b)) for a, b in zip(l, r)]
             )
-            .filter(F.col("slug").isNotNull())
-        )
 
-    left, right = side(left_path, "1"), side(right_path, "2")
-    longer = F.greatest(F.length("ctitle1"), F.length("ctitle2"))
-    score = F.when(longer == 0, F.lit(1000)).otherwise(
-        (
-            (longer - F.levenshtein("ctitle1", "ctitle2"))
-            / longer.cast("double")
-            * 1000
-        ).cast("int")
-    )
-    return (
-        left.join(right, "slug")
-        .withColumn("score", score)
-        .select("slug", "score", "doi1", "sha1", "doi2", "sha2")
-    )
+        pairs = pairs.filter(authors_ok("authors2", "authors1"))
+
+    return pairs.select("slug", "score", "doi1", "sha1", "doi2", "sha2")
 
 
 def match_stats(pairs: DataFrame, n_common_sha: int) -> dict:

@@ -241,7 +241,96 @@ def sp_html_spans(spark, sf_dir):
     )
 
 
+def sp_html_biblio(spark, sf_dir):
+    """§2.10 HTML biblio-metadata extraction end-to-end
+    (html_metadata.py:886-955 semantics via operators.biblio): render a
+    publisher-style <head> per document — citation_* metas with a
+    ``doi:``-prefixed DOI (strip path), a dc.identifier-only DOI
+    (raw-identifier promotion path), three date formats (all resolve to
+    the same day), a relative citation_pdf_url (urljoin path), and the
+    Research Article release-type mapping — then extract and flatten.
+    The oracle states every expected field independently."""
+    from sandcrawler_spark.operators.biblio import html_to_biblio
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://pub"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.org/article/view/"), sid,
+    )
+    doi_meta = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta name="citation_doi" content="doi:10.9999/'),
+                     sid, F.lit('">')),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('<meta name="citation_doi" content="10.9999/'),
+                     sid, F.lit('">')),
+        )
+        .otherwise(
+            F.concat(F.lit('<meta name="DC.Identifier" content="doi:10.8888/'),
+                     sid, F.lit('">'))
+        )
+    )
+    date_meta = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("2019-04-22"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Apr 22, 2019"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("2019/04/22"))
+        .otherwise(F.lit("20190422"))
+    )
+    authors = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta name="citation_author" content="Alice Q. Smith-'),
+            sid, F.lit('">'),
+            F.lit('<meta name="citation_author" content="Bob Jones-'),
+            sid, F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name="citation_author" content="Alice Q. Smith-'),
+            sid, F.lit('">'),
+        )
+    )
+    reltype = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<meta name="dc.type" content="Research Article">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<meta name="citation_title" content="Study '), sid,
+        F.lit(' of scholarly ingest">'),
+        doi_meta, authors,
+        F.lit('<meta name="citation_publication_date" content="'),
+        date_meta, F.lit('">'),
+        F.lit('<meta name="citation_journal_title" content="Journal '),
+        (F.col("doc_id") % 7).cast("string"), F.lit('">'),
+        F.lit('<meta name="citation_pdf_url" content="files/'), sid,
+        F.lit('.pdf">'),
+        F.lit('<meta name="DC.Language" content="'), F.col("lang"),
+        F.lit('">'),
+        reltype,
+        F.lit("</head><body>ok</body></html>"),
+    )
+    src = d.select("doc_id", url.alias("url"), html.alias("html"))
+    out = html_to_biblio(src, "doc_id", "html", "url")
+    return out.select(
+        "doc_id",
+        F.col("biblio.title").alias("title"),
+        F.col("biblio.doi").alias("doi"),
+        F.size("biblio.contrib_names").alias("n_authors"),
+        F.col("biblio.release_date").cast("string").alias("release_date"),
+        F.col("biblio.pdf_fulltext_url").alias("pdf_url"),
+        F.col("biblio.container_name").alias("container_name"),
+        F.col("biblio.release_type").alias("release_type"),
+        F.col("biblio.lang").alias("lang_meta"),
+    )
+
+
 QUERIES2 = {
+    "sp_html_biblio": sp_html_biblio,
     "sp_html_spans": sp_html_spans,
     "dd_exact_dedup": dd_exact_dedup,
     "dd_jaccard_pairs": dd_jaccard_pairs,
@@ -272,6 +361,23 @@ _JACCARD_TAIL = """
 """
 
 ORACLES2 = {
+    "sp_html_biblio": """
+        SELECT doc_id,
+               'Study ' || CAST(doc_id AS VARCHAR) || ' of scholarly ingest' AS title,
+               CASE WHEN doc_id % 3 = 2
+                    THEN '10.8888/' || CAST(doc_id AS VARCHAR)
+                    ELSE '10.9999/' || CAST(doc_id AS VARCHAR) END AS doi,
+               CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_authors,
+               '2019-04-22' AS release_date,
+               'https://pub' || CAST(doc_id % 10 AS VARCHAR)
+                   || '.example.org/article/view/files/'
+                   || CAST(doc_id AS VARCHAR) || '.pdf' AS pdf_url,
+               'Journal ' || CAST(doc_id % 7 AS VARCHAR) AS container_name,
+               CASE WHEN doc_id % 5 = 0 THEN 'article-journal' END AS release_type,
+               lang AS lang_meta
+        FROM documents
+        WHERE doc_id < 400
+    """,
     "sp_html_spans": """
         WITH d AS (
             SELECT doc_id,

@@ -77,3 +77,73 @@ def test_scorable_slug_semantics():
     assert scorable_slug("ABSTRACT") is None  # denylist (case-folded)
     assert scorable_slug(None) is None
     assert scorable_slug("Łukasz Øre, probably fine") == "lukaszoreprobablyfine"
+
+
+@needs_ref
+def test_match_benchmark_html_variant(spark, tmp_path):
+    """HTML-input variant parity: rendering the crossref side into
+    publisher-style pages (citation_* metas) and extracting biblio with
+    operators.biblio yields the SAME slug-join pairs as the bibjson
+    input — the extractor is lossless for the benchmark fields."""
+    import html as html_mod
+
+    from sandcrawler_spark.queries.matching import (
+        match_benchmark,
+        match_benchmark_html,
+    )
+
+    deny = frozenset()
+    if os.path.exists(DENY):
+        with open(DENY) as f:
+            deny = frozenset(line.strip() for line in f if line.strip())
+
+    # subset for speed: every 4th line (241 docs, incl. awkward titles)
+    recs = []
+    with open(LEFT) as f:
+        for i, line in enumerate(f):
+            if line.strip() and i % 4 == 0:
+                recs.append(json.loads(line))
+
+    sub = tmp_path / "left_sub.bibjson"
+    with open(sub, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    def render(r):
+        esc = lambda s: html_mod.escape(s or "", quote=True)
+        metas = [f'<meta name="citation_title" content="{esc(r.get("title"))}">']
+        if r.get("doi"):
+            metas.append(
+                f'<meta name="citation_doi" content="{esc(r["doi"])}">'
+            )
+        for a in r.get("authors") or []:
+            metas.append(f'<meta name="citation_author" content="{esc(a)}">')
+        return "<html><head>" + "".join(metas) + "</head><body>x</body></html>"
+
+    html_rows = [
+        (r["sha"], f"https://pub.example.org/{r['sha']}", render(r))
+        for r in recs
+    ]
+    html_df = spark.createDataFrame(
+        html_rows, "doc_id string, url string, html string"
+    )
+
+    via_html = {
+        (p["slug"], p["score"], p["doi1"], p["sha1"], p["doi2"], p["sha2"])
+        for p in match_benchmark_html(spark, html_df, RIGHT, denylist=deny).collect()
+    }
+    via_bibjson = {
+        (p["slug"], p["score"], p["doi1"], p["sha1"], p["doi2"], p["sha2"])
+        for p in match_benchmark(spark, str(sub), RIGHT, denylist=deny).collect()
+    }
+    assert via_html == via_bibjson
+    assert len(via_html) > 100  # the subset still matches plenty
+
+    # C9 chained on the end: crossref-vs-grobid same-document pairs have
+    # overlapping authors, so the author check keeps the true matches
+    checked = match_benchmark_html(
+        spark, html_df, RIGHT, denylist=deny, check_author_overlap=True
+    ).collect()
+    kept = {(p["sha1"], p["sha2"]) for p in checked}
+    assert kept  # survivors exist
+    assert kept <= {(p[3], p[5]) for p in via_html}  # strict subset filter

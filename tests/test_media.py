@@ -202,3 +202,54 @@ def test_hot_bucket_cap_bounds_boilerplate(spark):
                                          max_bucket=5).collect()}
     assert (100, 101) in capped            # small buckets untouched
     assert not any(a < 100 for a, b in capped)  # hot cluster dropped
+
+
+def test_cell_means_array_native(spark):
+    """cell_means plans ONE embedding aggregate (no per-dimension
+    avg(embedding[i]) fan) and computes exact per-cell means at a
+    real embedding dimensionality (256)."""
+    from sandcrawler_spark.operators.similarity import cell_means
+
+    dim, n = 256, 60
+    rows = [(i % 3, [float(i % 3) + 0.001 * d for d in range(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "centroid_id long, embedding array<double>")
+
+    out = cell_means(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embedding[" not in plan  # the r2 per-dim agg fan is gone
+    got = {r["cell"]: (r["mean"], r["n"]) for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    for cell, (mean, cnt) in got.items():
+        assert cnt == n // 3
+        expect = [float(cell) + 0.001 * d for d in range(dim)]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(mean, expect))
+
+
+def test_train_ivf_dim256_and_kmeans_par(spark):
+    """Training at dim 256 with k-means|| seeding recovers the three
+    orthogonal clusters — and never builds a per-dimension agg plan."""
+    from sandcrawler_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    dim = 256
+    rows = []
+    for i in range(45):
+        cl = i % 3
+        v = [0.01 * ((i * 13 + d) % 7) for d in range(dim)]
+        v[cl * 80] += 5.0  # one dominant axis per cluster
+        rows.append((i, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for init in ("smallest_ids", "kmeans||"):
+        cents = train_ivf_centroids(corpus, k=3, iters=2, init=init)
+        got = {r["vec_id"]: r["embedding"] for r in cents.collect()}
+        assert len(got) == 3
+        axes = sorted(max(range(dim), key=lambda d: c[d]) for c in got.values())
+        assert axes == [0, 80, 160], init
+        assign = {r["vec_id"]: r["centroid_id"]
+                  for r in ivf_assign(corpus, cents).collect()}
+        for i in range(45):
+            assert assign[i] == assign[i % 3], init
