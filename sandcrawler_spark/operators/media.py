@@ -245,3 +245,125 @@ def extract_features(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
     return src.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+PDF_EXTRACT_SCHEMA = (
+    "doc_id string, sha1hex string, status string, error_msg string, "
+    "size_bytes long, md5hex string, sha256hex string, mimetype string, "
+    "text string, page_count int, has_page0_thumbnail boolean, "
+    "page0_thumbnail binary"
+)
+
+PDF_TEXT_MAX_CHARS = 1_000_000  # Kafka message cap (pdfextract.py:389-394)
+
+
+def process_pdf_bytes(blob: bytes, fake: bool = False) -> dict:
+    """``process_pdf`` scalar kernel (reference pdfextract.py:296-444):
+    file_meta (hashes + sniffed mime) → status ladder (``not-pdf`` on a
+    non-PDF sniff :308-314, ``empty-pdf`` :327-333, ``text-too-large``
+    past the 1 MB Kafka cap :389-394, else ``success``) → interleaved
+    outputs: full text plus a binary page-0 thumbnail (:357-372),
+    everything keyed by sha1hex.
+
+    The poppler/cairo codec layer is STUBBED like every media kernel
+    here (raises unless ``fake=True``): fake text is the byte payload
+    after the ``%PDF-x.y`` header line decoded as UTF-8 (deterministic,
+    oracle-reconstructable), fake page_count is hash-derived, and the
+    thumbnail reuses :func:`resize_image`'s deterministic payload. The
+    distributed plumbing — mime gate, hashing, size caps, the 1-row →
+    text+thumbnail interleave, sha1 keying — is real and tested."""
+    from sandcrawler_spark.functions.hashes import sniff_mimetype
+
+    meta = {
+        "sha1hex": hashlib.sha1(blob).hexdigest(),
+        "md5hex": hashlib.md5(blob).hexdigest(),
+        "sha256hex": hashlib.sha256(blob).hexdigest(),
+        "size_bytes": len(blob),
+        "mimetype": sniff_mimetype(blob) or "application/octet-stream",
+        "error_msg": None,
+        "text": None,
+        "page_count": None,
+        "has_page0_thumbnail": False,
+        "page0_thumbnail": None,
+    }
+    if meta["mimetype"] != "application/pdf":
+        meta["status"] = "not-pdf"
+        meta["error_msg"] = f"mimetype is '{meta['mimetype']}'"
+        return meta
+    if not fake:
+        raise NotImplementedError("pdf codecs not available in this environment")
+    header, _, payload = blob.partition(b"\n")
+    if not payload.strip():
+        meta["status"] = "empty-pdf"
+        return meta
+    text = payload.decode("utf-8", errors="replace")
+    if len(text) > PDF_TEXT_MAX_CHARS:
+        meta["status"] = "text-too-large"
+        meta["error_msg"] = f"full_text chars: {len(text)}"
+        return meta
+    tw, th, thumb = resize_image(blob, max_dim=180, fake=True)
+    meta.update(
+        status="success",
+        text=text,
+        page_count=1 + hashlib.md5(blob).digest()[0] % 12,
+        has_page0_thumbnail=True,
+        page0_thumbnail=thumb,
+    )
+    return meta
+
+
+def process_pdfs(
+    df: DataFrame, id_col: str, binary_col: str, fake_decode: bool = True
+) -> DataFrame:
+    """PDF text+thumbnail extraction as a distributed operator: one
+    Arrow-batched ``mapInPandas`` pass; each input row yields one result
+    row carrying BOTH modalities (the reference worker publishes them to
+    two sha1-keyed Kafka topics from the same process loop,
+    pdf_extract worker / kafka/topics.md pdf-text + pdf-thumbnail-SIZE).
+    Split the modalities downstream with :func:`pdf_result_sinks`."""
+    src = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(binary_col).alias("blob"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["blob"]):
+                r = process_pdf_bytes(bytes(b), fake=fake_decode)
+                r["doc_id"] = did
+                rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sha1hex", "status", "error_msg", "size_bytes",
+                    "md5hex", "sha256hex", "mimetype", "text", "page_count",
+                    "has_page0_thumbnail", "page0_thumbnail",
+                ],
+            )
+
+    return src.mapInPandas(extract, schema=PDF_EXTRACT_SCHEMA)
+
+
+def pdf_result_sinks(results: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split one extraction pass into its two sha1-keyed sink feeds,
+    mirroring the reference's pdf-text and pdf-thumbnail topics
+    (kafka/topics.md:61-65; both compacted, key = sha1hex):
+
+    - pdftext: (key, json value) — the ``to_pdftext_dict`` shape
+      (pdfextract.py:188-203) minus the thumbnail bytes;
+    - thumbs:  (key, thumbnail bytes), only rows that produced one."""
+    pdftext = results.select(
+        F.col("sha1hex").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("sha1hex").alias("key"), "sha1hex", "status",
+                "error_msg", "text", "has_page0_thumbnail", "page_count",
+                "size_bytes", "mimetype",
+            )
+        ).alias("value"),
+    )
+    thumbs = results.filter("has_page0_thumbnail").select(
+        F.col("sha1hex").alias("key"), F.col("page0_thumbnail").alias("value")
+    )
+    return pdftext, thumbs

@@ -32,6 +32,10 @@ INGEST_TYPES = np.array(["pdf", "pdf", "pdf", "html", "xml"])  # pdf-heavy like 
 LINK_SOURCES = np.array(["doi", "unpaywall", "pmc", "arxiv", "mag"])
 _SPAN_KINDS = np.array(["text", "link", "image", "script", "stylesheet", "media"])
 
+# rows of string-assembly per parquet-write chunk; module-level so tests
+# can shrink it to exercise the multi-chunk path on small fixtures
+GEN_CHUNK_ROWS = 4_000_000
+
 
 def _zipf_host_probs(n_hosts: int, s: float = 1.1) -> np.ndarray:
     ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
@@ -94,43 +98,86 @@ def gen_frontier(
     canon_urls = np.char.add(np.char.add("http://", hosts[host_idx]), paths)
     n = len(canon_urls)
 
+    # Strings are the memory hazard at 10^7-10^8 rows (numpy U-dtypes are
+    # fixed-width UTF-32: one 90M-span U160 column is ~57 GB), so every
+    # string-bearing table below is assembled and written in CHUNKS via
+    # ParquetWriter. All RNG draws stay global and in their original
+    # order — output is bit-identical to the monolithic path (pytest
+    # pins this), only peak memory changes (40M-URL fixture: OOM -> <25 GB).
+    CHUNK = GEN_CHUNK_ROWS
+
+    def _chunked(path: str, total_rows: int, build) -> None:
+        """build(lo, hi) -> pa.table for row slice [lo, hi)."""
+        writer = None
+        try:
+            for lo in range(0, total_rows, CHUNK) or [0]:
+                tbl = build(lo, min(lo + CHUNK, total_rows))
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                # small row groups keep single-file tables splittable:
+                # Spark maps byte-ranges to row groups, so 1 row group =
+                # 1 task no matter how many cores
+                for rg in range(0, tbl.num_rows, 65536):
+                    writer.write_table(tbl.slice(rg, 65536))
+            if writer is None:  # empty table still needs schema+file
+                tbl = build(0, 0)
+                writer = pq.ParquetWriter(path, tbl.schema)
+                writer.write_table(tbl)
+        finally:
+            if writer is not None:
+                writer.close()
+
+    paths_out = {name: os.path.join(out_dir, f"{name}.parquet")
+                 for name in ("seeds", "capture_history", "docs", "robots")}
+
     # ------------------------------------------------------------- seeds
     seed_pick = rng.choice(n, size=min(n_seeds, n), replace=False)
     kind = rng.integers(0, 5, size=len(seed_pick))
-    base = canon_urls[seed_pick]
-    tails = np.char.partition(base, "://")[:, 2]  # host+path
-    raw = base.astype("U96")
-    raw = np.where(kind == 1, np.char.add("HTTP://", np.char.upper(tails)), raw)
-    raw = np.where(kind == 2, np.char.add("http://www.", tails), raw)
-    # :80 after host (host ends at first '/')
-    part = np.char.partition(tails, "/")
-    raw = np.where(
-        kind == 3,
-        np.char.add(
-            np.char.add(np.char.add("http://", part[:, 0]), ":80/"), part[:, 2]
-        ),
-        raw,
-    )
-    raw = np.where(
-        kind == 4,
-        np.char.add(np.char.add("http://", part[:, 0]), np.char.add("/x/../", part[:, 2])),
-        raw,
-    )
-    # kind==2 introduces genuinely new hosts (www.-prefixed) — intentional:
-    # canonicalization must treat them as distinct identities.
-    seeds = pa.table(
-        {
-            "seq": pa.array(np.arange(len(seed_pick)), pa.int64()),
-            "ingest_type": pa.array(INGEST_TYPES[rng.integers(0, len(INGEST_TYPES), len(seed_pick))]),
-            "base_url": pa.array(raw),
-            "link_source": pa.array(LINK_SOURCES[rng.integers(0, len(LINK_SOURCES), len(seed_pick))]),
-            "link_source_id": pa.array(np.char.add("src-", np.arange(len(seed_pick)).astype("U10"))),
-            "priority": pa.array(rng.integers(0, 3, len(seed_pick)), pa.int32()),
-            "citation_priority": pa.array(np.round(rng.random(len(seed_pick)), 6), pa.float64()),
-            "depth": pa.array(np.zeros(len(seed_pick), dtype=np.int32), pa.int32()),
-            "force_recrawl": pa.array(rng.random(len(seed_pick)) < force_recrawl_pct),
-        }
-    )
+    n_sd = len(seed_pick)
+    sd_ingest = INGEST_TYPES[rng.integers(0, len(INGEST_TYPES), n_sd)]
+    sd_source = LINK_SOURCES[rng.integers(0, len(LINK_SOURCES), n_sd)]
+    sd_priority = rng.integers(0, 3, n_sd)
+    sd_citation = np.round(rng.random(n_sd), 6)
+    sd_force = rng.random(n_sd) < force_recrawl_pct
+
+    def _seeds_chunk(lo: int, hi: int) -> pa.Table:
+        pick, knd = seed_pick[lo:hi], kind[lo:hi]
+        base = canon_urls[pick]
+        tails = np.char.partition(base, "://")[:, 2]  # host+path
+        raw = base.astype("U96")
+        raw = np.where(knd == 1, np.char.add("HTTP://", np.char.upper(tails)), raw)
+        raw = np.where(knd == 2, np.char.add("http://www.", tails), raw)
+        # :80 after host (host ends at first '/')
+        part = np.char.partition(tails, "/")
+        raw = np.where(
+            knd == 3,
+            np.char.add(
+                np.char.add(np.char.add("http://", part[:, 0]), ":80/"), part[:, 2]
+            ),
+            raw,
+        )
+        raw = np.where(
+            knd == 4,
+            np.char.add(np.char.add("http://", part[:, 0]), np.char.add("/x/../", part[:, 2])),
+            raw,
+        )
+        # knd==2 introduces genuinely new hosts (www.-prefixed) — intentional:
+        # canonicalization must treat them as distinct identities.
+        return pa.table(
+            {
+                "seq": pa.array(np.arange(lo, hi), pa.int64()),
+                "ingest_type": pa.array(sd_ingest[lo:hi]),
+                "base_url": pa.array(raw),
+                "link_source": pa.array(sd_source[lo:hi]),
+                "link_source_id": pa.array(np.char.add("src-", np.arange(lo, hi).astype("U10"))),
+                "priority": pa.array(sd_priority[lo:hi], pa.int32()),
+                "citation_priority": pa.array(sd_citation[lo:hi], pa.float64()),
+                "depth": pa.array(np.zeros(hi - lo, dtype=np.int32), pa.int32()),
+                "force_recrawl": pa.array(sd_force[lo:hi]),
+            }
+        )
+
+    _chunked(paths_out["seeds"], n_sd, _seeds_chunk)
 
     # --------------------------------------------------- capture history
     n_caps = rng.choice([0, 1, 2, 3], size=n, p=[0.08, 0.55, 0.27, 0.10])
@@ -145,19 +192,8 @@ def gen_frontier(
         + rng.integers(0, 60, size=m) * 100
         + rng.integers(0, 60, size=m)
     )
-    dt14 = _zfill14(dt_num)
     sha_ints = rng.integers(1, 1 << 59, size=m)
-    sha1hex = _hex15(sha_ints)
-    # sha1b32 column kept CDX-shaped but derived vectorized (32 chars of
-    # the hex id); the engine itself only consumes sha1hex
-    sha1b32 = np.char.upper(np.char.ljust(_tohex(sha_ints), 32, "q"))
-    mimes = np.where(
-        statuses >= 300,
-        "warc/revisit",
-        np.array(["application/pdf", "application/pdf", "text/html"])[
-            rng.integers(0, 3, size=m)
-        ],
-    )
+    mime_pick = rng.integers(0, 3, size=m)
     # ~3% of 200s report no mimetype at all (exercises the NULL-guarded
     # mime gate: 200 + missing mime on a gated type = wrong-mimetype)
     mime_null = (statuses < 300) & (rng.random(m) < 0.03)
@@ -165,110 +201,136 @@ def gen_frontier(
     loop_mask = rng.random(m) < 0.02
     redir_target = np.where(loop_mask, cap_url_idx, redir_target)
     is_redir = (statuses == 301) | (statuses == 302)
-    location = np.where(is_redir, canon_urls[redir_target], None)
     # ~30% of same-host redirects send a ROOT-RELATIVE Location (C11:
     # real servers do; the engine must urljoin against the fetch URL)
     same_host = host_idx[redir_target] == host_idx[cap_url_idx]
     rel_loc = is_redir & same_host & (rng.random(m) < 0.30)
-    location = np.where(rel_loc, paths[redir_target], location)
-    warc_path = np.where(
-        rng.random(m) < 0.9,
-        np.char.add("CRAWL-2020/", np.char.add(sha1b32, ".warc.gz")),
-        "liveweb-no-slash",  # SPN/liveweb rows: no '/' (persist.py:278 filter)
-    )
-    # SURT is only needed shape-wise here; keep it cheap + sorted-friendly
-    surts = np.char.add("org,example)", paths[cap_url_idx])
-    caps = pa.table(
-        {
-            "surt": pa.array(surts),
-            "datetime": pa.array(dt14),
-            "url": pa.array(canon_urls[cap_url_idx]),
-            "mimetype": pa.array(mimes, mask=mime_null),
-            "status_code": pa.array(statuses, pa.int32()),
-            "sha1b32": pa.array(sha1b32),
-            "sha1hex": pa.array(sha1hex),
-            "warc_csize": pa.array(rng.integers(1_000, 5_000_000, size=m), pa.int64()),
-            "warc_offset": pa.array(rng.integers(0, 1 << 40, size=m), pa.int64()),
-            "warc_path": pa.array(warc_path),
-            "location": pa.array(location),
-        }
-    )
+    liveweb = rng.random(m) >= 0.9  # SPN rows: no '/' (persist.py:278 filter)
+    warc_csize = rng.integers(1_000, 5_000_000, size=m)
+    warc_offset = rng.integers(0, 1 << 40, size=m)
+
+    def _caps_chunk(lo: int, hi: int) -> pa.Table:
+        ui = cap_url_idx[lo:hi]
+        st = statuses[lo:hi]
+        sha1b32 = np.char.upper(np.char.ljust(_tohex(sha_ints[lo:hi]), 32, "q"))
+        mimes = np.where(
+            st >= 300,
+            "warc/revisit",
+            np.array(["application/pdf", "application/pdf", "text/html"])[mime_pick[lo:hi]],
+        )
+        rt = redir_target[lo:hi]
+        location = np.where(is_redir[lo:hi], canon_urls[rt], None)
+        location = np.where(rel_loc[lo:hi], paths[rt], location)
+        warc_path = np.where(
+            ~liveweb[lo:hi],
+            np.char.add("CRAWL-2020/", np.char.add(sha1b32, ".warc.gz")),
+            "liveweb-no-slash",
+        )
+        return pa.table(
+            {
+                # SURT only needs shape; keep it cheap + sorted-friendly
+                "surt": pa.array(np.char.add("org,example)", paths[ui])),
+                "datetime": pa.array(_zfill14(dt_num[lo:hi])),
+                "url": pa.array(canon_urls[ui]),
+                "mimetype": pa.array(mimes, mask=mime_null[lo:hi]),
+                "status_code": pa.array(st, pa.int32()),
+                "sha1b32": pa.array(sha1b32),
+                "sha1hex": pa.array(_hex15(sha_ints[lo:hi])),
+                "warc_csize": pa.array(warc_csize[lo:hi], pa.int64()),
+                "warc_offset": pa.array(warc_offset[lo:hi], pa.int64()),
+                "warc_path": pa.array(warc_path),
+                "location": pa.array(location),
+            }
+        )
+
+    _chunked(paths_out["capture_history"], m, _caps_chunk)
 
     # ---------------------------------------------------------------- docs
-    # vectorized span assembly: flat arrays + list offsets
-    html_idx = np.flatnonzero((statuses == 200) & (mimes == "text/html"))
+    # flat span arrays + list offsets; strings built per doc-chunk
+    html_idx = np.flatnonzero((statuses == 200) & (mime_pick == 2))
     nd = len(html_idx)
     span_counts = rng.integers(2, 14, size=nd)
-    total = int(span_counts.sum())
-    doc_of_span = np.repeat(np.arange(nd), span_counts)
-    offs_in_doc = np.concatenate([np.arange(c) for c in span_counts]) if nd else np.array([], dtype=np.int64)
+    span_start = np.concatenate([[0], np.cumsum(span_counts)])
+    total = int(span_start[-1])
     kind_roll = rng.integers(0, 10, size=total)
-    kinds = np.where(
-        kind_roll < 4,
-        "text",
-        np.where(kind_roll < 8, "link", _SPAN_KINDS[2 + (kind_roll % 4)]),
-    )
-    src_url_idx = cap_url_idx[html_idx][doc_of_span]
-    texts = np.where(
-        kinds == "text",
-        np.char.add(
-            np.char.add("paragraph ", offs_in_doc.astype("U4")),
-            np.char.add(" of ", np.char.mod("%08x", sha_ints[html_idx][doc_of_span] & 0xFFFFFFFF)),
-        ),
-        None,
-    )
-    link_tgt = (src_url_idx + 7 + rng.integers(0, 23, size=total)) % n
-    # C11: 40% of hrefs are RELATIVE (root-relative, bare filename,
-    # ../-chains, protocol-relative) — the engine must urljoin them
-    # against the page URL; every real HTML corpus has these
+    link_jump = rng.integers(0, 23, size=total)
     link_form = rng.integers(0, 10, size=total)
-    link_raw = canon_urls[link_tgt].astype("U160")
-    basenames = np.char.rpartition(paths[link_tgt], "/")[:, 2]
-    link_raw = np.where(link_form == 6, paths[link_tgt], link_raw)
-    link_raw = np.where(link_form == 7, basenames, link_raw)
-    link_raw = np.where(link_form == 8, np.char.add("../..", paths[link_tgt]), link_raw)
-    link_raw = np.where(
-        link_form == 9,
-        np.char.add("//", np.char.add(hosts[host_idx[link_tgt]], paths[link_tgt])),
-        link_raw,
-    )
-    media = np.where(
-        kinds == "link",
-        link_raw,
-        np.where(
-            kinds == "text",
-            None,
-            np.char.add(
-                np.char.add("http://", hosts[host_idx[src_url_idx]]),
-                np.char.add(np.char.add("/static/", kinds.astype("U12")), np.char.add(offs_in_doc.astype("U4"), ".bin")),
-            ),
-        ),
-    )
-    span_t = pa.struct(
-        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
-    )
-    def _flat(a) -> pa.Array:
-        arr = pa.array(a)
-        if isinstance(arr, pa.ChunkedArray):  # large inputs chunk; structs need flat
-            arr = arr.combine_chunks()
-        return arr
 
-    struct_arr = pa.StructArray.from_arrays(
-        [
-            _flat(kinds),
-            _flat(texts.tolist()),
-            _flat(media.tolist()),
-            _flat(offs_in_doc.astype(np.int32)),
-        ],
-        fields=list(span_t),
-    )
-    offsets = pa.array(np.concatenate([[0], np.cumsum(span_counts)]).astype(np.int32))
-    docs = pa.table(
-        {
-            "doc_id": pa.array(sha1hex[html_idx]),
-            "spans": pa.ListArray.from_arrays(offsets, struct_arr),
-        }
-    )
+    def _docs_chunk(lo: int, hi: int) -> pa.Table:
+        s0, s1 = int(span_start[lo]), int(span_start[hi])
+        cnt = span_counts[lo:hi]
+        doc_of_span = np.repeat(np.arange(hi - lo), cnt)
+        # vectorized within-doc offsets (no per-doc Python loop)
+        starts = span_start[lo:hi] - s0
+        offs_in_doc = (np.arange(s1 - s0) - np.repeat(starts, cnt)).astype(np.int64)
+        kr = kind_roll[s0:s1]
+        kinds = np.where(
+            kr < 4, "text", np.where(kr < 8, "link", _SPAN_KINDS[2 + (kr % 4)])
+        )
+        hidx = html_idx[lo:hi]
+        src_url_idx = cap_url_idx[hidx][doc_of_span]
+        texts = np.where(
+            kinds == "text",
+            np.char.add(
+                np.char.add("paragraph ", offs_in_doc.astype("U4")),
+                np.char.add(" of ", np.char.mod("%08x", sha_ints[hidx][doc_of_span] & 0xFFFFFFFF)),
+            ),
+            None,
+        )
+        link_tgt = (src_url_idx + 7 + link_jump[s0:s1]) % n
+        # C11: 40% of hrefs are RELATIVE (root-relative, bare filename,
+        # ../-chains, protocol-relative) — the engine must urljoin them
+        # against the page URL; every real HTML corpus has these
+        lf = link_form[s0:s1]
+        link_raw = canon_urls[link_tgt].astype("U160")
+        basenames = np.char.rpartition(paths[link_tgt], "/")[:, 2]
+        link_raw = np.where(lf == 6, paths[link_tgt], link_raw)
+        link_raw = np.where(lf == 7, basenames, link_raw)
+        link_raw = np.where(lf == 8, np.char.add("../..", paths[link_tgt]), link_raw)
+        link_raw = np.where(
+            lf == 9,
+            np.char.add("//", np.char.add(hosts[host_idx[link_tgt]], paths[link_tgt])),
+            link_raw,
+        )
+        media = np.where(
+            kinds == "link",
+            link_raw,
+            np.where(
+                kinds == "text",
+                None,
+                np.char.add(
+                    np.char.add("http://", hosts[host_idx[src_url_idx]]),
+                    np.char.add(np.char.add("/static/", kinds.astype("U12")),
+                                np.char.add(offs_in_doc.astype("U4"), ".bin")),
+                ),
+            ),
+        )
+        span_t = pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+
+        def _flat(a) -> pa.Array:
+            arr = pa.array(a)
+            if isinstance(arr, pa.ChunkedArray):  # structs need flat arrays
+                arr = arr.combine_chunks()
+            return arr
+
+        struct_arr = pa.StructArray.from_arrays(
+            [_flat(kinds), _flat(texts.tolist()), _flat(media.tolist()),
+             _flat(offs_in_doc.astype(np.int32))],
+            fields=list(span_t),
+        )
+        offsets = pa.array(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32))
+        return pa.table(
+            {
+                "doc_id": pa.array(_hex15(sha_ints[hidx])),
+                "spans": pa.ListArray.from_arrays(offsets, struct_arr),
+            }
+        )
+
+    # chunk docs by DOC rows (span strings dominate; ~7.5 spans/doc)
+    _chunked(paths_out["docs"], nd, _docs_chunk)
 
     # -------------------------------------------------------------- robots
     hr = np.arange(n_hosts)
@@ -284,13 +346,5 @@ def gen_frontier(
             ),
         }
     )
-
-    paths_out = {}
-    for name, tbl in [("seeds", seeds), ("capture_history", caps), ("docs", docs), ("robots", robots)]:
-        p = os.path.join(out_dir, f"{name}.parquet")
-        # small row groups keep single-file tables splittable: Spark maps
-        # file byte-ranges to row groups, so 1 row group = 1 task no
-        # matter how many cores
-        pq.write_table(tbl, p, row_group_size=65536)
-        paths_out[name] = p
+    pq.write_table(robots, paths_out["robots"], row_group_size=65536)
     return paths_out

@@ -11,6 +11,7 @@ ORACLES = {**ORACLES, **ORACLES2}
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
     "sp_html_biblio",
+    "med_pdf_extract",
     "c11_urljoin",
     "dd_embedding_neardup",
     "c7_title_slug",

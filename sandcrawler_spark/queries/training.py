@@ -241,6 +241,32 @@ def sp_html_spans(spark, sf_dir):
     )
 
 
+def med_pdf_extract(spark, sf_dir):
+    """PDF text+thumbnail interleaved extraction (pdfextract.py:296-444
+    via operators.media.process_pdfs): three synthesized blob shapes —
+    plain text (``not-pdf``), a bare ``%PDF`` header (``empty-pdf``),
+    and header+payload (``success`` with stub text/page_count/thumb).
+    The oracle reconstructs every column incl. the md5-derived
+    page_count (same first-hash-byte arithmetic in SQL)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.length(F.trim("text")) > 0)
+    )
+    m = F.col("doc_id") % 5
+    s = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 4, F.lit("%PDF-1.4\n"))
+        .otherwise(F.concat(F.lit("%PDF-1.4\n"), F.col("text")))
+    )
+    src = d.select("doc_id", F.encode(s, "UTF-8").alias("blob"))
+    out = media.process_pdfs(src, "doc_id", "blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status", "sha256hex", "size_bytes",
+        F.length("text").alias("text_len"), "page_count",
+        "has_page0_thumbnail",
+    )
+
+
 def sp_html_biblio(spark, sf_dir):
     """§2.10 HTML biblio-metadata extraction end-to-end
     (html_metadata.py:886-955 semantics via operators.biblio): render a
@@ -330,6 +356,7 @@ def sp_html_biblio(spark, sf_dir):
 
 
 QUERIES2 = {
+    "med_pdf_extract": med_pdf_extract,
     "sp_html_biblio": sp_html_biblio,
     "sp_html_spans": sp_html_spans,
     "dd_exact_dedup": dd_exact_dedup,
@@ -361,6 +388,29 @@ _JACCARD_TAIL = """
 """
 
 ORACLES2 = {
+    "med_pdf_extract": """
+        WITH src AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 5 = 0 THEN text
+                        WHEN doc_id % 5 = 4 THEN '%PDF-1.4' || chr(10)
+                        ELSE '%PDF-1.4' || chr(10) || text END AS s,
+                   doc_id % 5 AS m
+            FROM documents
+            WHERE doc_id < 500 AND length(trim(text)) > 0)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'not-pdf'
+                    WHEN m = 4 THEN 'empty-pdf'
+                    ELSE 'success' END AS status,
+               sha256(s) AS sha256hex,
+               strlen(s) AS size_bytes,
+               CASE WHEN m IN (0, 4) THEN NULL
+                    ELSE length(text) END AS text_len,
+               CASE WHEN m IN (0, 4) THEN NULL
+                    ELSE 1 + CAST(('0x' || substr(md5(s), 1, 2)) AS INTEGER) % 12
+               END AS page_count,
+               (m NOT IN (0, 4)) AS has_page0_thumbnail
+        FROM src
+    """,
     "sp_html_biblio": """
         SELECT doc_id,
                'Study ' || CAST(doc_id AS VARCHAR) || ' of scholarly ingest' AS title,

@@ -253,3 +253,54 @@ def test_train_ivf_dim256_and_kmeans_par(spark):
                   for r in ivf_assign(corpus, cents).collect()}
         for i in range(45):
             assert assign[i] == assign[i % 3], init
+
+
+def test_process_pdfs_interleaved(spark):
+    """process_pdf semantics (pdfextract.py:296-444): status ladder,
+    sha1-keyed text+thumbnail interleave, dual-sink split, honest stub
+    gating, and the 1 MB text cap."""
+    import hashlib
+
+    from sandcrawler_spark.operators.media import (
+        PDF_TEXT_MAX_CHARS,
+        pdf_result_sinks,
+        process_pdf_bytes,
+        process_pdfs,
+    )
+
+    # scalar kernel: stub gating + text-too-large path
+    with pytest.raises(NotImplementedError):
+        process_pdf_bytes(b"%PDF-1.4\nbody", fake=False)
+    big = b"%PDF-1.4\n" + b"x" * (PDF_TEXT_MAX_CHARS + 1)
+    r = process_pdf_bytes(big, fake=True)
+    assert r["status"] == "text-too-large" and r["text"] is None
+
+    rows = [
+        (1, b"%PDF-1.4\nhello pdf body"),   # success
+        (2, b"just some plain text"),        # not-pdf
+        (3, b"%PDF-1.7\n  \n"),              # empty-pdf
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = process_pdfs(df, "doc_id", "blob").persist()
+    by_id = {r["doc_id"]: r for r in out.collect()}
+
+    ok = by_id["1"]
+    assert ok["status"] == "success"
+    assert ok["text"] == "hello pdf body"
+    assert ok["sha1hex"] == hashlib.sha1(rows[0][1]).hexdigest()
+    assert ok["has_page0_thumbnail"] and len(ok["page0_thumbnail"]) == 32
+    assert 1 <= ok["page_count"] <= 12
+    assert by_id["2"]["status"] == "not-pdf"
+    assert by_id["2"]["error_msg"].startswith("mimetype is")
+    assert by_id["3"]["status"] == "empty-pdf"
+
+    pdftext, thumbs = pdf_result_sinks(out)
+    texts = {r["key"]: r["value"] for r in pdftext.collect()}
+    assert len(texts) == 3  # every result row publishes a pdftext record
+    import json as _json
+
+    payload = _json.loads(texts[ok["sha1hex"]])
+    assert payload["status"] == "success" and payload["key"] == ok["sha1hex"]
+    th = thumbs.collect()
+    assert len(th) == 1 and th[0]["key"] == ok["sha1hex"]  # only success
+    out.unpersist()

@@ -80,6 +80,7 @@ def main() -> None:
     ap.add_argument("--deep-size", type=int, default=4_000_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--growth-rounds", type=int, default=2)
+    ap.add_argument("--skip-deep", action="store_true")
     args = ap.parse_args()
 
     from sandcrawler_spark.session import get_spark
@@ -101,14 +102,17 @@ def main() -> None:
         growth[str(n)] = best
 
     # round-depth: one deep crawl, per-round input evidence
-    deep_fix = fixture(args.deep_size, max(2_000, args.deep_size // 80))
-    deep = crawl(spark, deep_fix, args.rounds)
+    deep = None
+    if not args.skip_deep:
+        deep_fix = fixture(args.deep_size, max(2_000, args.deep_size // 80))
+        deep = crawl(spark, deep_fix, args.rounds)
+        deep = {"n_urls": args.deep_size, "rounds": args.rounds, **deep}
 
     print(json.dumps({
         "cores": args.cores,
         "growth_rounds": args.growth_rounds,
         "corpus_growth": growth,
-        "deep_crawl": {"n_urls": args.deep_size, "rounds": args.rounds, **deep},
+        "deep_crawl": deep,
     }))
 
 
