@@ -144,6 +144,38 @@ def lang_guess(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.1
     )
 
 
+# BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family shape:
+# contraction suffixes, space-prefixed letter runs, space-prefixed digit
+# runs, space-prefixed punctuation runs, residual whitespace runs).
+# Deliberately lookahead-free so the IDENTICAL pattern executes under
+# both Java regex (Spark, leftmost-first alternation) and RE2 (DuckDB,
+# default Perl semantics = also leftmost-first); the one divergence from
+# GPT-2 is dropping its `\s+(?!\S)` trailing-space lookahead, so a run
+# of k>=2 spaces tokenizes as one whitespace token instead of splitting
+# its last space onto the next token. Token COUNTS (what a corpus
+# pipeline budgets by) are what this operator reports, not merge-ready
+# piece strings.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token accounting for training-data budgeting: whitespace
+    token count, BPE-ish pre-token count (``BPE_TOKEN_PATTERN``), and
+    chars-per-BPE-token (the compression-ratio quality signal — prose
+    sits near 3-5, junk/binary spew collapses toward 1). Pure Catalyst
+    (``regexp_count`` — codegen'd, no Python)."""
+    c = F.trim(F.col(text_col))
+    n_bpe = F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(c)).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, F.round(F.length(c) / n_bpe, 4)).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Winnowing-style document fingerprint: min 28-bit shingle hash —
     one stable 'representative shingle' per doc (rolling-hash

@@ -70,6 +70,15 @@ def txt_fingerprint(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def txt_tokens(spark, sf_dir):
+    """Token budgeting: whitespace + BPE-ish regex counts per doc
+    (text.BPE_TOKEN_PATTERN — same lookahead-free pattern string runs
+    under Java regex and RE2, so the oracle is byte-identical SQL)."""
+    return text.token_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -367,6 +376,7 @@ QUERIES2 = {
     "txt_quality": txt_quality,
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
+    "txt_tokens": txt_tokens,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
@@ -538,6 +548,22 @@ ORACLES2 = {
         SELECT doc_id,
                min(CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS fingerprint
         FROM sh GROUP BY doc_id
+    """,
+    "txt_tokens": """
+        WITH b AS (
+            SELECT doc_id, trim(text) AS s,
+                   len(regexp_extract_all(trim(text),
+                       '"""
+    + text.BPE_TOKEN_PATTERN.replace("'", "''")
+    + """')) AS nb
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(s), '\\s+')) AS INT)
+                   AS n_ws_tokens,
+               CAST(nb AS INT) AS n_bpe_tokens,
+               CASE WHEN nb > 0 THEN round(length(s) * 1.0 / nb, 4) END
+                   AS chars_per_bpe_token
+        FROM b
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -50,3 +50,29 @@ def test_with_global_rank_total_order(spark):
     assert [r[0] for r in rows] == list(range(1000))  # gap-free 0..n-1
     seq = [(r[1], r[2]) for r in rows]
     assert seq == sorted(seq)  # rank order == sort order
+
+
+def test_token_stats_goldens(spark):
+    """Hand-tokenized goldens for the BPE-ish pre-token counter; the
+    Spark-vs-DuckDB battery parity (txt_tokens) covers the oracle side."""
+    from sandcrawler_spark.operators.text import token_stats
+
+    rows = [
+        (1, "Hello world, it's 2024!"),   # Hello/ world/,/ it/'s/ 2024/!
+        (2, "a  b\nc"),                   # a/"  "/b/"\n"/c
+        (3, "café naïve"),      # unicode letters: café/ naïve
+        (4, "   "),                       # trims to empty: 0 bpe, null ratio
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r.asDict()
+        for r in token_stats(df, "doc_id", "text").collect()
+    }
+    assert (got[1]["n_ws_tokens"], got[1]["n_bpe_tokens"]) == (4, 7)
+    assert got[1]["chars_per_bpe_token"] == round(23 / 7, 4)
+    assert (got[2]["n_ws_tokens"], got[2]["n_bpe_tokens"]) == (3, 5)
+    assert got[2]["chars_per_bpe_token"] == 1.2
+    assert (got[3]["n_ws_tokens"], got[3]["n_bpe_tokens"]) == (2, 2)
+    assert got[3]["chars_per_bpe_token"] == 5.0
+    assert got[4]["n_bpe_tokens"] == 0
+    assert got[4]["chars_per_bpe_token"] is None
