@@ -52,11 +52,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
-        if only and name not in only:
-            continue
         sql = oracles.get(name)
         t0 = time.perf_counter()
         try:
