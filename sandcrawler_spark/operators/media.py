@@ -20,7 +20,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BINARY_META_SCHEMA = (
@@ -94,6 +94,46 @@ def fix_transfer_encoding_df(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(fix, schema=TRANSFER_FIX_SCHEMA)
+
+
+def sniff_container_col(binary_col: Column | str) -> Column:
+    """Pure-Catalyst magic-byte container sniff for multimodal typing:
+    image (png/jpeg/gif/webp), audio (wav/mp4a/ogg/mpeg/flac), video
+    (mp4/avi/webm-matroska), plus pdf/gzip. Complements the pandas-UDF
+    libmagic stand-in (functions/hashes.py::sniff_mimetype — which adds
+    the reference's text/HTML/XML refinements) with a JVM-side
+    when-chain over ``hex(substring(blob, 1, 12))`` that stays inside
+    whole-stage codegen — the right first pass over 100 TB of opaque
+    blobs, where shipping bytes to Python just to read 12 of them would
+    dominate the scan."""
+    c = F.col(binary_col) if isinstance(binary_col, str) else binary_col
+    h = F.hex(F.substring(c, 1, 12))  # 24 hex chars, uppercase
+    riff_tag = F.substring(h, 17, 8)  # RIFF format tag (bytes 9-12)
+    is_ftyp = F.substring(h, 9, 8) == "66747970"  # 'ftyp' at byte 5
+    brand = F.substring(h, 17, 8)  # ISO-BMFF major brand (bytes 9-12)
+    return (
+        F.when(h.startswith("89504E47"), "image/png")
+        .when(h.startswith("FFD8FF"), "image/jpeg")
+        .when(h.startswith("47494638"), "image/gif")
+        .when(h.startswith("52494646") & (riff_tag == "57415645"), "audio/x-wav")
+        .when(h.startswith("52494646") & (riff_tag == "57454250"), "image/webp")
+        .when(h.startswith("52494646") & (riff_tag == "41564920"), "video/x-msvideo")
+        .when(is_ftyp & (brand == "4D344120"), "audio/mp4")
+        .when(is_ftyp, "video/mp4")
+        .when(h.startswith("1A45DFA3"), "video/webm")
+        .when(h.startswith("4F676753"), "audio/ogg")
+        .when(
+            h.startswith("494433")
+            | h.startswith("FFFB")
+            | h.startswith("FFF3")
+            | h.startswith("FFF2"),
+            "audio/mpeg",
+        )
+        .when(h.startswith("664C6143"), "audio/flac")
+        .when(h.startswith("25504446"), "application/pdf")
+        .when(h.startswith("1F8B"), "application/gzip")
+        .otherwise("application/octet-stream")
+    )
 
 
 def decode_image(blob: bytes, fake: bool = False) -> tuple[int, int]:

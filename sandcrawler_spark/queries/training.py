@@ -212,6 +212,41 @@ def med_frames(spark, sf_dir):
     )
 
 
+# doc_id % 10 → synthetic container header (hex) + its ground-truth mime.
+# The Spark side prepends the header bytes and sniffs FROM THE BYTES
+# (media.sniff_container_col); the oracle derives the expected mime from
+# the modulo directly — ground truth by construction, so the battery
+# actually tests magic-byte recognition rather than echoing it.
+_SNIFF_HEADERS = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FFE000104A464946", "image/jpeg"),
+    ("474946383961", "image/gif"),
+    ("524946462400000057415645", "audio/x-wav"),
+    ("524946462400000057454250", "image/webp"),
+    ("000000186674797069736F6D", "video/mp4"),
+    ("00000018667479704D344120", "audio/mp4"),
+    ("1A45DFA3", "video/webm"),
+    ("4F676753", "audio/ogg"),
+    ("494433", "audio/mpeg"),
+]
+
+
+def med_sniff(spark, sf_dir):
+    """Multimodal container typing: per-doc synthetic magic header +
+    text payload, sniffed pure-Catalyst from the binary prefix
+    (media.sniff_container_col — no Python in the plan)."""
+    d = _t(spark, sf_dir, "documents")
+    hdr = F.lit(None).cast("string")
+    for i, (hx, _) in enumerate(_SNIFF_HEADERS):
+        hdr = F.when(F.col("doc_id") % 10 == i, F.lit(hx)).otherwise(hdr)
+    blob = F.concat(F.unhex(hdr), F.encode("text", "UTF-8"))
+    return d.select(
+        "doc_id",
+        media.sniff_container_col(blob).alias("mimetype"),
+        F.length(blob).cast("long").alias("size_bytes"),
+    )
+
+
 def sp_html_spans(spark, sf_dir):
     """§2.10 HTML span producer end-to-end (html_metadata.py:886-955,
     1034-1077 semantics via operators.html.html_to_spans): synthesize a
@@ -385,6 +420,7 @@ QUERIES2 = {
     "med_binary_meta": med_binary_meta,
     "med_resize": med_resize,
     "med_frames": med_frames,
+    "med_sniff": med_sniff,
     "f10_transfer_fix": f10_transfer_fix,
     "c9_author_match": c9_author_match,
 }
@@ -683,6 +719,23 @@ ORACLES2 = {
                sha256(text || decode(unhex(lpad(to_hex(i), 8, '0')))) AS frame_sha256
         FROM x
     """,
+    # med_sniff: expected mime/size derived from the doc_id%10 header
+    # choice — ground truth by construction, independent of the engine's
+    # magic-byte reader (which sees only the assembled bytes).
+    "med_sniff": (
+        "SELECT doc_id, CASE doc_id % 10 "
+        + " ".join(
+            f"WHEN {i} THEN '{mime}'"
+            for i, (_, mime) in enumerate(_SNIFF_HEADERS)
+        )
+        + " END AS mimetype, "
+        + "CAST(octet_length(encode(text)) + CASE doc_id % 10 "
+        + " ".join(
+            f"WHEN {i} THEN {len(hx) // 2}"
+            for i, (hx, _) in enumerate(_SNIFF_HEADERS)
+        )
+        + " END AS BIGINT) AS size_bytes FROM documents"
+    ),
     # F10: the oracle can't gzip, so it verifies the OUTPUT contract:
     # rows the engine fixed (or never compressed) must hash to the plain
     # text's sha256; correctly-declared gzip rows are NULLed both sides.

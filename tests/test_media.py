@@ -304,3 +304,41 @@ def test_process_pdfs_interleaved(spark):
     th = thumbs.collect()
     assert len(th) == 1 and th[0]["key"] == ok["sha1hex"]  # only success
     out.unpersist()
+
+
+def test_sniff_container_col_goldens(spark):
+    """Magic-byte container sniff goldens, including signatures the
+    med_sniff battery's doc_id%10 rotation doesn't reach (flac, avi,
+    pdf, gzip, mp3 frame-sync) and the truncated/unknown fallbacks."""
+    from sandcrawler_spark.operators.media import sniff_container_col
+
+    cases = [
+        ("png", b"\x89PNG\r\n\x1a\x0a" + b"x" * 20, "image/png"),
+        ("jpeg", b"\xff\xd8\xff\xe0payload", "image/jpeg"),
+        ("wav", b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/x-wav"),
+        ("webp", b"RIFF\x24\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("avi", b"RIFF\x24\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        ("mp4", b"\x00\x00\x00\x18ftypisomiso2", "video/mp4"),
+        ("m4a", b"\x00\x00\x00\x18ftypM4A mp42", "audio/mp4"),
+        ("mkv", b"\x1a\x45\xdf\xa3data", "video/webm"),
+        ("ogg", b"OggS\x00\x02rest", "audio/ogg"),
+        ("mp3_id3", b"ID3\x04\x00rest", "audio/mpeg"),
+        ("mp3_sync", b"\xff\xfb\x90\x44rest", "audio/mpeg"),
+        ("flac", b"fLaC\x00\x00\x00\x22", "audio/flac"),
+        ("pdf", b"%PDF-1.7\n", "application/pdf"),
+        ("gz", b"\x1f\x8b\x08\x00", "application/gzip"),
+        ("short", b"\x89P", "application/octet-stream"),
+        ("unknown", b"hello world bytes", "application/octet-stream"),
+        ("riff_other", b"RIFF\x24\x00\x00\x00ACON", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b, _ in cases], ["name", "blob"]
+    )
+    got = {
+        r["name"]: r["mime"]
+        for r in df.select(
+            "name", sniff_container_col("blob").alias("mime")
+        ).collect()
+    }
+    for name, _, want in cases:
+        assert got[name] == want, f"{name}: {got[name]} != {want}"
