@@ -144,6 +144,68 @@ def lang_guess(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.1
     )
 
 
+# Character-trigram profiles (Cavnar-Trenkle-style n-gram LID, profile
+# size cut to the most frequent+discriminative trigrams per language —
+# public-corpus commonplaces). Counting uses the replace-trick
+# ((len - len(replace(text, tri, ''))) / 3), which both Java and DuckDB
+# implement as non-overlapping left-to-right replace-all, so the oracle
+# reproduces scores exactly.
+LANG_TRIGRAM_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", (" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+            "ing", "ng ", " to", "ed ")),
+    ("de", ("en ", "er ", " de", "der", "die", " di", "sch", "ein",
+            "ich", "che", "und", " un")),
+    ("fr", (" de", "de ", " le", "le ", "es ", "ent", "nt ", "et ",
+            " la", "la ", "ion", " et")),
+    ("es", (" la", "la ", " de", "de ", "os ", " el", "el ", "as ",
+            " en", "en ", "ión", "ado")),
+)
+
+
+def lang_guess_ngram(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.01
+) -> DataFrame:
+    """Character-n-gram language ID: per-language trigram-profile hit
+    density over the lowercased text, argmax with an absolute density
+    floor (``threshold`` hits/char — below it the text matches no
+    profile and falls to ``other``). Ties break to the earliest profile
+    in ``LANG_TRIGRAM_PROFILES`` order. Pure Catalyst — 48 codegen'd
+    replace/length expressions, no explode, no Python."""
+    c = F.lower(F.col(text_col))
+    n_chars = F.length(c)
+
+    def profile_score(tris: tuple[str, ...]):
+        counts = [
+            (F.length(c) - F.length(F.replace(c, F.lit(t), F.lit("")))) / F.lit(3)
+            for t in tris
+        ]
+        s = counts[0]
+        for cnt in counts[1:]:
+            s = s + cnt
+        return s
+
+    scored = F.array(
+        *[
+            F.struct(
+                profile_score(tris).alias("s"),
+                F.lit(-i).alias("neg_i"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, tris) in enumerate(LANG_TRIGRAM_PROFILES)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            (n_chars > 0) & (best["s"] / n_chars >= F.lit(threshold)),
+            best["lang"],
+        )
+        .otherwise(F.lit("other"))
+        .alias("lang_ngram"),
+    )
+
+
 # BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family shape:
 # contraction suffixes, space-prefixed letter runs, space-prefixed digit
 # runs, space-prefixed punctuation runs, residual whitespace runs).

@@ -70,6 +70,38 @@ def txt_fingerprint(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def txt_langid_ngram(spark, sf_dir):
+    """Character-trigram-profile language ID (the n-gram LID family),
+    aggregated to per-language doc counts; the oracle recomputes every
+    profile score from the same trigram tables with the same
+    replace-trick, so scores (not just labels) must agree."""
+    lg = text.lang_guess_ngram(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lg.groupBy("lang_ngram").agg(F.count("*").alias("n_docs"))
+
+
+def _langid_ngram_oracle() -> str:
+    score_cols = []
+    for lang, tris in text.LANG_TRIGRAM_PROFILES:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{tri}', ''))) / 3" for tri in tris
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = [lang for lang, _ in text.LANG_TRIGRAM_PROFILES]
+    arms = " ".join(f"WHEN s_{lang} = b THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+        WITH s AS (
+            SELECT doc_id, length(lower(text)) AS n, {", ".join(score_cols)}
+            FROM (SELECT doc_id, lower(text) AS t, text FROM documents)),
+        m AS (SELECT *, greatest({", ".join("s_" + l for l in langs)}) AS b
+              FROM s),
+        l AS (SELECT CASE WHEN n = 0 THEN 'other'
+                          WHEN b / n < 0.01 THEN 'other'
+                          {arms} ELSE '{langs[-1]}' END AS lang_ngram
+              FROM m)
+        SELECT lang_ngram, count(*) AS n_docs FROM l GROUP BY 1
+    """
+
+
 def txt_tokens(spark, sf_dir):
     """Token budgeting: whitespace + BPE-ish regex counts per doc
     (text.BPE_TOKEN_PATTERN — same lookahead-free pattern string runs
@@ -412,6 +444,7 @@ QUERIES2 = {
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
     "txt_tokens": txt_tokens,
+    "txt_langid_ngram": txt_langid_ngram,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
@@ -585,6 +618,7 @@ ORACLES2 = {
                min(CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS fingerprint
         FROM sh GROUP BY doc_id
     """,
+    "txt_langid_ngram": _langid_ngram_oracle(),
     "txt_tokens": """
         WITH b AS (
             SELECT doc_id, trim(text) AS s,

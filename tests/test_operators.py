@@ -76,3 +76,29 @@ def test_token_stats_goldens(spark):
     assert got[3]["chars_per_bpe_token"] == 5.0
     assert got[4]["n_bpe_tokens"] == 0
     assert got[4]["chars_per_bpe_token"] is None
+
+
+def test_lang_guess_ngram_goldens(spark):
+    """Trigram-profile LID on real sentences in each profiled language,
+    plus the density-floor and empty-text fallbacks."""
+    from sandcrawler_spark.operators.text import lang_guess_ngram
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the barn"),
+        (2, "die Kinder spielen in der Schule und der Lehrer erklärt die Aufgabe"),
+        (3, "le chat noir et le chien de la maison sont dans le jardin ensemble"),
+        (4, "la casa de la abuela está en el pueblo y los niños juegan en el patio"),
+        (5, "zzzz qqqq xxxx wwww kkkk"),  # matches no profile → other
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r["lang_ngram"]
+        for r in lang_guess_ngram(df, "doc_id", "text").collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "other"
+    assert got[6] == "other"
