@@ -112,10 +112,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return toks.select("id", F.explode(F.expr(gram)).alias("shingle")).distinct()
 
 
+# ASCII punctuation as explicit ranges so the identical class compiles
+# under Java regex and RE2 (no \p{Punct}, whose meaning differs).
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
 def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality features: token count, mean token length,
-    stopword ratio (quality-scoring family for corpus filtering)."""
-    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+    stopword ratio, punctuation ratio (the length/punct/stopword
+    quality-scoring family for corpus filtering)."""
+    t = F.trim(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"), t.alias("t")
+    )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return toks.select(
         "id",
@@ -128,6 +137,10 @@ def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.size("toks"),
             4,
         ).alias("stop_ratio"),
+        F.when(
+            F.length("t") > 0,
+            F.round(F.regexp_count(F.col("t"), F.lit(PUNCT_CLASS)) / F.length("t"), 4),
+        ).alias("punct_ratio"),
     )
 
 

@@ -596,11 +596,14 @@ ORACLES2 = {
     """,
     "txt_quality": f"""
         WITH {_SQL_TOKS}
-        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens,
                round(length(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_token_len,
                round(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
-                     * 1.0 / len(t), 4) AS stop_ratio
-        FROM toks
+                     * 1.0 / len(t), 4) AS stop_ratio,
+               CASE WHEN length(trim(text)) > 0 THEN
+                    round(len(regexp_extract_all(trim(text), '[!-/:-@\\[-`{{-~]'))
+                          * 1.0 / length(trim(text)), 4) END AS punct_ratio
+        FROM toks JOIN documents USING (doc_id)
     """,
     "txt_langid": f"""
         WITH {_SQL_TOKS},

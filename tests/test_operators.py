@@ -102,3 +102,15 @@ def test_lang_guess_ngram_goldens(spark):
     assert got[4] == "es"
     assert got[5] == "other"
     assert got[6] == "other"
+
+
+def test_doc_quality_punct_ratio(spark):
+    from sandcrawler_spark.operators.text import doc_quality
+
+    df = spark.createDataFrame(
+        [(1, "ab, cd!"), (2, "no punct here"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {r["id"]: r["punct_ratio"] for r in doc_quality(df, "doc_id", "text").collect()}
+    assert got[1] == round(2 / 7, 4)
+    assert got[2] == 0.0
+    assert got[3] is None
