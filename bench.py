@@ -55,6 +55,9 @@ HEADLINE = [
     "dd_simhash",
     "ann_cosine_topk",
     "med_binary_meta",
+    "txt_tokens",
+    "txt_langid_ngram",
+    "med_sniff",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))
