@@ -533,3 +533,183 @@ def embedding_near_dups_lsh(
         .filter(F.col("sim") >= tau)
         .select("id1", "id2", "sim")
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# Product quantization (Jégou et al., TPAMI'11): split each vector into
+# m subvectors, vector-quantize each subspace against its own k-entry
+# codebook, and search with asymmetric distance computation (ADC) —
+# per query one m×k lookup table, then each database vector costs m
+# table lookups instead of a dim-length dot product. At 10^9 vectors
+# the PQ codes (m bytes/vector at k≤256) are the only corpus-sized
+# state; codebooks are k·dim floats and live comfortably in every
+# executor's closure.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """PQ codebook training: per-subspace Lloyd's under L2, all ``m``
+    subspaces trained in ONE distributed pass per iteration.
+
+    Each iteration maps the corpus once (per Arrow batch: GEMM argmin
+    against every subspace codebook + numpy scatter-add of per-(sub,
+    code) partial sums — the explicit map-side combine), then a
+    ``groupBy(sub, code)`` combine; only the m×k×(dim/m) = k×dim float
+    codebook ever reaches the driver. Deterministic: init from the k
+    smallest-id vectors' subvectors, argmin ties break to the lowest
+    code id, empty cells keep their previous centroid.
+
+    Returns ``codebooks[m][k][dim//m]`` (plain nested lists, safe to
+    closure-ship to :func:`pq_encode` / :func:`pq_search`)."""
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    seed_rows = c.orderBy("vec_id").limit(k).collect()
+    seed = np.array([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    dim = seed.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    books = np.stack([seed[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+    for _ in range(iters):
+        B = books.copy()
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                subs, codes, sums, counts = [], [], [], []
+                for j in range(m):
+                    X = M[:, j * dsub:(j + 1) * dsub]
+                    # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per
+                    # row, so argmin needs only the GEMM term + ‖c‖²
+                    d2 = -2.0 * (X @ B[j].T) + (B[j] ** 2).sum(axis=1)
+                    code = d2.argmin(axis=1)
+                    uniq, inv = np.unique(code, return_inverse=True)
+                    s = np.zeros((len(uniq), dsub))
+                    np.add.at(s, inv, X)
+                    subs.extend([j] * len(uniq))
+                    codes.extend(uniq.tolist())
+                    sums.extend(list(s))
+                    counts.extend(np.bincount(inv).tolist())
+                yield pd.DataFrame(
+                    {"sub": subs, "code": codes, "psum": sums, "pn": counts}
+                )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            S = np.stack([np.asarray(v) for v in pdf["psum"]]).sum(axis=0)
+            n = int(pdf["pn"].sum())
+            return pd.DataFrame(
+                {"sub": pdf["sub"].iloc[:1], "code": pdf["code"].iloc[:1],
+                 "mean": [S / n], "n": [n]}
+            )
+
+        part = c.mapInPandas(
+            partials, schema="sub int, code int, psum array<double>, pn long"
+        )
+        rows = part.groupBy("sub", "code").applyInPandas(
+            combine, schema="sub int, code int, mean array<double>, n long"
+        ).collect()
+        for r in rows:
+            books[int(r["sub"]), int(r["code"])] = np.asarray(r["mean"])
+
+    return [[list(map(float, code)) for code in book] for book in books]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its ``m`` nearest-code ids (one Arrow-batched
+    GEMM argmin per subspace; ties to the lowest code id). Output
+    (vec_id, codes array<int>) — the m-byte-per-vector corpus state."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            out = np.empty((len(M), m), dtype=np.int32)
+            for j in range(m):
+                X = M[:, j * dsub:(j + 1) * dsub]
+                d2 = -2.0 * (X @ B[j].T) + (B[j] ** 2).sum(axis=1)
+                out[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(out)})
+
+    return c.mapInPandas(enc, schema="vec_id long, codes array<int>")
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: per Arrow batch, each query builds one
+    m×k table of subspace partial distances (‖q_sub − c‖²), then every
+    code row costs m lookups + a sum — no decode, no dim-length dot
+    product, no join (queries ride the closure, the codes scan stays
+    linear). Per-batch top-k then one global top-k window, the same
+    two-phase merge as :func:`cosine_topk`; total order
+    (adc_dist ASC, vec_id ASC) so results are parallelism-independent.
+    Self-matches (vec_id == q_id) are excluded like the other searches."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    # LUT[q, j, code] = ‖q_sub − B[j][code]‖²
+    lut = np.stack([
+        ((Q[:, j * dsub:(j + 1) * dsub][:, None, :] - B[j][None, :, :]) ** 2
+         ).sum(axis=2)
+        for j in range(m)
+    ], axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            C = np.stack([np.asarray(v) for v in pdf["codes"]])  # (n, m)
+            # dist[q, i] = Σ_j lut[q, j, C[i, j]]
+            d = np.zeros((len(q_ids), len(ids)))
+            for j in range(m):
+                d += lut[:, j, :][:, C[:, j]]
+            d = np.round(d, 6)
+            top = min(k + 1, len(ids))  # +1 absorbs a possible self-match
+            part = np.argpartition(d, top - 1, axis=1)[:, :top]
+            qi = np.repeat(np.arange(len(q_ids)), top)
+            vi = part.ravel()
+            yield pd.DataFrame(
+                {"q_id": q_ids[qi], "vec_id": ids[vi],
+                 "adc_dist": d[qi, vi]}
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="q_id long, vec_id long, adc_dist double"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist")
+    )

@@ -342,3 +342,84 @@ def test_sniff_container_col_goldens(spark):
     }
     for name, _, want in cases:
         assert got[name] == want, f"{name}: {got[name]} != {want}"
+
+
+def _pq_corpus(spark, n_per=20, dim=16, clusters=4, noise=0.05):
+    """Deterministic clustered embeddings (hash-free: index arithmetic)."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    centers = rs.standard_normal((clusters, dim)) * 3.0
+    rows = []
+    vid = 0
+    for ci in range(clusters):
+        for _ in range(n_per):
+            v = centers[ci] + rs.standard_normal(dim) * noise
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_encode_deterministic(spark):
+    """Codebook shape, cross-parallelism determinism of codes, and the
+    lossless case: k codes >= distinct subvectors => zero ADC error."""
+    import numpy as np
+
+    from sandcrawler_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    rows, df = _pq_corpus(spark, n_per=20, clusters=4, noise=0.0)  # 4 exact points
+    books = train_pq_codebooks(df, m=4, k=4, iters=3)
+    assert len(books) == 4 and len(books[0]) == 4 and len(books[0][0]) == 4
+
+    codes1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    codes8 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df.repartition(8), books).collect()
+    }
+    assert codes1 == codes8
+
+    # noise=0: every vector IS its cluster center, so after Lloyd's the
+    # 4-entry codebooks reproduce the 4 distinct subvectors exactly and
+    # ADC distance == true squared L2 (0 for same-cluster neighbors)
+    q = df.filter("vec_id = 0")
+    got = pq_search(q, pq_encode(df, books), books, k=3).collect()
+    assert len(got) == 3
+    assert all(abs(r["adc_dist"]) < 1e-9 for r in got)
+    assert all(1 <= r["vec_id"] <= 19 for r in got)  # same-cluster ids
+
+
+def test_pq_search_cluster_precision(spark):
+    """What ADC guarantees on clustered data: every top-k neighbor is a
+    same-cluster member (quantization collapses intra-cluster ranking —
+    same-cluster points share codes — so exact-rank recall@k is NOT the
+    right assertion; cluster precision and the inter/intra distance gap
+    are)."""
+    import numpy as np
+
+    from sandcrawler_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    rows, df = _pq_corpus(spark, n_per=20, clusters=4, noise=0.05)
+    books = train_pq_codebooks(df, m=4, k=8, iters=4)
+    codes = pq_encode(df, books)
+    queries = df.filter("vec_id in (0, 25, 45, 70)")
+    got = pq_search(queries, codes, books, k=5, id_col="vec_id").collect()
+
+    M = np.array([v for _, v in rows])
+    for qid in (0, 25, 45, 70):
+        cluster = qid // 20
+        mine = [r for r in got if r["q_id"] == qid]
+        assert len(mine) == 5
+        # every neighbor from the query's own cluster...
+        assert all(r["vec_id"] // 20 == cluster for r in mine)
+        # ...and far below the true inter-cluster distance floor
+        other = ((M[[i for i in range(len(M)) if i // 20 != cluster]]
+                  - M[qid]) ** 2).sum(axis=1).min()
+        assert all(r["adc_dist"] < other / 4 for r in mine)
