@@ -132,6 +132,67 @@ def ann_ivf_search(spark, sf_dir):
     )
 
 
+# Fixed closed-form PQ codebooks for the battery: B(j,c,i) =
+# ((c+1)(i+1)+j) mod 7 - 3 — small INTEGERS, so every product with a
+# float32 embedding value is exact in double and the oracle can rebuild
+# the identical argmin arithmetic term by term. (TRAINED codebooks are
+# iterative/non-SQL — train_pq_codebooks is pytest-verified instead.)
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 4, 16
+
+
+def _pq_b(j: int, c: int, i: int) -> int:
+    return ((c + 1) * (i + 1) + j) % 7 - 3
+
+
+def _pq_fixed_books():
+    return [
+        [[float(_pq_b(j, c, i)) for i in range(_PQ_DSUB)] for c in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+
+
+def ann_pq_encode(spark, sf_dir):
+    """PQ encoding against fixed codebooks: each embedding becomes m
+    nearest-code ids (similarity.pq_encode — GEMM argmin per subspace,
+    -2x·c + ‖c‖² form, lowest-code ties); codes split into int columns
+    for the value-hash compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.pq_encode(emb, _pq_fixed_books())
+    return out.select(
+        "vec_id",
+        *[F.col("codes")[j].alias(f"c{j}") for j in range(_PQ_M)],
+    )
+
+
+def _pq_encode_oracle() -> str:
+    subs = []
+    for j in range(_PQ_M):
+        ds = []
+        for c in range(_PQ_K):
+            dot = " + ".join(
+                f"e[{j * _PQ_DSUB + i + 1}] * ({_pq_b(j, c, i)})"
+                for i in range(_PQ_DSUB)
+                if _pq_b(j, c, i) != 0
+            )
+            c2 = sum(_pq_b(j, c, i) ** 2 for i in range(_PQ_DSUB))
+            ds.append(f"(-2.0 * ({dot}) + {c2})")
+        # candidate c wins when <= every LATER candidate; arms run in
+        # index order, so the earliest minimum is selected — exactly
+        # np.argmin's first-min tie-break in pq_encode
+        arms = " ".join(
+            "WHEN "
+            + " AND ".join(f"{ds[c]} <= {ds[o]}" for o in range(c + 1, _PQ_K))
+            + f" THEN {c}"
+            for c in range(_PQ_K - 1)
+        )
+        subs.append(f"CAST(CASE {arms} ELSE {_PQ_K - 1} END AS INT) AS c{j}")
+    return (
+        "SELECT vec_id, "
+        + ", ".join(subs)
+        + " FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+    )
+
+
 def c7_title_slug(spark, sf_dir):
     """C7: fuzzy-match slug keys (StringUtilities.scala:17-40) — pseudo
     title = first 6 tokens; slug via the accent-strip pandas UDF."""
@@ -448,6 +509,7 @@ QUERIES2 = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
+    "ann_pq_encode": ann_pq_encode,
     "dd_embedding_neardup": dd_embedding_neardup,
     "c7_title_slug": c7_title_slug,
     "med_binary_meta": med_binary_meta,
@@ -759,6 +821,7 @@ ORACLES2 = {
     # med_sniff: expected mime/size derived from the doc_id%10 header
     # choice — ground truth by construction, independent of the engine's
     # magic-byte reader (which sees only the assembled bytes).
+    "ann_pq_encode": _pq_encode_oracle(),
     "med_sniff": (
         "SELECT doc_id, CASE doc_id % 10 "
         + " ".join(
