@@ -314,3 +314,99 @@ def self_join_matchable(
         & F.col(f"{work_col}_2").isNotNull()
         & (F.col(f"{work_col}_1") > F.col(f"{work_col}_2"))
     )
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node attaches its strictly-larger
+    neighbors to the minimum of its neighborhood (including itself)."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("mn"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient edges large→small; every node attaches
+    its smaller neighbors (and itself) to its minimum neighbor."""
+    o = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        o.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .union(mins.select("src", F.col("mn").alias("dst")))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair list, via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Converges in O(log² n) rounds — the
+    scale-correct choice for web-corpus dedup graphs, where plain
+    min-label propagation needs O(diameter) rounds and duplicate chains
+    (A≈B≈C≈…) make the diameter large.
+
+    Output one row per node in the pair graph:
+    (id, cluster_id, cluster_size, is_canonical) — cluster_id is the
+    component's minimum id, is_canonical marks the keeper doc
+    (keep-one-per-cluster dedup policy).
+
+    The driver loop only compares per-round edge digests (count + hash
+    sum — two scalars); edge data itself never leaves the executors.
+    Each round shuffles on node id — the same plan at any scale.
+    ``localCheckpoint`` truncates lineage per round (iterative plans
+    otherwise grow the logical plan — and Catalyst analysis time —
+    linearly with rounds) and keeps the converged edge set cached
+    executor-side for the final cluster assembly."""
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_digest = None
+    for _ in range(max_iter):
+        nxt = _cc_small_star(_cc_large_star(edges)).localCheckpoint()
+        digest = nxt.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        edges.unpersist()
+        edges = nxt
+        if (digest["n"], digest["h"]) == prev_digest:
+            break
+        prev_digest = (digest["n"], digest["h"])
+    # converged: edges form stars (node → component minimum)
+    o = edges.select(
+        F.greatest("src", "dst").alias("id"), F.least("src", "dst").alias("comp")
+    ).groupBy("id").agg(F.min("comp").alias("cluster_id"))
+    roots = (
+        edges.select(F.least("src", "dst").alias("cluster_id"))
+        .distinct()
+        .join(o.select(F.col("id").alias("cluster_id")), "cluster_id", "left_anti")
+        .select(F.col("cluster_id").alias("id"), "cluster_id")
+    )
+    members = o.union(roots)
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return members.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -261,3 +261,102 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("id")
         .agg(F.min("h").alias("fingerprint"))
     )
+
+
+def _ngram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g, cnt) word n-gram occurrence counts — NON-distinct (unlike
+    :func:`shingles`): repetition analysis needs multiplicities."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    gram = (
+        f"transform(sequence(0, size(toks)-{n}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i+{k}]' for k in range(n))}))"
+    )
+    return (
+        toks.select("id", F.explode(F.expr(gram)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram (default 13, the GPT-3/PaLM convention) with a held-out
+    benchmark set. Output one row per CONTAMINATED doc:
+    (id, n_hit_ngrams, n_ngrams, overlap_frac).
+
+    Scale shape: the benchmark n-gram set is small relative to the
+    corpus (eval suites are a few MB against a 100 TB corpus), so it is
+    broadcast — the corpus side streams map-side with no shuffle; the
+    only shuffle is the per-doc hit count groupBy(id). For benchmark
+    sets too big to broadcast, drop the hint and Catalyst/AQE picks a
+    shuffled hash join on the same plan."""
+    bench_grams = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    corpus_grams = shingles(corpus, id_col, text_col, n)
+    totals = corpus_grams.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return hits.join(totals, "id").select(
+        "id",
+        "n_hit_ngrams",
+        "n_ngrams",
+        F.round(F.col("n_hit_ngrams") / F.col("n_ngrams"), 4).alias("overlap_frac"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    paper), adapted to single-line docs: per doc,
+
+    - ``top_ngram_frac``: chars covered by all occurrences of the most
+      frequent ``top_n``-gram / total chars (Gopher's top-2..4-gram
+      character fraction), and
+    - ``dup_ngram_frac``: chars covered by every ``dup_n``-gram that
+      occurs more than once / total chars (Gopher's duplicate
+      5..10-gram character fraction).
+
+    Chars are measured on the whitespace-normalized lowercase text
+    (single-space joined tokens) so the measure is layout-invariant.
+    Docs shorter than n tokens get 0.0. Pure Catalyst: two n-gram
+    groupBys + per-doc max/sum, all shuffles on (id) or (id, g)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.concat_ws(" ", tokens_col(text_col))).alias("doc_chars"),
+    )
+    top = (
+        _ngram_counts(df, id_col, text_col, top_n)
+        .groupBy("id")
+        .agg(F.max(F.col("cnt") * F.length("g")).alias("top_chars"))
+    )
+    dup = (
+        _ngram_counts(df, id_col, text_col, dup_n)
+        .filter(F.col("cnt") >= 2)
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup_chars"))
+    )
+    return (
+        base.join(top, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            "id",
+            "doc_chars",
+            F.coalesce(
+                F.round(F.col("top_chars") / F.col("doc_chars"), 4), F.lit(0.0)
+            ).alias("top_ngram_frac"),
+            F.coalesce(
+                F.round(F.col("dup_chars") / F.col("doc_chars"), 4), F.lit(0.0)
+            ).alias("dup_ngram_frac"),
+        )
+    )

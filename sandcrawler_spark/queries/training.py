@@ -248,6 +248,36 @@ def f10_transfer_fix(spark, sf_dir):
     )
 
 
+def dd_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster assignment: exact-Jaccard near-dup pairs →
+    connected components (large-star/small-star) → per-cluster
+    canonical doc. The keep-one-per-cluster stage that turns pairwise
+    near-dup evidence into an actual dedup decision."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", tau=0.8)
+    return dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+def txt_decontam(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 7 == 0 stand in
+    for the held-out eval suite; corpus docs sharing any 13-gram with
+    it are flagged (GPT-3-style n-gram overlap decontamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return text.ngram_contamination(
+        corpus, bench, "doc_id", "text", n=13
+    ).withColumnRenamed("id", "doc_id")
+
+
+def txt_repetition(spark, sf_dir):
+    """Gopher-style repetition stats: top-2-gram char fraction +
+    duplicate-5-gram char fraction per doc."""
+    return text.repetition_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
 def c9_author_match(spark, sf_dir):
     """C9 (filter_scored_matches.py:24-58): token author-match over two
     synthesized author lists per document — left = [first-two-tokens,
@@ -518,6 +548,9 @@ QUERIES2 = {
     "med_sniff": med_sniff,
     "f10_transfer_fix": f10_transfer_fix,
     "c9_author_match": c9_author_match,
+    "dd_cluster_cc": dd_cluster_cc,
+    "txt_decontam": txt_decontam,
+    "txt_repetition": txt_repetition,
 }
 
 _JACCARD_TAIL = """
@@ -866,5 +899,75 @@ ORACLES2 = {
                AND length(last2) > 1 AND position(last2 IN right_all) > 0
                    AS authors_ok
         FROM a
+    """,
+    # Connected components via recursive min-reachability (transitive
+    # closure — fine at oracle scale; the engine side uses
+    # large-star/small-star, which is the log-round distributed
+    # equivalent of the same fixed point).
+    "dd_cluster_cc": f"""
+        WITH RECURSIVE {_SQL_TOKS}, {_SQL_SH},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS m
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS ({_JACCARD_TAIL}),
+        sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT w.id, e.b FROM reach w JOIN sym e ON e.a = w.r),
+        comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        cs AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM comp GROUP BY 1)
+        SELECT c.id AS doc_id, c.cluster_id, cs.cluster_size,
+               (c.id = c.cluster_id) AS is_canonical
+        FROM comp c JOIN cs USING (cluster_id)
+    """,
+    "txt_decontam": f"""
+        WITH {_SQL_TOKS},
+        g AS (SELECT DISTINCT doc_id,
+                     unnest([list_aggregate(t[i:i+12], 'string_agg', ' ')
+                             for i in range(1, len(t) - 11)]) AS s
+              FROM toks WHERE len(t) >= 13),
+        bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0),
+        tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g
+                WHERE doc_id % 7 != 0 GROUP BY 1),
+        hit AS (SELECT g.doc_id, count(*) AS n_hit_ngrams
+                FROM g JOIN bg USING (s)
+                WHERE g.doc_id % 7 != 0 GROUP BY 1)
+        SELECT h.doc_id, h.n_hit_ngrams, t.n_ngrams,
+               round(h.n_hit_ngrams * 1.0 / t.n_ngrams, 4) AS overlap_frac
+        FROM hit h JOIN tot t USING (doc_id)
+    """,
+    "txt_repetition": f"""
+        WITH {_SQL_TOKS},
+        base AS (SELECT doc_id,
+                        CAST(length(array_to_string(t, ' ')) AS INT)
+                            AS doc_chars
+                 FROM toks),
+        g2 AS (SELECT doc_id,
+                      unnest([t[i] || ' ' || t[i+1]
+                              for i in range(1, len(t))]) AS g
+               FROM toks WHERE len(t) >= 2),
+        c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(cnt * length(g)) AS top_chars
+                FROM c2 GROUP BY 1),
+        g5 AS (SELECT doc_id,
+                      unnest([list_aggregate(t[i:i+4], 'string_agg', ' ')
+                              for i in range(1, len(t) - 3)]) AS g
+               FROM toks WHERE len(t) >= 5),
+        c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        dup AS (SELECT doc_id, sum(cnt * length(g)) AS dup_chars
+                FROM c5 WHERE cnt >= 2 GROUP BY 1)
+        SELECT b.doc_id, b.doc_chars,
+               coalesce(round(t.top_chars * 1.0 / b.doc_chars, 4), 0.0)
+                   AS top_ngram_frac,
+               coalesce(round(d.dup_chars * 1.0 / b.doc_chars, 4), 0.0)
+                   AS dup_ngram_frac
+        FROM base b
+        LEFT JOIN top t USING (doc_id)
+        LEFT JOIN dup d USING (doc_id)
     """,
 }
