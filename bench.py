@@ -58,6 +58,9 @@ HEADLINE = [
     "txt_tokens",
     "txt_langid_ngram",
     "med_sniff",
+    "smp_hash_sample",
+    "smp_stratified",
+    "pack_shards_lpt",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))
@@ -124,17 +127,29 @@ def _crawl(spark, data_dir: str) -> tuple[float, int, list[int]]:
 def bench_frontier(cores: int, data_dir: str, warmup_dir: str) -> dict:
     spark = _new_spark(cores)
     _crawl(spark, warmup_dir)  # JIT/codegen/python-worker warm-up
-    e1, processed, d1 = _crawl(spark, data_dir)
-    e2, _, d2 = _crawl(spark, data_dir)
-    assert d1 == d2, "crawl order must be deterministic across reruns"
-    best = min(e1, e2)
+    runs: list[float] = []
+    digests = None
+    processed = 0
+    # best-of-2, plus one retry if the pair disagrees by >40% — this
+    # shared VM has multi-minute contention episodes (hypervisor steal)
+    # that can poison a single run by 3×; a divergent pair means one of
+    # the two landed in such an episode, so a third sample decides.
+    for i in range(3):
+        e, processed, d = _crawl(spark, data_dir)
+        if digests is None:
+            digests = d
+        assert d == digests, "crawl order must be deterministic across reruns"
+        runs.append(e)
+        if i == 1 and max(runs) / min(runs) <= 1.4:
+            break
+    best = min(runs)
     return {
         "cores": cores,
         "urls_processed": processed,
         "seconds_best_of_2": round(best, 3),
-        "seconds_runs": [round(e1, 3), round(e2, 3)],
+        "seconds_runs": [round(e, 3) for e in runs],
         "urls_per_sec": round(processed / best, 1),
-        "order_digests": d1,
+        "order_digests": digests,
     }
 
 
@@ -179,14 +194,17 @@ def spark_shuffle_ceiling(lo: int, hi: int, n: int = 40_000_000) -> float:
             (F.col("id") % 5_000_000).alias("k"), F.xxhash64("id").alias("h")
         )
         df.groupBy("k").agg(F.count("*")).count()  # warm
-        best = 1e18
-        for _ in range(2):
+        runs = []
+        for i in range(3):
             t0 = _t.perf_counter()
             df.groupBy("k").agg(F.count("*").alias("c"), F.max("h")).filter(
                 "c>0"
             ).count()
-            best = min(best, _t.perf_counter() - t0)
-        return best
+            runs.append(_t.perf_counter() - t0)
+            # same noise-episode retry rule as bench_frontier
+            if i == 1 and max(runs) / min(runs) <= 1.4:
+                break
+        return min(runs)
 
     t_lo, t_hi = one(lo), one(hi)
     return round(t_lo / t_hi, 2)

@@ -1,0 +1,203 @@
+"""Training-corpus curation: deterministic sampling, domain mixture
+weighting, and context-window shard packing.
+
+The reference curates its corpus with one-shot filter/sample jobs
+(e.g. ``please`` dump slices and the filter scripts under
+``python/scripts/`` — filter_cdx_paper_pdfs.py, filter_grobid_metadata.py
+— each a full-scan filter with an ad-hoc acceptance rule). These
+operators generalize that stage to what a large-scale training-data
+pipeline needs after dedup: reproducible sampling (hash-derived, not
+``rand()`` — reruns and resumes must pick the SAME rows), per-stratum
+quota sampling for domain re-balancing, temperature-scaled mixture
+weights, and packing documents into fixed-budget shards/bins for
+sequence assembly.
+
+Scale notes (the design points, in order of appearance):
+
+- ``hash_sample`` is a pure filter — no shuffle, no state, trivially
+  parallel at any scale; the md5-derived keep-decision is a pure
+  function of (salt, id) so it is stable across reruns, partitionings,
+  and engine versions (unlike ``df.sample``, whose output depends on
+  partition layout).
+- ``stratified_sample(exact=True)`` needs a per-stratum total order by
+  hash. A naive ``Window.partitionBy(stratum)`` collapses each stratum
+  into ONE task — fatal when a stratum holds 10^9 rows. Instead it
+  rides :func:`~sandcrawler_spark.operators.ranking.with_global_rank`
+  (range-shuffle two-phase rank over (stratum, hash, id)) and converts
+  global rank to per-stratum rank with a broadcast of per-stratum
+  offsets (|strata| rows). All heavy work stays distributed.
+- ``mixture_weights`` is one partial-aggregable groupBy to |domains|
+  rows, then a broadcast of the 1-row corpus total — no second big
+  shuffle.
+- ``pack_shards`` (LPT-style round-robin over a size-descending total
+  order) reuses the same two-phase global rank; assignment is then a
+  pure projection ``rank % n_shards``.
+- ``pack_ffd`` (first-fit-decreasing into fixed-budget bins) is
+  inherently sequential WITHIN a shard, so it runs as one
+  ``applyInPandas`` group per shard — parallel across shards, which is
+  the knob that scales (shard count grows with the cluster, per-shard
+  work stays bounded by the LPT pre-split).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.ranking import with_global_rank
+
+
+def _hash60(col: Column, salt: str) -> Column:
+    """60-bit non-negative hash, portable to the DuckDB oracle:
+    ``CAST(concat('0x', substr(md5(concat(salt, x)), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_bps: int, salt: str = "smp"
+) -> DataFrame:
+    """Deterministic ~``rate_bps``/10000 sample keyed on a salted md5 of
+    the id. Binomial per-partition (not an exact global quota — see
+    :func:`stratified_sample` for exact quotas); the salt gives
+    independent re-draws for held-out splits (train/val salts)."""
+    return df.filter(_hash60(F.col(id_col), salt) % 10000 < rate_bps)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rate: float,
+    exact: bool = True,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum sample at ``rate``.
+
+    ``exact=False``: hash-threshold keep (zero shuffle, binomial per
+    stratum) — the 100-TB default when ±0.1% quota error is fine.
+
+    ``exact=True``: exactly ``ceil(rate * |stratum|)`` rows per stratum,
+    chosen as the stratum's smallest salted hashes (deterministic, order-
+    and partitioning-independent). Distributed via two-phase global rank
+    over (stratum, hash, id) + a broadcast per-stratum offset/quota map.
+    """
+    h = _hash60(F.col(id_col), salt).alias("__h")
+    if not exact:
+        return df.filter(_hash60(F.col(id_col), salt) % 1_000_000 < int(rate * 1_000_000))
+    scratch: list[DataFrame] = []
+    ranked = with_global_rank(
+        df.withColumn("__h", h),
+        [strata_col, "__h", id_col],
+        rank_col="__grank",
+        scratch=scratch,
+    )
+    quota = ranked.groupBy(strata_col).agg(
+        F.min("__grank").alias("__off"),
+        F.ceil(F.count("*") * F.lit(rate)).alias("__quota"),
+    )
+    out = (
+        ranked.join(F.broadcast(quota), strata_col)
+        .filter(F.col("__grank") - F.col("__off") < F.col("__quota"))
+        .drop("__h", "__grank", "__off", "__quota")
+    )
+    # materialization caveat: with_global_rank persists its range-
+    # shuffled input; callers that keep `out` lazy should unpersist via
+    # their own lifecycle. At battery scale the frames are tiny.
+    return out
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixture table: per-domain size share and
+    the alpha-annealed sampling weight ``size^alpha / sum(size^alpha)``
+    (the standard multilingual/multi-domain re-balancing rule — alpha=1
+    is proportional, alpha=0 uniform). One partial-aggregable groupBy to
+    |domains| rows; corpus totals join back via broadcast."""
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"), F.sum(size_col).alias("size_total")
+    )
+    tot = per.agg(
+        F.sum("size_total").alias("__tot"),
+        F.sum(F.pow("size_total", F.lit(alpha))).alias("__z"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_docs",
+            "size_total",
+            F.round(F.col("size_total") / F.col("__tot"), 6).alias("share"),
+            F.round(F.pow("size_total", F.lit(alpha)) / F.col("__z"), 6).alias("weight"),
+        )
+    )
+
+
+def pack_shards(
+    df: DataFrame, size_col: str, id_col: str, n_shards: int
+) -> DataFrame:
+    """LPT-style balanced shard assignment: global order by (size desc,
+    id), shard = rank mod n_shards (round-robin over the sorted stream —
+    the classic longest-processing-time load-balance approximation).
+    Adds ``shard``; ranking is the two-phase distributed kind."""
+    scratch: list[DataFrame] = []
+    ranked = with_global_rank(
+        df, [F.col(size_col).desc(), F.col(id_col)], rank_col="__grank", scratch=scratch
+    )
+    return ranked.withColumn(
+        "shard", (F.col("__grank") % n_shards).cast("int")
+    ).drop("__grank")
+
+
+FFD_SCHEMA_SUFFIX = "bin int, bin_fill long"
+
+
+def pack_ffd(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """First-fit-decreasing bin packing within each shard: docs sorted by
+    (size desc, id) go into the first bin with room; a doc larger than
+    ``budget`` gets a singleton bin (never dropped). Sequential per
+    shard — parallelism comes from the shard fan-out (pair with
+    :func:`pack_shards`). Output adds ``bin`` (0-based per shard) and
+    ``bin_fill`` (the bin's total size, repeated on each member)."""
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", "
+        + FFD_SCHEMA_SUFFIX
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([size_col, id_col], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        fills: list[int] = []
+        bins: list[int] = []
+        for sz in pdf[size_col].tolist():
+            placed = None
+            for b, fill in enumerate(fills):
+                if fill + sz <= budget:
+                    placed = b
+                    fills[b] = fill + sz
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(sz)
+            bins.append(placed)
+        pdf["bin"] = pd.array(bins, dtype="int32")
+        pdf["bin_fill"] = pd.array([fills[b] for b in bins], dtype="int64")
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(_pack, out_schema)

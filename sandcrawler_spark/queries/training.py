@@ -971,3 +971,118 @@ ORACLES2 = {
         LEFT JOIN dup d USING (doc_id)
     """,
 }
+
+
+# --- corpus curation: sampling / mixture weights / shard packing -------
+# (operators/curation.py; generalizes the reference's one-shot filter/
+# sample jobs — python/scripts/filter_cdx_paper_pdfs.py etc. — to the
+# reproducible-sampling + packing stages of a training-data pipeline)
+
+def smp_hash_sample(spark, sf_dir):
+    """Deterministic salted-md5 16% sample of documents (no rand(): the
+    keep-decision is a pure function of the id, stable across reruns,
+    partitionings, and resumes)."""
+    from sandcrawler_spark.operators import curation
+
+    return curation.hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", rate_bps=1600
+    ).select("doc_id", "lang", "source")
+
+
+def smp_stratified(spark, sf_dir):
+    """Exact per-language quota sample (ceil(0.25 * |stratum|) rows per
+    lang, the stratum's smallest salted hashes) via distributed two-phase
+    rank — no single-task stratum windows."""
+    from sandcrawler_spark.operators import curation
+
+    return curation.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", rate=0.25, exact=True
+    ).select("doc_id", "lang")
+
+
+def mix_domain_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) domain mixture table over source."""
+    from sandcrawler_spark.operators import curation
+
+    return curation.mixture_weights(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", alpha=0.5
+    )
+
+
+def pack_shards_lpt(spark, sf_dir):
+    """LPT round-robin shard assignment (8 shards) over (n_chars desc,
+    doc_id), reported as per-shard doc/char totals."""
+    from sandcrawler_spark.operators import curation
+
+    return (
+        curation.pack_shards(_t(spark, sf_dir, "documents"), "n_chars", "doc_id", 8)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+def pack_ffd_bins(spark, sf_dir):
+    """First-fit-decreasing packing into 4000-char bins within each of 8
+    LPT shards (applyInPandas per shard). Sequential-greedy semantics are
+    not SQL-expressible — driver records the rows-only check; the exact
+    invariants (budget respected, no doc dropped, determinism) are
+    pytest-pinned in tests/test_curation.py."""
+    from sandcrawler_spark.operators import curation
+
+    sharded = curation.pack_shards(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", 8
+    ).select("doc_id", "n_chars", "shard")
+    packed = curation.pack_ffd(sharded, "n_chars", "doc_id", budget=4000)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.max("bin_fill").alias("bin_fill")
+    )
+
+
+_H60 = "CAST(concat('0x', substr(md5(concat('{salt}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+
+QUERIES2.update(
+    {
+        "smp_hash_sample": smp_hash_sample,
+        "smp_stratified": smp_stratified,
+        "mix_domain_weights": mix_domain_weights,
+        "pack_shards_lpt": pack_shards_lpt,
+        "pack_ffd_bins": pack_ffd_bins,
+    }
+)
+
+ORACLES2.update(
+    {
+        "smp_hash_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_H60.format(salt='smp')} % 10000 < 1600
+    """,
+        "smp_stratified": f"""
+        WITH h AS (SELECT doc_id, lang, {_H60.format(salt='strat')} AS hh
+                   FROM documents),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM h)
+        SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.25)
+    """,
+        "mix_domain_weights": """
+        WITH per AS (SELECT source, count(*) AS n_docs,
+                            sum(n_chars) AS size_total
+                     FROM documents GROUP BY source),
+        tot AS (SELECT sum(size_total) AS tot,
+                       sum(pow(size_total, 0.5)) AS z FROM per)
+        SELECT source, n_docs, size_total,
+               round(size_total / tot, 6) AS share,
+               round(pow(size_total, 0.5) / z, 6) AS weight
+        FROM per, tot
+    """,
+        "pack_shards_lpt": """
+        WITH r AS (SELECT doc_id, n_chars,
+                          row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+                   FROM documents)
+        SELECT CAST(rk % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+               sum(n_chars) AS chars_total
+        FROM r GROUP BY 1
+    """,
+    }
+)

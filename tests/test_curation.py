@@ -1,0 +1,121 @@
+"""Curation operators: deterministic sampling, mixture weights, packing.
+
+Invariants that the DuckDB oracle cannot express (determinism across
+partitionings, FFD budget/totality) are pinned here; value parity for
+the SQL-expressible ones lives in the battery (check_oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators import curation
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_salted(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r.doc_id for r in curation.hash_sample(d, "doc_id", 2000).select("doc_id").collect()}
+    # repartitioning must not change the picked set (rand() would)
+    b = {
+        r.doc_id
+        for r in curation.hash_sample(d.repartition(7), "doc_id", 2000)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a
+    # a different salt draws an (almost surely) different set at ~20%
+    c = {
+        r.doc_id
+        for r in curation.hash_sample(d, "doc_id", 2000, salt="val")
+        .select("doc_id")
+        .collect()
+    }
+    assert c != a
+
+
+def test_stratified_exact_quota(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    rate = 0.3
+    got = (
+        curation.stratified_sample(d, "lang", "doc_id", rate, exact=True)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        r.lang: math.ceil(r.n * rate)
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for r in got.collect():
+        assert r.n == want[r.lang], (r.lang, r.n, want[r.lang])
+    # picked set is independent of input partitioning
+    s1 = {r.doc_id for r in curation.stratified_sample(d, "lang", "doc_id", rate).select("doc_id").collect()}
+    s2 = {
+        r.doc_id
+        for r in curation.stratified_sample(d.repartition(5), "lang", "doc_id", rate)
+        .select("doc_id")
+        .collect()
+    }
+    assert s1 == s2
+
+
+def test_stratified_approx_rate(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    got = curation.stratified_sample(d, "lang", "doc_id", 0.5, exact=False).count()
+    assert abs(got - 0.5 * n) < 0.2 * n  # binomial, loose bound
+
+
+def test_mixture_weights_sum_to_one(spark, sf_dir):
+    w = curation.mixture_weights(_docs(spark, sf_dir), "source", "n_chars", alpha=0.5)
+    rows = w.collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # alpha<1 anneals: weight > share for the smallest domain, < for largest
+    smallest = min(rows, key=lambda r: r.size_total)
+    largest = max(rows, key=lambda r: r.size_total)
+    assert smallest.weight > smallest.share
+    assert largest.weight < largest.share
+
+
+def test_pack_shards_balanced(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = curation.pack_shards(d, "n_chars", "doc_id", 8)
+    per = out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ns = [r.n for r in per]
+    assert len(ns) == 8 and max(ns) - min(ns) <= 1  # round-robin property
+    assert out.count() == d.count()
+
+
+def test_pack_ffd_invariants(spark, sf_dir):
+    budget = 4000
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    sharded = curation.pack_shards(d, "n_chars", "doc_id", 4)
+    packed = curation.pack_ffd(sharded, "n_chars", "doc_id", budget).collect()
+    assert len(packed) == d.count()  # no doc dropped
+    fills: dict[tuple, int] = {}
+    for r in packed:
+        fills[(r.shard, r.bin)] = fills.get((r.shard, r.bin), 0) + r.n_chars
+    for (shard, b), fill in fills.items():
+        members = [r for r in packed if r.shard == shard and r.bin == b]
+        if len(members) > 1:
+            assert fill <= budget, (shard, b, fill)
+        # reported bin_fill equals the recomputed sum
+        assert all(r.bin_fill == fill for r in members)
+    # deterministic across reruns
+    again = curation.pack_ffd(sharded, "n_chars", "doc_id", budget).collect()
+    assert sorted((r.shard, r.bin, r.doc_id) for r in again) == sorted(
+        (r.shard, r.bin, r.doc_id) for r in packed
+    )
+    # an oversize doc gets its own bin, never dropped
+    big = spark.createDataFrame(
+        [(1, 9000, 0), (2, 100, 0), (3, 150, 0)], "doc_id long, n_chars long, shard int"
+    )
+    rows = curation.pack_ffd(big, "n_chars", "doc_id", budget=200).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].bin_fill == 9000
+    assert len(rows) == 3

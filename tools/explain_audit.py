@@ -99,6 +99,23 @@ def main() -> int:
         ("pq search: join-free linear codes scan", _pq_search_probe,
          [r"MapInPandas"],
          [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
+        # curation: hash sampling is a pure scan+filter (no shuffle, no
+        # python); stratified/pack ride the two-phase range rank (windows
+        # are per-__pid, never a single-task global window)
+        ("hash sample: shuffle-free pure filter", "smp_hash_sample",
+         [r"Scan parquet"],
+         [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"]),
+        ("stratified sample: range-ranked, no python", "smp_stratified",
+         [r"(?i)rangepartitioning"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("mixture weights: partial agg + broadcast totals", "mix_domain_weights",
+         [r"HashAggregate", r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython"]),
+        ("lpt pack: range-ranked, no python", "pack_shards_lpt",
+         [r"(?i)rangepartitioning"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("ffd pack: arrow-batched per-shard groups", "pack_ffd_bins",
+         [r"FlatMapGroupsInPandas"], [r"BatchEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
