@@ -10,6 +10,7 @@ ORACLES = {**ORACLES, **ORACLES2}
 # every query gains a driver-green row across rounds; the local gate
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
+    "rb_longest_match",
     "sp_html_biblio",
     "med_pdf_extract",
     "c11_urljoin",

@@ -644,10 +644,64 @@ def c11_urljoin(spark, sf_dir):
     )
 
 
+def rb_longest_match(spark, sf_dir):
+    """Robots.txt end-to-end (north rule: "robots.txt caches"): per-host
+    robots BODIES are synthesized deterministically, parsed with the
+    RFC 9309 Arrow-batched parser (group selection: the `sandcrawler`
+    group shadows `User-agent: *`'s Disallow-all), and every URL gets a
+    longest-match allow/deny via the set-oriented decision join
+    (host equi-join + max(struct(precedence, allow))). Exercises group
+    selection, longest-match, and the Allow-overrides-shorter-Disallow
+    case; the oracle states the RFC decision per URL independently."""
+    from sandcrawler_spark.functions import robots
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    hn = (F.col("doc_id") % 20).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), hn, F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("/d/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/open/x")).otherwise(F.lit("/x")),
+        ).alias("path"),
+    )
+    bodies = (
+        urls.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.regexp_extract("host", r"^h(\d+)\.", 1).alias("n"),
+        )
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /\n"),
+                F.lit("User-agent: sandcrawler\nDisallow: /d/"),
+                F.col("n"),
+                # trailing "/" keeps "/d/2/" from prefix-matching "/d/22/x"
+                F.lit("/\nAllow: /d/"),
+                F.col("n"),
+                F.lit("/open\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = robots.explode_rules(bodies, agent="sandcrawler")
+    return robots.robots_allowed(urls, rules)
+
+
 # ============================================== ORACLE SQL (DuckDB) strings
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": _FLAGSHIP_SQL,
+    "rb_longest_match": """
+        SELECT doc_id,
+               'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+               '/d/' || CAST(doc_id % 40 AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 0 THEN '/open/x' ELSE '/x' END AS path,
+               ((doc_id % 40) <> (doc_id % 20)) OR (doc_id % 5 = 0) AS allowed
+        FROM documents WHERE doc_id < 2000
+    """,
     "c11_urljoin": """
         SELECT doc_id,
                CAST(doc_id % 6 AS INT) AS tmpl,
@@ -948,4 +1002,5 @@ QUERIES = {
     "st_tumbling_window": st_tumbling_window,
     "st_session_window": st_session_window,
     "c11_urljoin": c11_urljoin,
+    "rb_longest_match": rb_longest_match,
 }
