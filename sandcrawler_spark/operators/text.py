@@ -360,3 +360,139 @@ def repetition_stats(
             ).alias("dup_ngram_frac"),
         )
     )
+
+
+# Gopher quality-rule constants (Rae et al. 2021, table A1 — public
+# paper): word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, alphabetic-word fraction, and the fixed 8-stopword set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality RULES (pass/fail flags), distinct
+    from :func:`doc_quality`'s raw features: each published threshold
+    becomes a boolean column plus an overall ``pass_gopher``.
+
+    Rules (Rae et al. 2021 §A1.1): 50 <= words <= 100,000; 3 <= mean
+    word length <= 10; (hash + ellipsis) / words < 0.1; >= 80% of words
+    contain an alphabetic character; >= 2 stopwords from the fixed
+    8-word set. Pure Catalyst (one projection, no shuffle, no Python);
+    array lambdas keep everything inside whole-stage codegen."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n = F.size("toks")
+    feats = toks.select(
+        "id",
+        n.alias("n_words"),
+        F.round(F.length(F.concat_ws("", F.col("toks"))) / n, 4).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.rlike("[#]|[.]{3}|…"))) / n, 4
+        ).alias("symbol_ratio"),
+        F.round(F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]"))) / n, 4).alias(
+            "alpha_frac"
+        ),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+    )
+    rules = feats.select(
+        "*",
+        F.col("n_words").between(50, 100_000).alias("ok_words"),
+        F.col("mean_word_len").between(3, 10).alias("ok_word_len"),
+        (F.col("symbol_ratio") < 0.1).alias("ok_symbols"),
+        (F.col("alpha_frac") >= 0.8).alias("ok_alpha"),
+        (F.col("n_stop") >= 2).alias("ok_stop"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("ok_words")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+            & F.col("ok_stop")
+        ).alias("pass_gopher"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style duplicated-line removal (Wenzek et al. 2019, public
+    paper): drop every line whose normalized form (lower+trim) appears
+    in >= ``min_docs`` DISTINCT documents, then reassemble each
+    document's surviving lines in original order.
+
+    Scale shape: explode -> one groupBy(norm) for distinct-doc counts
+    (map-side partial agg) -> left_anti join (the duplicated-norm side
+    is the small side at corpus scale: only norms over threshold) ->
+    one groupBy(id) with an array_sort reassembly (order from DATA
+    [pos], not from partitioning). Whitespace-only lines are never
+    counted as duplicates. No window functions, no Python.
+
+    Output: (id, clean_text, n_lines, n_removed) — every input doc
+    keeps a row even when all its lines are removed (clean_text '')."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("nrm", F.lower(F.trim("line")))
+    dup_norms = (
+        lines.where(F.col("nrm") != "")
+        .groupBy("nrm")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("nrm")
+    )
+    kept = lines.join(dup_norms, "nrm", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return totals.join(reassembled, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+    )
+
+
+# PII patterns: identical char-class-only regexes compile the same
+# under Java regex (Spark) and RE2 (DuckDB) — no lookaround, no \b
+# semantics differences (RE2 supports \b as word boundary like Java).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails,
+    IPv4 addresses, and +international phone numbers (the standard
+    pre-training scrub set). Counting precedes redaction; replacement
+    order email -> ip -> phone is fixed so overlapping matches resolve
+    deterministically. Pure Catalyst (regexp_count/regexp_replace are
+    codegen'd JVM regex), one projection, zero shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+            ),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

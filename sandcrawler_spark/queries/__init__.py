@@ -11,6 +11,9 @@ ORACLES = {**ORACLES, **ORACLES2}
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
     "rb_longest_match",
+    "txt_gopher_rules",
+    "txt_line_dedup",
+    "txt_pii_redact",
     "sp_html_biblio",
     "med_pdf_extract",
     "c11_urljoin",

@@ -1086,3 +1086,153 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# --- text-cleaning stage: Gopher rules / line dedup / PII scrub --------
+# (operators/text.py round-3 additions; each synthesizes its input
+# deterministically from `documents` so the DuckDB oracle can state the
+# expected output independently)
+
+
+def txt_gopher_rules(spark, sf_dir):
+    """Gopher quality RULES (Rae et al. 2021 thresholds) as boolean
+    flags per doc — the accept/reject decision layer over the
+    doc_quality features."""
+    return text.gopher_rules(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def txt_line_dedup(spark, sf_dir):
+    """CCNet-style duplicated-line removal end-to-end: multi-line docs
+    are synthesized (5 lines/doc, line = 60-char prefix of another
+    doc's text chosen by a fixed mixing formula, so cross-doc duplicate
+    lines exist by construction), then lines appearing in >=2 distinct
+    docs are dropped and survivors reassembled in order."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.where(
+        (F.col("doc_id") < 500) & (F.length(F.trim("text")) > 0)
+    ).select(
+        F.col("doc_id").alias("sid"),
+        F.substring(F.trim("text"), 1, 60).alias("frag"),
+    )
+    base = (
+        docs.where(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("pos"))
+        .withColumn("src_id", (F.col("doc_id") * 7 + F.col("pos") * 13) % 500)
+        .join(src, F.col("src_id") == src["sid"])
+    )
+    assembled = base.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "frag"))),
+                lambda s: s["frag"],
+            ),
+        ).alias("text")
+    )
+    return text.line_dedup(assembled, "doc_id", "text", min_docs=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def txt_pii_redact(spark, sf_dir):
+    """PII scrub: every doc gets one email, one IPv4, and one
+    +international phone appended deterministically; the operator must
+    count and redact exactly those (the corpus itself is letter-only
+    word text). The oracle states the redacted text directly without
+    re-running any regex."""
+    sid = F.col("doc_id").cast("string")
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@mail.example.org from 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1555000"), sid,
+        ).alias("text"),
+    )
+    return text.pii_redact(aug, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+QUERIES2.update(
+    {
+        "txt_gopher_rules": txt_gopher_rules,
+        "txt_line_dedup": txt_line_dedup,
+        "txt_pii_redact": txt_pii_redact,
+    }
+)
+
+ORACLES2.update(
+    {
+        "txt_gopher_rules": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   round(length(list_aggregate(t, 'string_agg', ''))
+                         * 1.0 / len(t), 4) AS mean_word_len,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[#]|[.]{3}|…')))
+                         * 1.0 / len(t), 4) AS symbol_ratio,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(t), 4) AS alpha_frac,
+                   len(list_filter(t, x -> list_contains(
+                         ['the','be','to','of','and','that','have','with'],
+                         x))) AS n_stop
+            FROM toks)
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000) AS ok_words,
+               (mean_word_len BETWEEN 3 AND 10) AS ok_word_len,
+               (symbol_ratio < 0.1) AS ok_symbols,
+               (alpha_frac >= 0.8) AS ok_alpha,
+               (n_stop >= 2) AS ok_stop,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3 AND 10)
+                AND (symbol_ratio < 0.1)
+                AND (alpha_frac >= 0.8)
+                AND (n_stop >= 2)) AS pass_gopher
+        FROM feats
+    """,
+        "txt_line_dedup": """
+        WITH src AS (
+            SELECT doc_id AS sid, substr(trim(text), 1, 60) AS frag
+            FROM documents
+            WHERE doc_id < 500 AND length(trim(text)) > 0),
+        base AS (
+            SELECT i.doc_id, p.pos, s.frag
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) i
+            CROSS JOIN (SELECT unnest(range(5)) AS pos) p
+            JOIN src s ON s.sid = (i.doc_id * 7 + p.pos * 13) % 500),
+        dup AS (
+            SELECT lower(trim(frag)) AS nrm
+            FROM base WHERE lower(trim(frag)) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (
+            SELECT b.* FROM base b
+            WHERE lower(trim(b.frag)) NOT IN (SELECT nrm FROM dup)),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM base GROUP BY 1),
+        ra AS (
+            SELECT doc_id,
+                   string_agg(frag, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(ra.clean_text, '') AS clean_text,
+               t.n_lines,
+               CAST(t.n_lines - coalesce(ra.n_kept, 0) AS INT) AS n_removed
+        FROM tot t LEFT JOIN ra ON ra.doc_id = t.doc_id
+    """,
+        "txt_pii_redact": """
+        SELECT doc_id,
+               1 AS n_emails, 1 AS n_ips, 1 AS n_phones,
+               text || ' contact <EMAIL> from <IP> call <PHONE>' AS redacted
+        FROM documents
+    """,
+    }
+)

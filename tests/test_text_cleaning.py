@@ -1,0 +1,74 @@
+"""Unit invariants for the text-cleaning stage (operators/text.py:
+gopher_rules / line_dedup / pii_redact) — edge cases the battery's
+synthesized corpus doesn't produce."""
+
+from __future__ import annotations
+
+from sandcrawler_spark.operators import text as X
+
+
+def test_gopher_rules_flags(spark):
+    # 60 words, mean len 4.67, 10 stopwords
+    clean = " ".join(["the", "quick", "brown", "foxes", "jumped", "over"] * 10)
+    short = "tiny doc of the and that"  # fails ok_words
+    symbols = " ".join(["#tag"] * 60)  # fails ok_symbols + ok_stop
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in X.gopher_rules(df, "id", "text").collect()}
+    assert rows[1]["pass_gopher"] is True
+    assert rows[2]["ok_words"] is False and rows[2]["pass_gopher"] is False
+    assert rows[3]["ok_symbols"] is False and rows[3]["n_stop"] == 0
+
+
+def test_line_dedup_removal_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED LINE\nunique two"),
+            (2, "shared line\nonly in two"),
+            (3, "shared line"),  # all lines removed
+            (4, "   \nkeep me\n   "),  # whitespace lines never dup-removed
+            (5, "keep me too\n   "),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in X.line_dedup(df, "id", "text").collect()}
+    # dedup is case-insensitive (lower+trim norm); order preserved
+    assert out[1]["clean_text"] == "unique one\nunique two"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "only in two"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[3]["n_lines"] == 1
+    # whitespace-only lines appear in 3 docs but survive
+    assert out[4]["clean_text"] == "   \nkeep me\n   "
+    assert out[5]["n_removed"] == 0
+
+
+def test_pii_redact_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.org and c.d+x@e.co.uk here"),
+            (2, "ip 192.168.0.1 phone +12345678 short +123 end"),
+            (3, "nothing to scrub"),
+            (4, "ver 1.2.3.4 is an ip-shaped version"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in X.pii_redact(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> here"
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 1
+    assert out[2]["redacted"] == "ip <IP> phone <PHONE> short +123 end"
+    assert out[3]["redacted"] == "nothing to scrub"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[4]["n_ips"] == 1  # dotted quads redact even as versions
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz"), (3, "x\nw")], "id long, text string"
+    )
+    strict = {r["id"]: r for r in X.line_dedup(df, "id", "text", min_docs=4).collect()}
+    assert all(r["n_removed"] == 0 for r in strict.values())
+    loose = {r["id"]: r for r in X.line_dedup(df, "id", "text", min_docs=3).collect()}
+    assert all(r["clean_text"] != "x" and "x" not in r["clean_text"] for r in loose.values())
