@@ -61,6 +61,9 @@ HEADLINE = [
     "smp_hash_sample",
     "smp_stratified",
     "pack_shards_lpt",
+    "rb_longest_match",
+    "txt_line_dedup",
+    "txt_pii_redact",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -201,3 +201,27 @@ def pack_ffd(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(_pack, out_schema)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public paper): each row draws u = hash-uniform(0,1)
+    from a salted md5 of its id and ranks by key = u^(1/weight); the
+    top-k keys are the sample, with inclusion probability proportional
+    to weight. No rand(): the draw is a pure function of (id, salt), so
+    the sample is stable across reruns, partitionings, and resumes —
+    the property `df.sample` cannot give. The key is rounded to 6
+    decimals (with id tiebreak) so ordering is engine-portable.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a single k-row merge; no global sort, no
+    full shuffle."""
+    u = (_hash60(F.col(id_col), salt).cast("double") + 0.5) / float(1 << 60)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6)
+    return (
+        df.select(F.col(id_col), F.col(weight_col), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -14,6 +14,8 @@ _FRONT = [
     "txt_gopher_rules",
     "txt_line_dedup",
     "txt_pii_redact",
+    "cf_anti_join",
+    "smp_weighted",
     "sp_html_biblio",
     "med_pdf_extract",
     "c11_urljoin",

@@ -1236,3 +1236,59 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# --- cuckoo URL-seen + weighted sampling -------------------------------
+
+
+def cf_anti_join(spark, sf_dir):
+    """Cuckoo-prefiltered new-keys anti-join (the deletable half of the
+    north rule's "bloom/cuckoo" URL-seen): candidates probe the sharded
+    cuckoo table (cogrouped, executor-side), definitely-new rows skip
+    the confirm shuffle, maybe-seen rows are confirmed exactly. The
+    oracle states the exact anti-join answer — the filter must be
+    invisible in the result."""
+    from sandcrawler_spark.operators import cuckoo
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.where(F.col("doc_id") < 400).select(
+        "doc_id", F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    )
+    seen = docs.where((F.col("doc_id") % 3 == 0)).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    )
+    return cuckoo.seen_anti_join_cuckoo(cand, seen, "url", num_shards=8)
+
+
+def smp_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis deterministic weighted top-100 sample of
+    documents, weight = n_chars (bigger docs proportionally more
+    likely); the oracle reproduces the salted-hash draw and the
+    u^(1/w) ranking exactly."""
+    from sandcrawler_spark.operators import curation
+
+    return curation.weighted_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100
+    )
+
+
+QUERIES2.update({"cf_anti_join": cf_anti_join, "smp_weighted": smp_weighted})
+
+ORACLES2.update(
+    {
+        "cf_anti_join": """
+        SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+        WHERE doc_id < 400 AND doc_id % 3 <> 0
+    """,
+        "smp_weighted": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   round(pow(({_H60.format(salt='ws')} + 0.5) / 1152921504606846976.0,
+                             1.0 / n_chars), 6) AS es_key
+            FROM documents)
+        SELECT doc_id, n_chars, es_key
+        FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+    }
+)

@@ -119,3 +119,22 @@ def test_pack_ffd_invariants(spark, sf_dir):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[1].bin_fill == 9000
     assert len(rows) == 3
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from sandcrawler_spark.operators.curation import weighted_sample
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(10.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    a = [r["id"] for r in weighted_sample(df, "id", "w", k=80).collect()]
+    b = [r["id"] for r in weighted_sample(df, "id", "w", k=80).collect()]
+    assert a == b  # pure function of (id, salt): stable across runs
+    # inclusion probability tracks weight: pool the draw over many salts
+    heavy = light = 0
+    for i in range(12):
+        rows = weighted_sample(df, "id", "w", k=80, salt=f"s{i}").collect()
+        heavy += sum(1 for r in rows if r["id"] % 2 == 0)
+        light += sum(1 for r in rows if r["id"] % 2 != 0)
+    assert heavy > 3 * light  # 10x weight >> parity, with slack for k-cap

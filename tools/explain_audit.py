@@ -116,6 +116,32 @@ def main() -> int:
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         ("ffd pack: arrow-batched per-shard groups", "pack_ffd_bins",
          [r"FlatMapGroupsInPandas"], [r"BatchEvalPython", r"CartesianProduct"]),
+        # robots: Arrow parse is per-HOST (tiny side); the per-URL
+        # decision join must broadcast the rules and stay row-Python-free
+        ("robots decision: broadcast rules, no row python", "rb_longest_match",
+         [r"BroadcastHashJoin"], [r"BatchEvalPython", r"CartesianProduct"]),
+        # text-cleaning stage: gopher/pii are pure projections (no
+        # shuffle, no python); line dedup is agg+anti-join, python-free
+        ("gopher rules: pure projection, no python", "txt_gopher_rules",
+         [r"\[codegen id :"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"]),
+        ("pii redact: pure projection, no python", "txt_pii_redact",
+         [r"\[codegen id :"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange"]),
+        ("line dedup: agg + anti-join, no python", "txt_line_dedup",
+         [r"Aggregate", r"LeftAnti"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # cuckoo URL-seen: shard tables built/probed executor-side via
+        # grouped Arrow (never row-Python, never a bitmap collect), and
+        # the confirm stage is a real anti-join
+        ("cuckoo anti-join: cogrouped shards + exact confirm", "cf_anti_join",
+         [r"FlatMapCoGroupsInPandas", r"LeftAnti"],
+         [r"BatchEvalPython", r"CartesianProduct"]),
+        # ES weighted sample: top-k must be TakeOrderedAndProject
+        # (per-partition top-k + k-row merge), not a global sort
+        ("weighted sample: top-k, no global sort", "smp_weighted",
+         [r"TakeOrderedAndProject"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange rangepartitioning"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
