@@ -1,0 +1,288 @@
+"""Link-graph citation priority: PageRank power iteration, in-degree
+scoring, and anchor-text aggregation — all pure DataFrame ops.
+
+The north star's fetch ordering is a heap over (host-budget,
+discovery-depth, citation-priority).  Rounds 1–2 took
+``citation_priority`` as a datagen *input*; this module computes it from
+the crawl's own link graph, the way the reference derives seed priority
+from fatcat citation counts and CDX discovery (SURVEY §2.8; the
+reference feeds `seedlist` priorities from external citation data —
+e.g. scalding/main sort keys over join counts — rather than computing
+PageRank itself, so the power iteration here is the Spark-native
+generalization, not a port).
+
+Scale design (10^10 edges):
+
+- edges are hash-partitioned by ``src`` ONCE and cached; the per-
+  iteration rank join then reuses that partitioning (one shuffle per
+  iteration for the ``dst`` aggregation, none for the join side).
+- ranks are ``localCheckpoint``-ed every iteration — power iteration
+  otherwise builds a lineage chain that re-executes from iteration 0
+  and overwhelms the planner by iteration ~10.
+- dangling mass (nodes with no outlinks) is a single scalar ``agg`` per
+  iteration (driver receives ONE double, never rows).
+- contributions use map-side partial aggregation (groupBy sum), so the
+  shuffle moves one partial per (partition, dst), not one row per edge.
+
+Determinism: fp summation order varies with partitioning, so ranks are
+bit-stable only to ~1e-15; callers that need a total order (battery
+oracles, fetch keys) round with ``bround(_, 6)`` — document counts make
+rank gaps >> 1e-6 apart for top-priority nodes, and ties break by node
+id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def graph_nodes(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct node set of an edge list → one column ``node``."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge DataFrame.
+
+    Returns ``(node, rank)``.  Handles dangling nodes (rank mass of
+    nodes with no outlinks is redistributed uniformly each iteration),
+    so ranks sum to 1 at every step.
+
+    ``checkpoint=True`` localCheckpoints ranks per iteration (lineage
+    truncation); tests that want a pure-lazy plan can disable it.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = graph_nodes(e).cache()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # partition edges by src once; every iteration's join reuses it
+    e_by_src = (
+        e.join(out_deg, "src")
+        .repartition("src")
+        .persist()
+    )
+
+    # dangling node SET is static (mass changes per iteration, membership
+    # doesn't): compute once, cache; empty → skip the per-iter scalar job
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).cache()
+    has_dangling = bool(dangling_nodes.head(1))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+
+    for _ in range(iterations):
+        # mass sitting on dangling nodes (no outgoing edges): one scalar
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        contribs = (
+            e_by_src.join(ranks, e_by_src.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        redistribute = damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(redistribute)
+                ).alias("rank"),
+            )
+        )
+        # lineage truncation: without it, iteration k replans/re-executes
+        # from iteration 0 (lazy for short chains; eager not needed)
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    e_by_src.unpersist()
+    nodes.unpersist()
+    dangling_nodes.unpersist()
+    return ranks
+
+
+def indegree_citation(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """In-degree citation score normalized to [0, 1]:
+    ``citation = in_deg / max(in_deg)``.  The cheap one-shuffle
+    alternative to PageRank for priority seeding — exactly the shape the
+    reference uses when it sorts seedlists by external citation counts.
+
+    Returns ``(node, in_deg, citation)``; nodes with no inlinks get 0.
+    """
+    indeg = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    all_nodes = graph_nodes(edges, src, dst)
+    scored = all_nodes.join(indeg, "node", "left").select(
+        "node", F.coalesce("in_deg", F.lit(0)).alias("in_deg")
+    )
+    # max over a tiny agg — broadcast scalar via crossJoin of a 1-row df
+    mx = scored.agg(F.max("in_deg").alias("mx"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            "in_deg",
+            F.when(F.col("mx") > 0, F.col("in_deg") / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("citation"),
+        )
+    )
+
+
+def anchor_text_topk(
+    edges: DataFrame,
+    k: int = 3,
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Top-k inbound anchor texts per target URL.
+
+    The classic web-IR signal: what OTHER pages call this page.
+    Grouped count per (dst, anchor), then a window top-k with a total
+    order (count desc, anchor asc) so results are
+    parallelism-independent.  Two shuffles, both keyed by dst, and AQE
+    coalesces them at scale; no Python.
+    """
+    counts = (
+        edges.filter(F.length(F.trim(F.col(anchor))) > 0)
+        .groupBy(F.col(dst).alias("url"), F.trim(F.col(anchor)).alias("anchor"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("url").orderBy(F.col("n").desc(), F.col("anchor").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("url", "anchor", "n", "rk")
+    )
+
+
+def with_citation_priority(
+    seeds: DataFrame,
+    scores: DataFrame,
+    url_col: str = "canonical_url",
+    node_col: str = "node",
+    score_col: str = "rank",
+) -> DataFrame:
+    """Replace a seed table's ``citation_priority`` with a graph-derived
+    score (pagerank / indegree), left-joined on canonical URL; unscored
+    seeds keep priority 0.  Rounded to 6dp so the frontier's fetch-order
+    total key is identical across parallelism levels."""
+    sc = scores.select(
+        F.col(node_col).alias(url_col),
+        F.bround(F.col(score_col), 6).alias("_cite"),
+    )
+    return (
+        seeds.drop("citation_priority")
+        .join(sc, url_col, "left")
+        .withColumn("citation_priority", F.coalesce("_cite", F.lit(0.0)))
+        .drop("_cite")
+    )
+
+
+def crawl_edges(spark, state_dir: str) -> DataFrame:
+    """(src, dst) link edges discovered by a committed crawl.
+
+    Read from the snapshot store's per-round ``frontier_add`` deltas:
+    every addition row records the page it was discovered on as the
+    last element of its ``hops`` chain (redirect Location hops and
+    outlink hrefs alike, frontier.py expansion 1+2).  Raw round deltas
+    are append-only on disk (compaction adds a base table but never
+    deletes round dirs), so this sees EVERY discovered edge, including
+    ones later filtered by the seen anti-join — exactly what a citation
+    graph wants.
+    """
+    adds = spark.read.parquet(f"{state_dir}/rounds/round=*/frontier_add")
+    return (
+        adds.select(
+            F.element_at("hops", -1).alias("src"),
+            F.col("canonical_url").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def refresh_seed_citations(
+    spark,
+    data_dir: str,
+    state_dir: str,
+    out_path: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    single_file: bool = True,
+) -> int:
+    """Offline citation refresh between crawl generations — the
+    reference's model (seedlist priorities recomputed offline from
+    citation data, then fed into the next crawl) with the citation
+    signal coming from the previous crawl's OWN link graph.
+
+    Reads ``data_dir/seeds.parquet``, joins PageRank scores from the
+    committed crawl at ``state_dir`` on the seeds' canonical URLs, and
+    writes a refreshed seeds parquet (same schema, new
+    ``citation_priority``) to ``out_path``.  The next crawl — engine or
+    single-threaded oracle — consumes it unchanged, so order parity is
+    preserved by construction.  Returns the number of seeds rescored.
+
+    ``single_file=True`` (default) writes ONE parquet file via Arrow,
+    matching the datagen file contract that the oracle and duckdb
+    checks glob (`datagen.py` writes seeds with ``pq.write_table``);
+    rows are ordered by ``seq`` so the file is byte-deterministic.
+    This collects the seed table on the driver — fine to ~10^7 seeds
+    (seeds are the curated frontier input, not the 10^10 crawl data).
+    At cluster scale pass ``single_file=False`` for a distributed
+    Spark parquet directory write instead (the engine reads either).
+    """
+    from sandcrawler_spark.functions.urlkeys import canonical_url_udf
+
+    scores = pagerank(
+        crawl_edges(spark, state_dir), iterations=iterations, damping=damping
+    )
+    seeds = spark.read.parquet(f"{data_dir}/seeds.parquet")
+    keyed = seeds.withColumn("_cu", canonical_url_udf("base_url"))
+    sc = scores.select(
+        F.col("node").alias("_cu"), F.bround("rank", 6).alias("_cite")
+    )
+    refreshed = (
+        keyed.join(sc, "_cu", "left")
+        .withColumn(
+            "citation_priority", F.coalesce("_cite", F.col("citation_priority"))
+        )
+        .drop("_cu", "_cite")
+        .select(seeds.columns)
+    )
+    if single_file:
+        import pyarrow.parquet as pq
+
+        tbl = refreshed.orderBy("seq").toArrow()
+        pq.write_table(tbl, out_path, row_group_size=65536)
+        n = tbl.num_rows - tbl.column("citation_priority").null_count
+    else:
+        refreshed.write.mode("overwrite").parquet(out_path)
+        n = refreshed.filter(F.col("citation_priority").isNotNull()).count()
+    return n

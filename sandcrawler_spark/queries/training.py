@@ -1292,3 +1292,117 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# ===================================================== link graph (§2.8)
+# Citation priority computed from the crawl's own link graph instead of
+# taken as a datagen input (north_rule heap key #3). Deterministic
+# closed synthetic graph: nodes = doc_id % 397 (397 prime < 500 docs at
+# every SF, so all residues are present and every node has out-degree
+# 3 — no dangling mass, which keeps the unrolled-SQL oracle exact; the
+# dangling path is pytest-covered against numpy in test_linkgraph).
+
+_LG_MOD = 397
+
+
+def _lg_edges(spark, sf_dir):
+    nodes = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % _LG_MOD).alias("node"))
+        .distinct()
+    )
+    mk = lambda a, b: nodes.select(  # noqa: E731
+        F.col("node").alias("src"),
+        ((F.col("node") * a + b) % _LG_MOD).alias("dst"),
+    )
+    return mk(2, 1).unionByName(mk(3, 7)).unionByName(mk(5, 11))
+
+
+def lg_pagerank(spark, sf_dir):
+    """PageRank power iteration (3 rounds, d=0.85) over the synthetic
+    closed graph; oracle unrolls the same three iterations as CTEs."""
+    from sandcrawler_spark.operators.linkgraph import pagerank
+
+    r = pagerank(_lg_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return r.select("node", F.bround("rank", 6).alias("rank"))
+
+
+def lg_indegree(spark, sf_dir):
+    """In-degree citation scoring normalized to [0,1]."""
+    from sandcrawler_spark.operators.linkgraph import indegree_citation
+
+    r = indegree_citation(_lg_edges(spark, sf_dir))
+    return r.select("node", "in_deg", F.bround("citation", 6).alias("citation"))
+
+
+def lg_anchor_topk(spark, sf_dir):
+    """Top-2 inbound anchor texts per target URL (count desc, text asc)."""
+    from sandcrawler_spark.operators.linkgraph import anchor_text_topk
+
+    e = _lg_edges(spark, sf_dir).withColumn(
+        "anchor", F.concat(F.lit("t"), (F.col("src") % 5).cast("string"))
+    )
+    return anchor_text_topk(e, k=2)
+
+
+_LG_EDGES_SQL = f"""
+nodes AS (SELECT DISTINCT doc_id % {_LG_MOD} AS node FROM documents),
+edges AS (
+  SELECT node AS src, (node * 2 + 1) % {_LG_MOD} AS dst FROM nodes
+  UNION ALL SELECT node, (node * 3 + 7) % {_LG_MOD} FROM nodes
+  UNION ALL SELECT node, (node * 5 + 11) % {_LG_MOD} FROM nodes
+)
+"""
+
+_LG_ITER_SQL = """
+r{next} AS (SELECT n.node,
+        0.15 / {mod} + 0.85 * coalesce(sum(r{prev}.r / 3.0), 0) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN r{prev} ON r{prev}.node = e.src
+        GROUP BY n.node)
+"""
+
+QUERIES2.update(
+    {
+        "lg_pagerank": lg_pagerank,
+        "lg_indegree": lg_indegree,
+        "lg_anchor_topk": lg_anchor_topk,
+    }
+)
+
+ORACLES2.update(
+    {
+        "lg_pagerank": f"""
+        WITH {_LG_EDGES_SQL},
+        r0 AS (SELECT node, 1.0 / {_LG_MOD} AS r FROM nodes),
+        {_LG_ITER_SQL.format(next=1, prev=0, mod=_LG_MOD)},
+        {_LG_ITER_SQL.format(next=2, prev=1, mod=_LG_MOD)},
+        {_LG_ITER_SQL.format(next=3, prev=2, mod=_LG_MOD)}
+        SELECT node, round(r, 6) AS rank FROM r3
+    """,
+        "lg_indegree": f"""
+        WITH {_LG_EDGES_SQL},
+        indeg AS (SELECT n.node, count(e.src) AS in_deg
+                  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+                  GROUP BY n.node),
+        mx AS (SELECT max(in_deg) AS mx FROM indeg)
+        SELECT node, in_deg,
+               round(CAST(in_deg AS DOUBLE) / mx.mx, 6) AS citation
+        FROM indeg, mx
+    """,
+        "lg_anchor_topk": f"""
+        WITH {_LG_EDGES_SQL},
+        counts AS (SELECT dst AS url,
+                          't' || CAST(src % 5 AS VARCHAR) AS anchor,
+                          count(*) AS n
+                   FROM edges GROUP BY 1, 2),
+        ranked AS (SELECT url, anchor, n,
+                          CAST(row_number() OVER (
+                            PARTITION BY url ORDER BY n DESC, anchor ASC
+                          ) AS INTEGER) AS rk
+                   FROM counts)
+        SELECT url, anchor, n, rk FROM ranked WHERE rk <= 2
+    """,
+    }
+)

@@ -44,6 +44,13 @@ def _pq_search_probe(spark, sf_dir):
     return pq_search(emb.filter(F.col("vec_id") < 4), pq_encode(emb, books), books, k=3)
 
 
+def _pagerank_probe(spark, sf_dir):
+    from sandcrawler_spark.operators.linkgraph import pagerank
+    from sandcrawler_spark.queries.training import _lg_edges
+
+    return pagerank(_lg_edges(spark, sf_dir), iterations=2, checkpoint=False)
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -142,6 +149,20 @@ def main() -> int:
         ("weighted sample: top-k, no global sort", "smp_weighted",
          [r"TakeOrderedAndProject"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange rangepartitioning"]),
+        # link graph: pure DataFrame joins+aggs, never python, never a
+        # cartesian; anchor top-k is a single keyed window.  pagerank is
+        # probed with checkpoint=False — localCheckpoint (the production
+        # default, needed for lineage truncation) collapses the visible
+        # plan to Scan ExistingRDD, hiding the iteration shape
+        ("pagerank: joins+aggs only, no python", _pagerank_probe,
+         [r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("indegree citation: broadcast max, no python", "lg_indegree",
+         [r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("anchor top-k: keyed window, no python", "lg_anchor_topk",
+         [r"Window"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
@@ -158,7 +179,8 @@ def main() -> int:
             line for line in plan.splitlines()
             if re.search(r"Scan parquet|PushedFilters|Join|Window|WholeStageCodegen \(", line)
         )[:2000]
-        report.append(f"## {key} — {title}\n```\n{head}\n```\n")
+        key_name = key.__name__ if callable(key) else key
+        report.append(f"## {key_name} — {title}\n```\n{head}\n```\n")
 
     # frontier round: robots join must broadcast; politeness windows present
     from sandcrawler_spark.plans.datagen import gen_frontier
