@@ -125,6 +125,70 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities power iteration — the citation-graph
+    complement to :func:`pagerank` (Kleinberg 1999; public algorithm,
+    no reference counterpart): ``authority = Σ hub(inlinks)``,
+    ``hub = Σ authority(outlinks)``, each L1-normalized per step so an
+    unrolled SQL oracle can reproduce the arithmetic exactly.
+
+    Returns ``(node, hub, authority)``.  Same scale shape as pagerank:
+    one edge table joined per half-step, map-side-combined aggregation
+    keyed by the gathering endpoint, lineage truncated per iteration.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = graph_nodes(e).cache()
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+
+    for _ in range(iterations):
+        auth = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        scores = nodes.join(auth, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0.0)).alias("auth")
+        )
+        # L1 normalization: scalar tree-aggregate broadcast back as a
+        # 1-row frame — never a single-partition global window
+        a_sum = scores.agg(F.sum("auth").alias("_s"))
+        scores = scores.crossJoin(F.broadcast(a_sum)).select(
+            "node",
+            F.when(F.col("_s") > 0, F.col("auth") / F.col("_s"))
+            .otherwise(F.lit(0.0))
+            .alias("auth"),
+        )
+
+        hub = (
+            e.join(scores.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        scores = (
+            scores.join(hub, "node", "left")
+            .select("node", "auth", F.coalesce("h", F.lit(0.0)).alias("hub"))
+        )
+        h_sum = scores.agg(F.sum("hub").alias("_s"))
+        scores = scores.crossJoin(F.broadcast(h_sum)).select(
+            "node",
+            "auth",
+            F.when(F.col("_s") > 0, F.col("hub") / F.col("_s"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+        if checkpoint:
+            scores = scores.localCheckpoint(eager=False)
+
+    nodes.unpersist()
+    return scores.select("node", "hub", "auth")
+
+
 def indegree_citation(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

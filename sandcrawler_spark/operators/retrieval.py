@@ -1,0 +1,147 @@
+"""Keyword retrieval over the document corpus: BM25 top-k search and
+tf-idf keyword extraction — pure Catalyst (no Python in the plan).
+
+The reference has no ranked retrieval, but a training-data analytics
+engine needs it constantly: "show me the docs that match this probe
+query" (contamination triage, corpus QA, seed expansion by content).
+Tokenization reuses the battery-wide whitespace convention
+(``text.tokens_col``: lower + trim + split ``\\s+``) so every text
+operator and its DuckDB oracle agree on term identity.
+
+Scale design (10^10 documents):
+
+- the postings build is ONE explode + groupBy(doc, term) — the shuffle
+  is keyed by (doc_id, term) and combines map-side, so it moves one
+  partial per distinct pair, not one row per token occurrence.
+- corpus constants (N, avgdl) are scalar aggregates crossJoined as
+  broadcast 1-row frames; document frequencies are a term-keyed agg.
+- query term lists are tiny and broadcast; the postings side is never
+  re-shuffled for the query join (term-keyed equi-join, and Catalyst
+  broadcasts the query side).
+- per-query top-k is a keyed window; at large k-fleet scale swap for
+  the two-phase top-k in ``operators/ranking.py`` (same contract).
+
+Determinism: BM25/tf-idf sums per (query, doc) cover at most
+|query-terms| addends, so fp ordering noise is << the 6dp rounding all
+battery queries share; ties break (score DESC, doc_id ASC, term ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.text import tokens_col
+
+
+def postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term-frequency postings: ``(doc_id, term, tf)`` plus per-doc
+    length ``dl`` (token count) carried on every row — one explode, one
+    map-side-combining groupBy."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    ).filter(F.length("term") > 0)
+    return toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-``k`` documents per query.
+
+    ``queries`` is ``(query_id, term)`` — one row per query term
+    (pre-lowercased).  Returns ``(query_id, doc_id, score, rk)`` with
+    ``score`` rounded to 6dp and a total tie order (score DESC, doc_id
+    ASC).  idf is the standard smoothed form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive, so
+    matching any rare term can only help.
+    """
+    post = postings(docs, id_col, text_col)
+    n_docs = docs.select(
+        F.count("*").alias("n_docs")
+    )
+    avgdl = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.avg("dl").alias("avgdl")
+    )
+    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    q = queries.select(
+        F.col("query_id"), F.lower(F.trim(F.col("term"))).alias("term")
+    ).distinct()
+    scored = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_.join(q, "term", "left_semi")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` tf-idf keywords per document — the corpus-QA
+    "what is this doc about" signal.  ``score = tf * ln(N / df)``
+    rounded to 6dp; ties break (score DESC, term ASC).  Terms present
+    in every document get idf 0 and lose to any distinctive term."""
+    post = postings(docs, id_col, text_col)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        post.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "score", "rk")
+    )

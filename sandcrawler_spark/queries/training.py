@@ -1406,3 +1406,133 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# ==================================================== retrieval (BM25 / tf-idf)
+# Probe queries over the synthetic corpus vocabulary; q3 contains a
+# term absent from every document (drops out of the inner term join on
+# both sides). BM25 constants k1=1.2, b=0.75 are literal in the oracle.
+
+_IR_QUERIES = [
+    (0, "hash"), (0, "join"),
+    (1, "window"), (1, "sort"), (1, "order"),
+    (2, "dup"), (2, "vector"),
+    (3, "zzzmissing"), (3, "batch"),
+]
+
+
+def ir_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 per probe query; oracle rebuilds the identical
+    postings/idf/length-normalization arithmetic in SQL."""
+    from sandcrawler_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame(_IR_QUERIES, "query_id int, term string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), q, k=5)
+
+
+def ir_tfidf_terms(spark, sf_dir):
+    """Top-3 tf-idf keywords per document."""
+    from sandcrawler_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def lg_hits(spark, sf_dir):
+    """HITS hubs/authorities, 2 L1-normalized iterations over the same
+    closed synthetic graph as lg_pagerank."""
+    from sandcrawler_spark.operators.linkgraph import hits
+
+    r = hits(_lg_edges(spark, sf_dir), iterations=2)
+    return r.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+_IR_QVALUES = ", ".join(f"({i}, '{t}')" for i, t in _IR_QUERIES)
+
+_IR_POST_SQL = """
+toks2 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+           SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks2)
+         WHERE length(term) > 0 GROUP BY 1, 2, 3),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
+"""
+
+_LG_HITS_ITER_SQL = """
+a{i}r AS (SELECT n.node, coalesce(sum(h{prev}.hub), 0) AS a
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN h{prev} ON h{prev}.node = e.src
+          GROUP BY n.node),
+a{i} AS (SELECT node, a / nullif((SELECT sum(a) FROM a{i}r), 0) AS auth
+         FROM a{i}r),
+h{i}r AS (SELECT n.node, coalesce(sum(a{i}.auth), 0) AS h
+          FROM nodes n
+          LEFT JOIN edges e ON e.src = n.node
+          LEFT JOIN a{i} ON a{i}.node = e.dst
+          GROUP BY n.node),
+h{i} AS (SELECT node, h / nullif((SELECT sum(h) FROM h{i}r), 0) AS hub
+         FROM h{i}r)
+"""
+
+QUERIES2.update(
+    {
+        "ir_bm25_topk": ir_bm25_topk,
+        "ir_tfidf_terms": ir_tfidf_terms,
+        "lg_hits": lg_hits,
+    }
+)
+
+ORACLES2.update(
+    {
+        "ir_bm25_topk": f"""
+        WITH {_IR_POST_SQL},
+        qterms(query_id, term) AS (VALUES {_IR_QVALUES}),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT avg(dl) FROM
+                            (SELECT DISTINCT doc_id, dl FROM post)) AS avgdl),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+                 round(sum(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+                 ), 6) AS score
+          FROM post p
+          JOIN (SELECT DISTINCT query_id, term FROM qterms) q USING (term)
+          JOIN dfs d USING (term), stats s
+          GROUP BY 1, 2),
+        ranked AS (SELECT query_id, doc_id, score,
+                          CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC
+                          ) AS INTEGER) AS rk
+                   FROM scored)
+        SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 5
+    """,
+        "ir_tfidf_terms": f"""
+        WITH {_IR_POST_SQL},
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT p.doc_id, p.term,
+                          round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
+                            AS score
+                   FROM post p JOIN dfs d USING (term), n),
+        ranked AS (SELECT doc_id, term, score,
+                          CAST(row_number() OVER (
+                            PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC
+                          ) AS INTEGER) AS rk
+                   FROM scored)
+        SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+    """,
+        "lg_hits": f"""
+        WITH {_LG_EDGES_SQL},
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+        {_LG_HITS_ITER_SQL.format(i=1, prev=0)},
+        {_LG_HITS_ITER_SQL.format(i=2, prev=1)}
+        SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+        FROM h2 JOIN a2 USING (node)
+    """,
+    }
+)

@@ -1,0 +1,121 @@
+"""BM25 / tf-idf retrieval vs a pure-Python reference, and HITS vs
+numpy power iteration with L1 normalization."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from sandcrawler_spark.operators.linkgraph import hits
+from sandcrawler_spark.operators.retrieval import bm25_topk, postings, tfidf_top_terms
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox"),
+    (3, "lazy dog sleeps all day the dog"),
+    (4, "completely unrelated text about spark shuffles"),
+]
+
+
+def _py_bm25(docs, query_terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / len(toks)
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in query_terms:
+            tf = t.count(term)
+            if tf == 0 or term not in df:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_postings_shape(spark, docs_df):
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["dl"])
+            for r in postings(docs_df).collect()}
+    assert rows[(1, "the")] == (2, 9)
+    assert rows[(3, "dog")] == (2, 7)
+    assert (4, "spark") in rows
+
+
+def test_bm25_matches_python(spark, docs_df):
+    q = spark.createDataFrame(
+        [(0, "lazy"), (0, "dog"), (1, "quick"), (1, "zzz")],
+        "query_id int, term string",
+    )
+    got = {}
+    for r in bm25_topk(docs_df, q, k=10).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    want0 = _py_bm25(DOCS, ["lazy", "dog"])
+    assert got[0] == pytest.approx(want0, abs=1e-6)
+    # doc 3 has dog twice and is shorter: must outrank doc 1
+    top0 = bm25_topk(docs_df, q, k=1).filter("query_id = 0").collect()
+    assert top0[0]["doc_id"] == 3
+    # unknown term contributes nothing but known term still ranks
+    want1 = _py_bm25(DOCS, ["quick", "zzz"])
+    assert got[1] == pytest.approx(want1, abs=1e-6)
+
+
+def test_bm25_rank_total_order(spark, docs_df):
+    q = spark.createDataFrame([(0, "the")], "query_id int, term string")
+    rows = bm25_topk(docs_df, q, k=10).orderBy("rk").collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [(-r["score"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
+
+
+def test_tfidf_top_terms(spark, docs_df):
+    got = {
+        (r["doc_id"], r["rk"]): r["term"]
+        for r in tfidf_top_terms(docs_df, k=1).collect()
+    }
+    # doc 4's most distinctive terms are its unique ones (tf=1, df=1 →
+    # equal scores, tie by term asc)
+    assert got[(4, 1)] == "about"
+    # doc 3: 'dog' tf=2 df=2 beats any tf=1 df=1 term
+    # (2*ln(2) ≈ 1.386 > 1*ln(4) ≈ 1.386? ln(4)=1.386... equal!) —
+    # 2*ln(4/2)=1.3863 == 1*ln(4/1)=1.3863; tie → term asc wins: 'all'
+    assert got[(3, 1)] == "all"
+
+
+def _numpy_hits(edges, n, iters):
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += h[s]
+        a = a / a.sum() if a.sum() else a
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += a[t]
+        h = h / h.sum() if h.sum() else h
+    return h, a
+
+
+def test_hits_matches_numpy(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=3).collect()}
+    h, a = _numpy_hits(edges, 5, 3)
+    for v in range(5):
+        assert got[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-12)
+    assert sum(x[0] for x in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(x[1] for x in got.values()) == pytest.approx(1.0, abs=1e-12)

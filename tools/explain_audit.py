@@ -51,6 +51,13 @@ def _pagerank_probe(spark, sf_dir):
     return pagerank(_lg_edges(spark, sf_dir), iterations=2, checkpoint=False)
 
 
+def _hits_probe(spark, sf_dir):
+    from sandcrawler_spark.operators.linkgraph import hits
+    from sandcrawler_spark.queries.training import _lg_edges
+
+    return hits(_lg_edges(spark, sf_dir), iterations=1, checkpoint=False)
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -162,6 +169,21 @@ def main() -> int:
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         ("anchor top-k: keyed window, no python", "lg_anchor_topk",
          [r"Window"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # HITS: per-half-step L1 normalization is a scalar agg broadcast
+        # back as a 1-row frame (BroadcastNestedLoopJoin over 1 row),
+        # NEVER a single-partition global window or a cartesian blowup
+        ("hits: joins+aggs, broadcast normalization, no python", _hits_probe,
+         [r"HashAggregate", r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"Window \[", ]),
+        # BM25/tf-idf: postings = explode + map-side-combined groupBy;
+        # corpus stats broadcast; per-key top-k is a keyed window
+        ("bm25: keyed window top-k, broadcast stats, no python", "ir_bm25_topk",
+         [r"Window", r"Broadcast", r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("tfidf: keyed window top-k, no python", "ir_tfidf_terms",
+         [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
