@@ -135,58 +135,76 @@ def hits(
     """HITS hubs-and-authorities power iteration — the citation-graph
     complement to :func:`pagerank` (Kleinberg 1999; public algorithm,
     no reference counterpart): ``authority = Σ hub(inlinks)``,
-    ``hub = Σ authority(outlinks)``, each L1-normalized per step so an
-    unrolled SQL oracle can reproduce the arithmetic exactly.
+    ``hub = Σ authority(outlinks)``, L1-normalized.
 
-    Returns ``(node, hub, authority)``.  Same scale shape as pagerank:
-    one edge table joined per half-step, map-side-combined aggregation
-    keyed by the gathering endpoint, lineage truncated per iteration.
+    Normalization is DEFERRED: the iteration is linear in the score
+    vector, so per-step rescaling only changes magnitude, never
+    direction — running every gather raw and dividing ONCE at the end
+    by the final L1 sums is exactly the per-step-normalized result (up
+    to fp noise far below the battery's 6dp rounding).  That makes the
+    whole computation one lazy plan: zero mid-iteration Spark jobs,
+    lineage truncated per iteration by lazy localCheckpoint (persisted
+    on first materialization, shared by the final frame's two
+    consumers).  Raw magnitudes grow like (max_degree)^iterations, so
+    every 20 iterations the hub vector is renormalized by a collected
+    scalar (ONE double to the driver) to stay inside double range;
+    2–5 iterations — the useful depth — never trigger it.
+
+    Returns ``(node, hub, auth)``.  Scale shape matches pagerank: one
+    edge equi-join per half-step, map-side-combined aggregation keyed
+    by the gathering endpoint; the final normalization is a scalar
+    tree-aggregate broadcast back as a 1-row frame — never a
+    single-partition global window.
     """
+    if iterations < 1:
+        raise ValueError("hits requires iterations >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = graph_nodes(e).cache()
-    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
 
-    for _ in range(iterations):
-        auth = (
-            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+    for i in range(iterations):
+        gathered_a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("a"))
+            .agg(F.sum("hub").alias("auth"))
         )
-        scores = nodes.join(auth, "node", "left").select(
-            "node", F.coalesce("a", F.lit(0.0)).alias("auth")
+        auth = nodes.join(gathered_a, "node", "left").select(
+            "node", F.coalesce("auth", F.lit(0.0)).alias("auth")
         )
-        # L1 normalization: scalar tree-aggregate broadcast back as a
-        # 1-row frame — never a single-partition global window
-        a_sum = scores.agg(F.sum("auth").alias("_s"))
-        scores = scores.crossJoin(F.broadcast(a_sum)).select(
+        gathered_h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(gathered_h, "node", "left").select(
+            "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+        if (i + 1) % 20 == 0 and i + 1 < iterations:
+            scale = hub.agg(F.sum("hub")).first()[0] or 1.0
+            hub = hub.select("node", (F.col("hub") / F.lit(scale)).alias("hub"))
+
+    a_sum = auth.agg(F.sum("auth").alias("_as"))
+    h_sum = hub.agg(F.sum("hub").alias("_hs"))
+    out = (
+        auth.join(hub, "node")
+        .crossJoin(F.broadcast(a_sum))
+        .crossJoin(F.broadcast(h_sum))
+        .select(
             "node",
-            F.when(F.col("_s") > 0, F.col("auth") / F.col("_s"))
+            F.when(F.col("_hs") > 0, F.col("hub") / F.col("_hs"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+            F.when(F.col("_as") > 0, F.col("auth") / F.col("_as"))
             .otherwise(F.lit(0.0))
             .alias("auth"),
         )
-
-        hub = (
-            e.join(scores.select(F.col("node").alias("dst"), "auth"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth").alias("h"))
-        )
-        scores = (
-            scores.join(hub, "node", "left")
-            .select("node", "auth", F.coalesce("h", F.lit(0.0)).alias("hub"))
-        )
-        h_sum = scores.agg(F.sum("hub").alias("_s"))
-        scores = scores.crossJoin(F.broadcast(h_sum)).select(
-            "node",
-            "auth",
-            F.when(F.col("_s") > 0, F.col("hub") / F.col("_s"))
-            .otherwise(F.lit(0.0))
-            .alias("hub"),
-        )
-        if checkpoint:
-            scores = scores.localCheckpoint(eager=False)
-
+    )
     nodes.unpersist()
-    return scores.select("node", "hub", "auth")
+    return out
 
 
 def indegree_citation(

@@ -1459,21 +1459,23 @@ post AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
 dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
 """
 
+# raw (unnormalized) gathers — HITS is linear, so deferring the L1
+# normalization to one final division is exactly the per-step-
+# normalized result; the linear CTE chain also keeps DuckDB from
+# re-inlining anything (each frame referenced once until the end)
 _LG_HITS_ITER_SQL = """
-a{i}r AS (SELECT n.node, coalesce(sum(h{prev}.hub), 0) AS a
+a{i} AS MATERIALIZED (
+          SELECT n.node, coalesce(sum(h{prev}.hub), 0) AS auth
           FROM nodes n
           LEFT JOIN edges e ON e.dst = n.node
           LEFT JOIN h{prev} ON h{prev}.node = e.src
           GROUP BY n.node),
-a{i} AS (SELECT node, a / nullif((SELECT sum(a) FROM a{i}r), 0) AS auth
-         FROM a{i}r),
-h{i}r AS (SELECT n.node, coalesce(sum(a{i}.auth), 0) AS h
+h{i} AS MATERIALIZED (
+          SELECT n.node, coalesce(sum(a{i}.auth), 0) AS hub
           FROM nodes n
           LEFT JOIN edges e ON e.src = n.node
           LEFT JOIN a{i} ON a{i}.node = e.dst
-          GROUP BY n.node),
-h{i} AS (SELECT node, h / nullif((SELECT sum(h) FROM h{i}r), 0) AS hub
-         FROM h{i}r)
+          GROUP BY n.node)
 """
 
 QUERIES2.update(
@@ -1530,9 +1532,14 @@ ORACLES2.update(
         WITH {_LG_EDGES_SQL},
         h0 AS (SELECT node, 1.0 AS hub FROM nodes),
         {_LG_HITS_ITER_SQL.format(i=1, prev=0)},
-        {_LG_HITS_ITER_SQL.format(i=2, prev=1)}
-        SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
-        FROM h2 JOIN a2 USING (node)
+        {_LG_HITS_ITER_SQL.format(i=2, prev=1)},
+        sums AS MATERIALIZED (
+          SELECT (SELECT sum(auth) FROM a2) AS asum,
+                 (SELECT sum(hub) FROM h2) AS hsum)
+        SELECT h2.node,
+               round(h2.hub / nullif(hsum, 0), 6) AS hub,
+               round(a2.auth / nullif(asum, 0), 6) AS auth
+        FROM h2 JOIN a2 USING (node), sums
     """,
     }
 )
