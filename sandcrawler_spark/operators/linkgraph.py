@@ -368,3 +368,59 @@ def refresh_seed_citations(
         refreshed.write.mode("overwrite").parquet(out_path)
         n = refreshed.filter(F.col("citation_priority").isNotNull()).count()
     return n
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    early_stop: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Minimum-hop discovery depth from a seed set — the link-graph
+    generalization of the crawl's hop accounting (the frontier's
+    ``hops`` chain / max_hops gate in ``plans/frontier.py`` IS this
+    BFS, interleaved with fetch simulation; this runs it standalone
+    over any edge list).  Discovery depth is heap key #2 of the north
+    rule's fetch ordering.
+
+    Level-synchronous frontier expansion: each level is one equi-join
+    (frontier ⋈ edges on src) + distinct + anti-join against visited —
+    the same dedup-then-anti-join shape as a crawl round.  Returns
+    ``(node, depth)`` for reached nodes only (depth 0 = seed).
+
+    Scale: visited grows monotonically, so the per-level anti-join is
+    O(visited); at the 10^10 design point the crawl replaces the plain
+    anti-join with its bloom/cuckoo prefilter + exact confirm
+    (``operators/bloom.py``) — this standalone version keeps the exact
+    join only.  ``early_stop=False`` keeps the whole loop lazy (no
+    per-level driver action); with it True an empty frontier ends the
+    loop with a 1-row ``head`` probe per level.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("int"))
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=False)
+        if early_stop and not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=False)
+    return visited

@@ -1543,3 +1543,45 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# ============================================== BFS discovery depth (§2.8)
+# Seeds = nodes ≡ 0 (mod 10) of the closed synthetic graph; 3 levels
+# unrolled in the oracle with explicit anti-joins per level.
+
+
+def lg_bfs_depth(spark, sf_dir):
+    """Min-hop discovery depth from the mod-10 seed set, 3 levels;
+    early_stop=False keeps the battery plan fully lazy."""
+    from sandcrawler_spark.operators.linkgraph import bfs_depths, graph_nodes
+
+    edges = _lg_edges(spark, sf_dir)
+    seeds = graph_nodes(edges).filter(F.col("node") % 10 == 0)
+    return bfs_depths(edges, seeds, max_depth=3, early_stop=False)
+
+
+QUERIES2["lg_bfs_depth"] = lg_bfs_depth
+
+ORACLES2["lg_bfs_depth"] = f"""
+        WITH {_LG_EDGES_SQL},
+        d0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % 10 = 0),
+        d1 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN d0 ON e.src = d0.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)),
+        d2 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN d1 ON e.src = d1.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM d1)),
+        d3 AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN d2 ON e.src = d2.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM d1)
+            AND e.dst NOT IN (SELECT node FROM d2))
+        SELECT node, CAST(0 AS INTEGER) AS depth FROM d0
+        UNION ALL SELECT node, 1 FROM d1
+        UNION ALL SELECT node, 2 FROM d2
+        UNION ALL SELECT node, 3 FROM d3
+"""

@@ -119,3 +119,33 @@ def test_hits_matches_numpy(spark):
         assert got[v][1] == pytest.approx(a[v], abs=1e-12)
     assert sum(x[0] for x in got.values()) == pytest.approx(1.0, abs=1e-12)
     assert sum(x[1] for x in got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def _py_bfs(edges, seeds, max_depth):
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_depth + 1):
+        nxt = {t for s in frontier for t in adj.get(s, [])} - depth.keys()
+        for n in nxt:
+            depth[n] = d
+        frontier = nxt
+    return depth
+
+
+def test_bfs_depths_matches_python(spark):
+    from sandcrawler_spark.operators.linkgraph import bfs_depths
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (9, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_depths(df, seeds, max_depth=4).collect()}
+    assert got == _py_bfs(edges, [0], 4)
+    # unreached node 9 absent; depth(3) is 1 via the 0->3 shortcut
+    assert 9 not in got and got[3] == 1
+    # early_stop=True on an exhausted graph ends at the true eccentricity
+    got2 = {r["node"]: r["depth"]
+            for r in bfs_depths(df, seeds, max_depth=50).collect()}
+    assert got2 == _py_bfs(edges, [0], 50)

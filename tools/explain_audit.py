@@ -185,6 +185,11 @@ def main() -> int:
         ("tfidf: keyed window top-k, no python", "ir_tfidf_terms",
          [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # BFS discovery depth: each level is equi-join + distinct +
+        # anti-join vs visited (the crawl round's dedup shape)
+        ("bfs depth: per-level anti-join, no python", "lg_bfs_depth",
+         [r"LeftAnti"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
