@@ -51,6 +51,17 @@ def _pagerank_probe(spark, sf_dir):
     return pagerank(_lg_edges(spark, sf_dir), iterations=2, checkpoint=False)
 
 
+def _bfs_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.linkgraph import bfs_depths, graph_nodes
+    from sandcrawler_spark.queries.training import _lg_edges
+
+    edges = _lg_edges(spark, sf_dir)
+    seeds = graph_nodes(edges).filter(F.col("node") % 10 == 0)
+    return bfs_depths(edges, seeds, max_depth=2, early_stop=False, checkpoint=False)
+
+
 def _hits_probe(spark, sf_dir):
     from sandcrawler_spark.operators.linkgraph import hits
     from sandcrawler_spark.queries.training import _lg_edges
@@ -186,8 +197,10 @@ def main() -> int:
          [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # BFS discovery depth: each level is equi-join + distinct +
-        # anti-join vs visited (the crawl round's dedup shape)
-        ("bfs depth: per-level anti-join, no python", "lg_bfs_depth",
+        # anti-join vs visited (the crawl round's dedup shape); probed
+        # with checkpoint=False — localCheckpoint collapses the visible
+        # plan to Scan ExistingRDD, hiding the per-level shape
+        ("bfs depth: per-level anti-join, no python", _bfs_probe,
          [r"LeftAnti"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
