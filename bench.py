@@ -64,6 +64,9 @@ HEADLINE = [
     "rb_longest_match",
     "txt_line_dedup",
     "txt_pii_redact",
+    "lg_pagerank",
+    "lg_bfs_depth",
+    "ir_bm25_topk",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))
