@@ -40,6 +40,15 @@ def main() -> int:
         help="per-host token-bucket politeness (persisted hosts state table) "
         "instead of the flat per-round budget",
     )
+    ap.add_argument(
+        "--refresh-citations-from",
+        metavar="STATE_DIR",
+        help="before crawling, recompute seed citation_priority via PageRank "
+        "over the link graph of the committed crawl at STATE_DIR (the "
+        "generation loop: crawl N feeds crawl N+1's fetch priorities); "
+        "writes the refreshed seeds next to --state and crawls from a "
+        "data dir that uses them",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,9 +61,27 @@ def main() -> int:
 
     from sandcrawler_spark.plans.frontier import run_crawl
 
+    data_dir = args.data
+    refreshed = None
+    if args.refresh_citations_from:
+        import shutil
+
+        from sandcrawler_spark.operators.linkgraph import refresh_seed_citations
+
+        gen_dir = os.path.join(args.state + "_gen_data")
+        if not os.path.isdir(gen_dir):
+            shutil.copytree(args.data, gen_dir)
+        refreshed = refresh_seed_citations(
+            spark,
+            args.data,
+            args.refresh_citations_from,
+            os.path.join(gen_dir, "seeds.parquet"),
+        )
+        data_dir = gen_dir
+
     store = run_crawl(
         spark,
-        args.data,
+        data_dir,
         args.state,
         max_rounds=args.rounds,
         default_budget=args.budget,
@@ -62,7 +89,10 @@ def main() -> int:
         resume=args.resume,
         token_bucket=args.token_bucket,
     )
-    print(json.dumps({"rounds": store.committed_rounds, "counters": store.counters()}))
+    out = {"rounds": store.committed_rounds, "counters": store.counters()}
+    if refreshed is not None:
+        out["seeds_rescored"] = refreshed
+    print(json.dumps(out))
     return 0
 
 
