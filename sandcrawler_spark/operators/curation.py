@@ -225,3 +225,50 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def curation_decisions(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """End-to-end keep/drop decision per document — the composed
+    curation pipeline a corpus build actually runs, as ONE plan:
+
+    1. exact dedup: one canonical doc (min id) per normalized content
+       hash; the rest are ``exact_dup``.
+    2. quality gate: canonical docs that fail the Gopher rule set
+       (:func:`..text.gopher_rules`) are ``gopher_fail``.
+    3. everything else is ``kept``.
+
+    Returns ``(doc_id, reason)`` with reason ∈ {kept, exact_dup,
+    gopher_fail}.  Stage 1 is a keyed min-aggregation joined back on
+    the hash (two shuffles on the content hash, map-side combined —
+    never a window over a skewed global ordering); stage 2 is a pure
+    projection, so the composition adds nothing beyond the dedup
+    shuffles.  Deterministic: canonical choice is min(id).
+    """
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.text import gopher_rules
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h"),
+    )
+    canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep_id"))
+    staged = hashed.join(canon, "_h").withColumn(
+        "_is_canon", F.col("doc_id") == F.col("_keep_id")
+    )
+    rules = gopher_rules(
+        staged.filter("_is_canon"), "doc_id", "_text"
+    ).select(F.col("id").alias("doc_id"), "pass_gopher")
+    return (
+        staged.join(rules, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("_is_canon"), F.lit("exact_dup"))
+            .when(~F.col("pass_gopher"), F.lit("gopher_fail"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )

@@ -1585,3 +1585,57 @@ ORACLES2["lg_bfs_depth"] = f"""
         UNION ALL SELECT node, 2 FROM d2
         UNION ALL SELECT node, 3 FROM d3
 """
+
+
+# =========================================== composed curation pipeline
+def pipe_curation(spark, sf_dir):
+    """Exact-dedup (min-id canonical) → Gopher quality gate → keep/drop
+    reason per doc, as one composed plan."""
+    from sandcrawler_spark.operators.curation import curation_decisions
+
+    return curation_decisions(_t(spark, sf_dir, "documents"))
+
+
+QUERIES2["pipe_curation"] = pipe_curation
+
+ORACLES2["pipe_curation"] = """
+        WITH hashed AS (
+            SELECT doc_id, text, md5(lower(trim(text))) AS h
+            FROM documents),
+        canon AS (SELECT h, min(doc_id) AS keep_id FROM hashed GROUP BY h),
+        toksq AS (
+            SELECT hashed.doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM hashed JOIN canon USING (h)
+            WHERE hashed.doc_id = canon.keep_id),
+        feats AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   round(length(list_aggregate(t, 'string_agg', ''))
+                         * 1.0 / len(t), 4) AS mean_word_len,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[#]|[.]{3}|…')))
+                         * 1.0 / len(t), 4) AS symbol_ratio,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(t), 4) AS alpha_frac,
+                   len(list_filter(t, x -> list_contains(
+                         ['the','be','to','of','and','that','have','with'],
+                         x))) AS n_stop
+            FROM toksq),
+        gates AS (
+            SELECT doc_id,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3 AND 10)
+                    AND (symbol_ratio < 0.1)
+                    AND (alpha_frac >= 0.8)
+                    AND (n_stop >= 2)) AS pass_gopher
+            FROM feats)
+        SELECT hashed.doc_id,
+               CASE WHEN hashed.doc_id <> canon.keep_id THEN 'exact_dup'
+                    WHEN NOT gates.pass_gopher THEN 'gopher_fail'
+                    ELSE 'kept' END AS reason
+        FROM hashed
+        JOIN canon USING (h)
+        LEFT JOIN gates ON gates.doc_id = hashed.doc_id
+"""

@@ -138,3 +138,18 @@ def test_weighted_sample_deterministic_and_proportional(spark):
         heavy += sum(1 for r in rows if r["id"] % 2 == 0)
         light += sum(1 for r in rows if r["id"] % 2 != 0)
     assert heavy > 3 * light  # 10x weight >> parity, with slack for k-cap
+
+
+def test_curation_decisions_reasons(spark):
+    from sandcrawler_spark.operators.curation import curation_decisions
+
+    good = "the quick brown fox and the lazy dog have words with " * 10
+    rows = [
+        (1, good),            # canonical, passes gopher
+        (2, good),            # exact dup of 1
+        (3, "  " + good + " "),  # dup after trim-normalization
+        (4, "short junk"),    # canonical but fails gopher (n_words < 50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"] for r in curation_decisions(df).collect()}
+    assert got == {1: "kept", 2: "exact_dup", 3: "exact_dup", 4: "gopher_fail"}
