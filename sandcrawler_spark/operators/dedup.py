@@ -410,3 +410,76 @@ def connected_components(
         "cluster_size",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Maximal cross-doc exact duplicated token spans — the
+    "deduplicating training data" substring pass (Lee et al. 2021,
+    public method) with the suffix array replaced by the Spark-native
+    equivalent: k-gram anchor equi-join + diagonal run merge.
+
+    Every ≥``min_len``-token sequence shared verbatim by two documents
+    contains consecutive k-gram anchors; joining anchors on the gram,
+    then merging runs of consecutive positions along each alignment
+    diagonal (``pos1 − pos2``) with a gaps-and-islands window,
+    reconstructs each maximal shared span exactly.  Returns
+    ``(id1, id2, start1, start2, span_len)`` — 0-based token offsets,
+    ``id1 < id2``, ``span_len ≥ min_len`` (≥ k required to anchor).
+
+    Scale: the anchor join shuffles on the gram; stopword-run grams are
+    the skew risk — ``max_gram_df`` drops grams seen in more than that
+    many documents before pairing (the standard common-gram cap; a
+    dropped gram can only split a span that rarer neighbors still
+    anchor).  The run merge is a keyed window per (id1, id2, diagonal)
+    — never global.  At 10^10 docs, join on ``xxhash64(gram)`` instead
+    of the string and re-verify survivors by re-slicing; the string
+    join here keeps the battery oracle byte-exact.
+    """
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            )
+        ).alias("p", "g"),
+    )
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.countDistinct("id").alias("gdf"))
+            .filter(F.col("gdf") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(rare, "g", "left_semi")
+    a = grams.select(F.col("id").alias("id1"), F.col("p").alias("p1"), "g")
+    b = grams.select(F.col("id").alias("id2"), F.col("p").alias("p2"), "g")
+    hits = a.join(b, "g").filter(F.col("id1") < F.col("id2")).select(
+        "id1", "id2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag")
+    )
+    w = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    runs = hits.withColumn("island", F.col("p1") - F.row_number().over(w))
+    return (
+        runs.groupBy("id1", "id2", "diag", "island")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            (F.count("*") + k - 1).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("id1", "id2", "start1", "start2", "span_len")
+    )

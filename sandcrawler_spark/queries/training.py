@@ -1639,3 +1639,70 @@ ORACLES2["pipe_curation"] = """
         JOIN canon USING (h)
         LEFT JOIN gates ON gates.doc_id = hashed.doc_id
 """
+
+
+# ======================================= exact duplicated-substring spans
+def dd_substring_spans(spark, sf_dir):
+    """Maximal exact duplicated token spans (Lee et al. substring
+    dedup): docs are synthesized so groups of 4 share a 120-char
+    fragment by construction (doc_id < 200 gets its own 180-char prefix
+    + the fragment of source (doc_id*7) % 50), then every shared
+    >= 12-token run is recovered via k-gram anchors + diagonal merge."""
+    from sandcrawler_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    srcf = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("sid"),
+        F.substring(F.trim("text"), 1, 120).alias("frag"),
+    )
+    base = (
+        docs.where(F.col("doc_id") < 200)
+        .withColumn("src_id", (F.col("doc_id") * 7) % 50)
+        .join(srcf, F.col("src_id") == F.col("sid"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring(F.trim("text"), 1, 180), F.lit(" "), F.col("frag")
+            ).alias("text"),
+        )
+    )
+    return duplicated_spans(base, "doc_id", "text", k=8, min_len=12)
+
+
+QUERIES2["dd_substring_spans"] = dd_substring_spans
+
+ORACLES2["dd_substring_spans"] = """
+        WITH srcf AS (
+            SELECT doc_id AS sid, substr(trim(text), 1, 120) AS frag
+            FROM documents WHERE doc_id < 50),
+        base AS (
+            SELECT d.doc_id,
+                   substr(trim(d.text), 1, 180) || ' ' || s.frag AS text
+            FROM documents d
+            JOIN srcf s ON s.sid = (d.doc_id * 7) % 50
+            WHERE d.doc_id < 200),
+        toksd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM base),
+        grams AS (
+            SELECT doc_id AS id, CAST(u.p AS INTEGER) AS p, u.g AS g
+            FROM (SELECT * FROM toksd WHERE len(t) >= 8) toksd,
+            unnest([{'p': i - 1,
+                     'g': list_aggregate(t[i:i+7], 'string_agg', ' ')}
+                    for i in range(1, len(t) - 8 + 2)]) AS _(u)),
+        hits AS (
+            SELECT a.id AS id1, b.id AS id2, a.p AS p1, b.p AS p2,
+                   a.p - b.p AS diag
+            FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id),
+        runs AS (
+            SELECT *, p1 - row_number() OVER (
+                        PARTITION BY id1, id2, diag ORDER BY p1) AS island
+            FROM hits)
+        SELECT id1, id2,
+               min(p1) AS start1, min(p2) AS start2,
+               count(*) + 7 AS span_len
+        FROM runs
+        GROUP BY id1, id2, diag, island
+        HAVING count(*) + 7 >= 12
+"""

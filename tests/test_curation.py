@@ -153,3 +153,35 @@ def test_curation_decisions_reasons(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["reason"] for r in curation_decisions(df).collect()}
     assert got == {1: "kept", 2: "exact_dup", 3: "exact_dup", 4: "gopher_fail"}
+
+
+def test_duplicated_spans_exact(spark):
+    from sandcrawler_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        (1, "one two three " + shared + " x y z"),
+        (2, "uno dos " + shared + " fin"),
+        (3, "no overlap here at all whatsoever truly none"),
+        # doc 4 repeats the shared run twice -> two diagonals vs doc 1
+        (4, shared + " pause " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"], r["start1"], r["start2"]): r["span_len"]
+        for r in duplicated_spans(df, "doc_id", "text", k=4, min_len=8).collect()
+    }
+    # doc1 tokens: shared starts at 3; doc2: at 2; doc4: at 0 and 11
+    assert got[(1, 2, 3, 2)] == 10
+    assert got[(1, 4, 3, 0)] == 10
+    assert got[(1, 4, 3, 11)] == 10
+    assert got[(2, 4, 2, 0)] == 10
+    assert got[(2, 4, 2, 11)] == 10
+    # doc4 self-pairs excluded (id1 < id2 on distinct docs only);
+    # doc3 shares nothing long enough
+    assert not any(3 in (i, j) for i, j, *_ in got)
+    # max_gram_df=1 drops every cross-doc anchor -> empty
+    assert (
+        duplicated_spans(df, "doc_id", "text", k=4, min_len=8, max_gram_df=1).count()
+        == 0
+    )
