@@ -196,6 +196,17 @@ def main() -> int:
         ("tfidf: keyed window top-k, no python", "ir_tfidf_terms",
          [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # substring spans: anchor equi-join + keyed window merge —
+        # never python, never a cartesian
+        ("substring spans: anchor join + keyed window, no python",
+         "dd_substring_spans",
+         [r"Window", r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # composed curation: dedup agg + hash join-back + rule
+        # projection, one plan, no python
+        ("curation pipeline: agg + join-back, no python", "pipe_curation",
+         [r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # BFS discovery depth: each level is equi-join + distinct +
         # anti-join vs visited (the crawl round's dedup shape); probed
         # with checkpoint=False — localCheckpoint collapses the visible
