@@ -1,0 +1,86 @@
+"""End-to-end corpus build: the training-data ops composed the way a
+real pipeline runs them — exact/quality curation → MinHash near-dup
+clusters → canonical-per-cluster keep → token accounting → balanced
+shard packing — with determinism asserted across partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.curation import curation_decisions, pack_shards
+from sandcrawler_spark.operators.dedup import connected_components, minhash_near_dups
+from sandcrawler_spark.operators.text import token_stats
+
+STOP = "the and that have with "
+
+
+def _doc(tag: str) -> str:
+    # ≥50 words, ≥2 stopwords, all-alpha tokens → passes the Gopher gate;
+    # token vocabulary is doc-unique, so distinct docs share (almost) no
+    # 3-gram shingles
+    return STOP + " ".join(f"{tag}tok{j}" for j in range(55))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _doc(f"w{i}x")) for i in range(20)]  # doc 0 = the family base
+    base = _doc("w0x")
+    rows += [
+        (21, base + " tailone"),
+        (22, base + " tailtwo"),
+        (23, base.replace("w0xtok30", "changed")),
+        (24, base),  # exact dup of doc 0
+        (25, "junk"),  # fails quality
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _build(corpus, n_shards=3):
+    decisions = curation_decisions(corpus)
+    survivors = corpus.join(
+        decisions.filter(F.col("reason") == "kept"), "doc_id", "left_semi"
+    )
+    pairs = minhash_near_dups(survivors, "doc_id", "text", tau=0.8)
+    clusters = connected_components(pairs, "id1", "id2")
+    drop_near = clusters.filter(~F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = survivors.join(drop_near, "doc_id", "left_anti")
+    stats = token_stats(kept, "doc_id", "text")
+    sized = kept.join(
+        stats.select(F.col("id").alias("doc_id"), "n_ws_tokens"), "doc_id"
+    )
+    return decisions, kept, pack_shards(sized, "n_ws_tokens", "doc_id", n_shards)
+
+
+def test_corpus_build_composition(spark, corpus):
+    decisions, kept, packed = _build(corpus)
+    d = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+    assert d[24] == "exact_dup" and d[25] == "gopher_fail"
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # near-dups of doc 0 collapse to the min-id canonical
+    assert 0 in kept_ids
+    assert not {21, 22, 23} & kept_ids
+    assert not {24, 25} & kept_ids
+    # every other variant doc survives
+    assert set(range(1, 20)) <= kept_ids
+
+    rows = packed.select("doc_id", "shard").collect()
+    shards = {}
+    for r in rows:
+        shards.setdefault(r["shard"], []).append(r["doc_id"])
+    assert set(shards) == {0, 1, 2}
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes[-1] - sizes[0] <= 1  # round-robin balance
+
+
+def test_corpus_build_deterministic_across_partitioning(spark, corpus):
+    def run(parts):
+        _, _, packed = _build(corpus.repartition(parts))
+        return sorted(
+            (r["doc_id"], r["shard"]) for r in packed.collect()
+        )
+
+    assert run(1) == run(13)
