@@ -1706,3 +1706,100 @@ ORACLES2["dd_substring_spans"] = """
         GROUP BY id1, id2, diag, island
         HAVING count(*) + 7 >= 12
 """
+
+
+# ===================================================== sitemap ingestion
+def src_sitemap_entries(spark, sf_dir):
+    """Sitemap parsing end-to-end: one sitemap per host bucket
+    (doc_id % 10) assembled from the documents table — <loc> always,
+    <lastmod> always, <priority> only for doc_id % 3 == 0 (exercising
+    the optional-field null path) plus one child-sitemap index block —
+    then parsed back to entry rows."""
+    from sandcrawler_spark.sources.sitemaps import sitemap_entries
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    g = (F.col("doc_id") % 10).cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    frag = F.concat(
+        F.lit("<url><loc> http://h"), g,
+        F.lit(".example.org/d/"), F.col("doc_id").cast("string"),
+        F.lit(" </loc><lastmod>2024-01-"), day, F.lit("</lastmod>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>\n"),
+    )
+    assembled = (
+        d.select(g.alias("g"), F.col("doc_id"), frag.alias("frag"))
+        .groupBy("g")
+        .agg(
+            F.concat(
+                F.lit("<urlset>\n"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                        lambda s: s["frag"],
+                    ),
+                ),
+                F.lit("<sitemap><loc>http://h"), F.col("g"),
+                F.lit(".example.org/child.xml</loc></sitemap>\n</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("http://h"), F.col("g"), F.lit(".example.org/sitemap.xml")
+            ).alias("fetch_url"),
+            "xml",
+        )
+    )
+    return sitemap_entries(assembled)
+
+
+QUERIES2["src_sitemap_entries"] = src_sitemap_entries
+
+ORACLES2["src_sitemap_entries"] = r"""
+        WITH frags AS (
+            SELECT doc_id,
+                   CAST(doc_id % 10 AS VARCHAR) AS g,
+                   '<url><loc> http://h' || CAST(doc_id % 10 AS VARCHAR)
+                   || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+                   || ' </loc><lastmod>2024-01-'
+                   || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                   || '</lastmod>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<priority>0.' || CAST(doc_id % 9 AS VARCHAR)
+                                || '</priority>'
+                           ELSE '' END
+                   || '</url>' || chr(10) AS frag
+            FROM documents WHERE doc_id < 100),
+        sm AS (
+            SELECT 'http://h' || g || '.example.org/sitemap.xml' AS fetch_url,
+                   '<urlset>' || chr(10)
+                   || string_agg(frag, '' ORDER BY doc_id)
+                   || '<sitemap><loc>http://h' || g
+                   || '.example.org/child.xml</loc></sitemap>'
+                   || chr(10) || '</urlset>' AS xml
+            FROM frags GROUP BY g),
+        url_blocks AS (
+            SELECT fetch_url, 'url' AS kind,
+                   unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+            FROM sm),
+        sm_blocks AS (
+            SELECT fetch_url, 'sitemap' AS kind,
+                   unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+            FROM sm),
+        blocks AS (SELECT * FROM url_blocks UNION ALL SELECT * FROM sm_blocks),
+        parsed AS (
+            SELECT fetch_url, kind,
+                   regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS url,
+                   nullif(regexp_extract(b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+                   CAST(nullif(regexp_extract(b, '(?s)<priority>\s*(.*?)\s*</priority>', 1), '') AS DOUBLE) AS sm_priority
+            FROM blocks)
+        SELECT * FROM parsed WHERE length(url) > 0
+"""
