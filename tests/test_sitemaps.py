@@ -73,3 +73,37 @@ def test_seeds_conversion(spark):
     assert cols == ["seq", "ingest_type", "base_url", "link_source",
                     "link_source_id", "priority", "citation_priority",
                     "depth", "force_recrawl"]
+
+
+def test_robots_to_sitemap_to_seeds_chain(spark):
+    """Full seed-discovery chain: robots.txt Sitemap: directive →
+    (simulated fetch of that URL) → sitemap parse → frontier seed rows."""
+    from sandcrawler_spark.functions.robots import parse_robots_udf
+
+    robots = spark.createDataFrame(
+        [("example.org",
+          "User-agent: *\nDisallow: /private\n"
+          "Sitemap: https://example.org/sitemap.xml\n")],
+        "host string, robots_txt string",
+    )
+    directives = robots.select(
+        "host",
+        F.explode(parse_robots_udf("*")("robots_txt")["sitemaps"]).alias(
+            "sitemap_url"
+        ),
+    )
+    assert directives.collect()[0]["sitemap_url"] == (
+        "https://example.org/sitemap.xml"
+    )
+
+    # simulated fetch: the directive URL keys the body table
+    bodies = spark.createDataFrame(
+        [("https://example.org/sitemap.xml", XML)], "fetch_url string, xml string"
+    )
+    fetched = directives.join(
+        bodies, directives.sitemap_url == bodies.fetch_url
+    ).select("fetch_url", "xml")
+    seeds = seeds_from_sitemaps(sitemap_entries(fetched))
+    assert {r["base_url"] for r in seeds.collect()} == {
+        "https://example.org/a", "https://example.org/b",
+    }
