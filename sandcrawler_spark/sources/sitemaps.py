@@ -103,3 +103,62 @@ def seeds_from_sitemaps(
         F.lit(0).cast("int").alias("depth"),
         F.lit(False).alias("force_recrawl"),
     )
+
+
+def freshness_reingest_seeds(
+    entries: DataFrame,
+    url_seen: DataFrame,
+    seq_offset: int = 0,
+    ingest_type: str = "html",
+) -> DataFrame:
+    """Freshness-driven re-crawl seeds: sitemap ``lastmod`` vs the
+    crawl's recorded fetch datetime.  An already-seen URL whose sitemap
+    ``lastmod`` post-dates its ``terminal_dt`` (14-char CDX datetime)
+    gets a ``force_recrawl=True`` seed row for the next generation —
+    feed the result to ``plans.frontier.run_reingest`` (the reference's
+    quarterly dump→reingest cycle, ``sql/dump_reingest_quarterly.sql``,
+    with the re-crawl *trigger* coming from the publisher's sitemap
+    instead of a fixed quarter).
+
+    ``lastmod`` dates compare against CDX datetimes lexicographically
+    after normalization (``YYYY-MM-DD`` → ``YYYYMMDD000000``), i.e. a
+    page is due if modified strictly after the capture's day start —
+    the conservative reading.  URLs never fetched (no terminal_dt) are
+    not emitted: the frontier already owns first fetches.
+    """
+    from pyspark.sql import Window
+
+    from sandcrawler_spark.functions.urlkeys import canonical_url_udf
+
+    due_key = F.concat(
+        F.regexp_replace(F.substring("lastmod", 1, 10), "-", ""),
+        F.lit("000000"),
+    )
+    urls = (
+        entries.filter(
+            (F.col("kind") == "url") & F.col("lastmod").isNotNull()
+        )
+        .select(
+            F.col("url"),
+            canonical_url_udf("url").alias("canonical_url"),
+            due_key.alias("lastmod_cdx"),
+        )
+    )
+    seen = url_seen.filter(F.col("terminal_dt").isNotNull()).select(
+        "ingest_type", "canonical_url", "terminal_dt"
+    )
+    due = urls.join(seen, "canonical_url").filter(
+        F.col("lastmod_cdx") > F.col("terminal_dt")
+    )
+    w = Window.orderBy("canonical_url", "ingest_type")
+    return due.select(
+        (F.row_number().over(w) - 1 + seq_offset).cast("long").alias("seq"),
+        F.coalesce("ingest_type", F.lit(ingest_type)).alias("ingest_type"),
+        F.col("url").alias("base_url"),
+        F.lit("sitemap-freshness").alias("link_source"),
+        F.col("canonical_url").alias("link_source_id"),
+        F.lit(0).cast("int").alias("priority"),
+        F.lit(0.9).alias("citation_priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(True).alias("force_recrawl"),
+    )

@@ -107,3 +107,63 @@ def test_robots_to_sitemap_to_seeds_chain(spark):
     assert {r["base_url"] for r in seeds.collect()} == {
         "https://example.org/a", "https://example.org/b",
     }
+
+
+def test_freshness_reingest_end_to_end(spark, tmp_path):
+    """Sitemap lastmod vs crawl state → force_recrawl seeds → reingest
+    generation that still matches the single-threaded oracle."""
+    from sandcrawler_spark.plans.datagen import gen_frontier
+    from sandcrawler_spark.plans.frontier import (
+        resolve_url_seen,
+        run_crawl,
+        run_reingest,
+    )
+    from sandcrawler_spark.plans.oracle import run_oracle
+    from sandcrawler_spark.sources.sitemaps import freshness_reingest_seeds
+
+    d = str(tmp_path / "data")
+    gen_frontier(d, n_urls=600, n_hosts=15, n_seeds=180, seed=23)
+    state = str(tmp_path / "state")
+    store = run_crawl(spark, d, state, max_rounds=2)
+
+    seen = resolve_url_seen(store.read_table("url_seen"))
+    fetched = (
+        seen.filter(F.col("terminal_dt").isNotNull())
+        .orderBy("canonical_url")
+        .limit(10)
+        .collect()
+    )
+    assert len(fetched) == 10
+    # 6 modified after their capture, 4 long before → only 6 due
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{r['canonical_url']}</loc>"
+        f"<lastmod>{'2031-01-01' if i < 6 else '1991-01-01'}</lastmod></url>"
+        for i, r in enumerate(fetched)
+    ) + "</urlset>"
+    entries = sitemap_entries(
+        spark.createDataFrame(
+            [("http://h0.example.org/sitemap.xml", xml)],
+            "fetch_url string, xml string",
+        )
+    )
+    seeds = freshness_reingest_seeds(entries, seen, seq_offset=50_000)
+    rows = seeds.collect()
+    assert len(rows) == 6
+    assert all(r["force_recrawl"] for r in rows)
+    assert {r["base_url"] for r in rows} == {
+        r["canonical_url"] for r in fetched[:6]
+    }
+
+    ri_path = str(tmp_path / "freshness_seeds.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(seeds.orderBy("seq").toArrow(), ri_path)
+    store2 = run_reingest(spark, d, state, ri_path, extra_rounds=2)
+    oracle = run_oracle(d, max_rounds=2, reingest_seeds_path=ri_path,
+                        reingest_rounds=2)
+    got = [
+        [row["canonical_url"]
+         for row in store2.read_round_table(r, "fetch_order").orderBy("rank").collect()]
+        for r in store2.committed_rounds
+    ]
+    assert got == oracle.fetch_orders
