@@ -1803,3 +1803,33 @@ ORACLES2["src_sitemap_entries"] = r"""
             FROM blocks)
         SELECT * FROM parsed WHERE length(url) > 0
 """
+
+
+# =============================================== corpus length quantiles
+def txt_len_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (corpus QA report). Exact
+    `percentile` keeps the DuckDB oracle bit-checkable (both sides are
+    linear interpolation over the sorted group); at 10^10 docs swap in
+    `approx_percentile` — same report, sketch-based, no per-group sort."""
+    q = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(q[0], 6).alias("p50"),
+            F.round(q[1], 6).alias("p90"),
+            F.round(q[2], 6).alias("p99"),
+        )
+    )
+
+
+QUERIES2["txt_len_quantiles"] = txt_len_quantiles
+
+ORACLES2["txt_len_quantiles"] = """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99
+        FROM documents GROUP BY lang
+"""
