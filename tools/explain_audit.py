@@ -196,6 +196,11 @@ def main() -> int:
         ("tfidf: keyed window top-k, no python", "ir_tfidf_terms",
          [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # sitemap parse: regexp block-extract + transform + explode,
+        # all JVM-side
+        ("sitemap parse: pure catalyst, no python", "src_sitemap_entries",
+         [r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # substring spans: anchor equi-join + keyed window merge —
         # never python, never a cartesian
         ("substring spans: anchor join + keyed window, no python",
