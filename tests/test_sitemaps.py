@@ -167,3 +167,31 @@ def test_freshness_reingest_end_to_end(spark, tmp_path):
         for r in store2.committed_rounds
     ]
     assert got == oracle.fetch_orders
+
+
+def test_sitemap_parser_never_crashes_on_garbage(spark):
+    """Lenient-regex contract: arbitrary text (including nested/broken
+    tags) parses without error and never emits an empty url."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frags = st.lists(
+        st.sampled_from([
+            "<url>", "</url>", "<loc>", "</loc>", "<sitemap>", "</sitemap>",
+            "<lastmod>", "</lastmod>", "<priority>", "</priority>",
+            "x", "https://e.org/p", "0.5", "&amp;", "\n", " ", "<urlset>",
+        ]),
+        max_size=30,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(frags)
+    def run(parts):
+        xml = "".join(parts)
+        rows = sitemap_entries(
+            spark.createDataFrame([("u", xml)], "fetch_url string, xml string")
+        ).collect()
+        assert all(len(r["url"]) > 0 for r in rows)
+        assert all(r["kind"] in ("url", "sitemap") for r in rows)
+
+    run()
