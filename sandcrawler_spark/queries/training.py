@@ -1833,3 +1833,98 @@ ORACLES2["txt_len_quantiles"] = """
                round(quantile_cont(n_chars, 0.99), 6) AS p99
         FROM documents GROUP BY lang
 """
+
+
+# ======================================================= RSS/Atom feeds
+def src_feed_entries(spark, sf_dir):
+    """Feed parsing end-to-end: one RSS feed per even host bucket and
+    one Atom feed per odd bucket, assembled from the documents table,
+    parsed back to sitemap-shaped entry rows."""
+    from sandcrawler_spark.sources.feeds import feed_entries
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    g = (F.col("doc_id") % 6).cast("string")
+    loc = F.concat(
+        F.lit("http://h"), g, F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    rss_item = F.concat(
+        F.lit("<item><title>t</title><link>"), loc,
+        F.lit("</link><pubDate>Mon, "), day,
+        F.lit(" Jan 2024 00:00:00 GMT</pubDate></item>\n"),
+    )
+    atom_entry = F.concat(
+        F.lit('<entry><link rel="alternate" href="'), loc,
+        F.lit('"/><updated>2024-01-'), day,
+        F.lit("T00:00:00Z</updated></entry>\n"),
+    )
+    frag = F.when(F.col("doc_id") % 2 == 0, rss_item).otherwise(atom_entry)
+    assembled = (
+        d.select(g.alias("g"), F.col("doc_id"), frag.alias("frag"))
+        .groupBy("g")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                    lambda s: s["frag"],
+                ),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("http://h"), F.col("g"), F.lit(".example.org/feed.xml")
+            ).alias("fetch_url"),
+            "xml",
+        )
+    )
+    return feed_entries(assembled)
+
+
+QUERIES2["src_feed_entries"] = src_feed_entries
+
+ORACLES2["src_feed_entries"] = r"""
+        WITH frags AS (
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS VARCHAR) AS g,
+                   'http://h' || CAST(doc_id % 6 AS VARCHAR)
+                   || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+                   lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS day
+            FROM documents WHERE doc_id < 60),
+        pieces AS (
+            SELECT doc_id, g,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '<item><title>t</title><link>' || loc
+                             || '</link><pubDate>Mon, ' || day
+                             || ' Jan 2024 00:00:00 GMT</pubDate></item>' || chr(10)
+                        ELSE '<entry><link rel="alternate" href="' || loc
+                             || '"/><updated>2024-01-' || day
+                             || 'T00:00:00Z</updated></entry>' || chr(10)
+                   END AS frag
+            FROM frags),
+        feeds AS (
+            SELECT 'http://h' || g || '.example.org/feed.xml' AS fetch_url,
+                   string_agg(frag, '' ORDER BY doc_id) AS xml
+            FROM pieces GROUP BY g),
+        rss AS (
+            SELECT fetch_url,
+                   unnest(regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1)) AS b,
+                   '(?s)<link>\s*(.*?)\s*</link>' AS link_re,
+                   '(?s)<pubDate>\s*(.*?)\s*</pubDate>' AS date_re
+            FROM feeds),
+        atom AS (
+            SELECT fetch_url,
+                   unnest(regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1)) AS b,
+                   '(?s)<link[^>]*href="([^"]*)"' AS link_re,
+                   '(?s)<updated>\s*(.*?)\s*</updated>' AS date_re
+            FROM feeds),
+        blocks AS (SELECT * FROM rss UNION ALL SELECT * FROM atom),
+        parsed AS (
+            SELECT fetch_url, 'url' AS kind,
+                   regexp_extract(b, link_re, 1) AS url,
+                   nullif(regexp_extract(b, date_re, 1), '') AS lastmod,
+                   CAST(NULL AS DOUBLE) AS sm_priority
+            FROM blocks)
+        SELECT * FROM parsed WHERE length(url) > 0
+"""

@@ -195,3 +195,41 @@ def test_sitemap_parser_never_crashes_on_garbage(spark):
         assert all(r["kind"] in ("url", "sitemap") for r in rows)
 
     run()
+
+
+RSS = """<rss version="2.0"><channel>
+  <item><title>A</title><link> https://example.org/rss-a </link>
+        <pubDate>Tue, 05 Mar 2024 10:00:00 GMT</pubDate></item>
+  <item><title>no link</title></item>
+</channel></rss>"""
+
+ATOM = """<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry><link rel="alternate" href="https://example.org/atom-a"/>
+         <updated>2024-03-06T00:00:00Z</updated></entry>
+  <entry><link href="https://example.org/atom-b"/></entry>
+</feed>"""
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from sandcrawler_spark.sources.feeds import feed_entries
+
+    df = spark.createDataFrame(
+        [("https://example.org/rss.xml", RSS),
+         ("https://example.org/atom.xml", ATOM)],
+        "fetch_url string, xml string",
+    )
+    rows = {r["url"]: r for r in feed_entries(df).collect()}
+    assert set(rows) == {
+        "https://example.org/rss-a",
+        "https://example.org/atom-a",
+        "https://example.org/atom-b",
+    }
+    assert rows["https://example.org/rss-a"]["lastmod"] == (
+        "Tue, 05 Mar 2024 10:00:00 GMT"
+    )
+    assert rows["https://example.org/atom-a"]["lastmod"] == "2024-03-06T00:00:00Z"
+    assert rows["https://example.org/atom-b"]["lastmod"] is None
+    # schema-compatible with the sitemap seed converter
+    seeds = seeds_from_sitemaps(feed_entries(df), link_source="feed")
+    got = {r["base_url"]: r["link_source"] for r in seeds.collect()}
+    assert set(got) == set(rows) and set(got.values()) == {"feed"}
