@@ -145,3 +145,50 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+def unigram_nll(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-alpha-smoothed unigram LM — the classic model-based quality
+    proxy (CCNet-style perplexity filtering with the KenLM 5-gram
+    replaced by a self-trained unigram, which keeps it exactly
+    SQL-replayable): documents full of corpus-typical words score low,
+    outliers (boilerplate, other languages, encoding garbage) score
+    high.
+
+    ``p(w) = (count(w) + alpha) / (T + alpha·V)`` over the corpus's own
+    token stream (T tokens, V observed vocab);
+    ``nll(doc) = −Σ tf·ln p(w) / dl``.  Returns ``(doc_id, nll)``
+    rounded to 6dp.
+
+    Scale: one postings build (map-side combined), a term-keyed join
+    against the (small) term-count table, broadcast scalar totals, one
+    per-doc aggregation — the same shuffle shape as BM25 without the
+    query side."""
+    post = postings(docs, id_col, text_col)
+    counts = post.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("t_tokens"), F.count("*").alias("v_size")
+    )
+    return (
+        post.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("t_tokens") + F.lit(alpha) * F.col("v_size"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("tf") * F.col("lp")) / F.first("dl"), 6).alias(
+                "nll"
+            )
+        )
+    )

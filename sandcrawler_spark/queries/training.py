@@ -1928,3 +1928,36 @@ ORACLES2["src_feed_entries"] = r"""
             FROM blocks)
         SELECT * FROM parsed WHERE length(url) > 0
 """
+
+
+# ================================================ unigram-LM quality score
+def txt_unigram_nll(spark, sf_dir):
+    """Mean per-token NLL under the corpus's own add-0.5-smoothed
+    unigram LM (the SQL-replayable stand-in for CCNet's KenLM
+    perplexity filter)."""
+    from sandcrawler_spark.operators.retrieval import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+QUERIES2["txt_unigram_nll"] = txt_unigram_nll
+
+ORACLES2["txt_unigram_nll"] = """
+        WITH toksu AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+        post AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM (
+              SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toksu)
+            WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        counts AS (SELECT term, sum(tf) AS cnt FROM post GROUP BY 1),
+        totals AS (SELECT sum(cnt) AS t_tokens, count(*) AS v_size
+                   FROM counts)
+        SELECT p.doc_id,
+               round(-sum(p.tf * ln((c.cnt + 0.5)
+                                    / (tt.t_tokens + 0.5 * tt.v_size)))
+                     / any_value(p.dl), 6) AS nll
+        FROM post p JOIN counts c USING (term), totals tt
+        GROUP BY p.doc_id
+"""

@@ -149,3 +149,30 @@ def test_bfs_depths_matches_python(spark):
     got2 = {r["node"]: r["depth"]
             for r in bfs_depths(df, seeds, max_depth=50).collect()}
     assert got2 == _py_bfs(edges, [0], 50)
+
+
+def test_unigram_nll_ranks_outliers_higher(spark):
+    from sandcrawler_spark.operators.retrieval import unigram_nll
+
+    rows = [
+        (1, "common words common words common words"),
+        (2, "common words common words rare"),
+        (3, "zzz qqq xxx www vvv"),  # all-outlier doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nll"] for r in unigram_nll(df).collect()}
+    # typical doc scores lowest, all-rare doc highest
+    assert got[1] < got[2] < got[3]
+    # python replay of the exact formula for doc 1
+    import math
+
+    toks = [r[1].split() for r in rows]
+    cnt = {}
+    for t in toks:
+        for w in t:
+            cnt[w] = cnt.get(w, 0) + 1
+    T, V, a = sum(cnt.values()), len(cnt), 0.5
+    nll1 = -sum(
+        math.log((cnt[w] + a) / (T + a * V)) for w in toks[0]
+    ) / len(toks[0])
+    assert got[1] == pytest.approx(round(nll1, 6), abs=1e-6)
