@@ -93,3 +93,42 @@ def resource_type_counts(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "kind")
         .agg(F.count("*").alias("n"))
     )
+
+
+def interleave_stats(span_rows: DataFrame) -> DataFrame:
+    """Per-document interleaving profile of a span sequence — the
+    multimodal corpus-QA metric for ``(doc_id, spans)`` tables
+    (image/text ratio, alternation density): how many spans, how many
+    are media, the media fraction, the offset of the first media span,
+    and the number of kind ALTERNATIONS in offset order (a pure-text
+    doc alternates 0 times; a caption-per-image page alternates every
+    span).
+
+    Input is exploded span rows (``explode_spans`` output).  Order
+    comes from ``offset`` — data, not partitioning — via a per-doc lag
+    window, so the result is parallelism-independent; the window is
+    keyed by doc_id, never global.
+    """
+    from pyspark.sql import Window
+
+    is_media = (F.col("kind") != "text").cast("int")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    flagged = span_rows.select(
+        "doc_id", "kind", "offset", is_media.alias("m")
+    ).withColumn(
+        "alt",
+        F.when(
+            F.lag("kind").over(w).isNotNull()
+            & (F.col("kind") != F.lag("kind").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("m").alias("n_media"),
+        F.round(F.sum("m") / F.count("*"), 6).alias("media_fraction"),
+        F.min(F.when(F.col("m") == 1, F.col("offset"))).alias(
+            "first_media_offset"
+        ),
+        F.sum("alt").alias("alternations"),
+    )

@@ -1961,3 +1961,51 @@ ORACLES2["txt_unigram_nll"] = """
         FROM post p JOIN counts c USING (term), totals tt
         GROUP BY p.doc_id
 """
+
+
+# ============================================ span interleaving profile
+def sp_interleave_stats(spark, sf_dir):
+    """Multimodal interleave QA over synthesized span sequences: doc_id
+    < 300 gets 6 spans, kind = media wherever (doc_id + offset) % 3 ==
+    0, then the per-doc alternation/ratio profile."""
+    from sandcrawler_spark.operators.spans import interleave_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    rows = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("offset")
+    ).select(
+        "doc_id",
+        F.when((F.col("doc_id") + F.col("offset")) % 3 == 0, F.lit("image"))
+        .otherwise(F.lit("text"))
+        .alias("kind"),
+        "offset",
+    )
+    return interleave_stats(rows)
+
+
+QUERIES2["sp_interleave_stats"] = sp_interleave_stats
+
+ORACLES2["sp_interleave_stats"] = """
+        WITH rows_ AS (
+            SELECT doc_id, u.off AS "offset",
+                   CASE WHEN (doc_id + u.off) % 3 = 0 THEN 'image'
+                        ELSE 'text' END AS kind
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300),
+                 (SELECT unnest(range(6)) AS off) u),
+        flagged AS (
+            SELECT doc_id, kind, "offset",
+                   CASE WHEN kind <> 'text' THEN 1 ELSE 0 END AS m,
+                   CASE WHEN lag(kind) OVER (
+                            PARTITION BY doc_id ORDER BY "offset") IS NOT NULL
+                         AND kind <> lag(kind) OVER (
+                            PARTITION BY doc_id ORDER BY "offset")
+                        THEN 1 ELSE 0 END AS alt
+            FROM rows_)
+        SELECT doc_id,
+               count(*) AS n_spans,
+               sum(m) AS n_media,
+               round(sum(m) * 1.0 / count(*), 6) AS media_fraction,
+               min(CASE WHEN m = 1 THEN "offset" END) AS first_media_offset,
+               sum(alt) AS alternations
+        FROM flagged GROUP BY doc_id
+"""

@@ -73,3 +73,25 @@ def test_cap_resources(spark):
     df = spark.createDataFrame([small, big])
     kept = [r["doc_id"] for r in cap_resources(df).collect()]
     assert kept == ["ok"]
+
+
+def test_interleave_stats(spark):
+    from sandcrawler_spark.operators.spans import interleave_stats
+
+    rows = [
+        # doc 1: text, image, text, image → 3 alternations, 2 media
+        (1, "text", 0), (1, "image", 1), (1, "text", 2), (1, "image", 3),
+        # doc 2: all text → 0 alternations, no media
+        (2, "text", 0), (2, "text", 1),
+        # doc 3: media-first run then text → 1 alternation
+        (3, "audio", 0), (3, "image", 1), (3, "text", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, kind string, offset int")
+    got = {r["doc_id"]: r for r in interleave_stats(df).collect()}
+    assert (got[1]["n_spans"], got[1]["n_media"], got[1]["alternations"]) == (4, 2, 3)
+    assert got[1]["first_media_offset"] == 1
+    assert (got[2]["n_media"], got[2]["alternations"]) == (0, 0)
+    assert got[2]["first_media_offset"] is None
+    # audio→image is a kind change (counts) even though both are media
+    assert (got[3]["n_media"], got[3]["alternations"]) == (2, 2)
+    assert got[3]["media_fraction"] == pytest.approx(2 / 3, abs=1e-6)
