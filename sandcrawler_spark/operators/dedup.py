@@ -483,3 +483,53 @@ def duplicated_spans(
         .filter(F.col("span_len") >= min_len)
         .select("id1", "id2", "start1", "start2", "span_len")
     )
+
+
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    content_col: str = "sha1hex",
+    tau: float = 0.5,
+) -> DataFrame:
+    """Mirror-site detection: host pairs whose CONTENT-HASH sets overlap
+    (set Jaccard ≥ tau) — the host-level generalization of the
+    reference's URL-agnostic sha1 dedup (its HBase table exists to
+    answer exactly this membership question per hash,
+    python_hadoop/backfill_hbase_from_cdx.py:2-5).  A crawl that spots
+    a mirror stops paying politeness budget twice for the same corpus.
+
+    Same scale shape as :func:`jaccard_pairs`: the intersection is an
+    equi-join keyed on the content hash (a hash shared by m hosts
+    contributes m·(m−1)/2 pairs — cap ubiquitous hashes upstream the
+    way LSH caps hot buckets), set sizes are a per-host agg, and
+    |A∪B| = |A|+|B|−|A∩B|.  Returns ``(host1, host2, inter, jacc)``
+    with host1 < host2.
+    """
+    sets = df.select(
+        F.col(host_col).alias("h"), F.col(content_col).alias("c")
+    ).distinct()
+    sizes = sets.groupBy("h").agg(F.count("*").alias("sz"))
+    a = sets.select(F.col("h").alias("host1"), "c")
+    b = sets.select(F.col("h").alias("host2"), "c")
+    inter = (
+        a.join(b, "c")
+        .filter(F.col("host1") < F.col("host2"))
+        .groupBy("host1", "host2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("h").alias("host1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("h").alias("host2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "host1")
+        .join(s2, "host2")
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jacc") >= tau)
+        .select("host1", "host2", "inter", "jacc")
+    )

@@ -2009,3 +2009,51 @@ ORACLES2["sp_interleave_stats"] = """
                sum(alt) AS alternations
         FROM flagged GROUP BY doc_id
 """
+
+
+# ========================================================= mirror hosts
+def dd_mirror_hosts(spark, sf_dir):
+    """Host-level mirror detection over synthetic host→content
+    assignments: host h_k serves every doc with doc_id % 7 == k % 7
+    (so hosts k and k+7 are exact mirrors), plus hosts 20/21 share a
+    half-overlapping slice."""
+    from sandcrawler_spark.operators.dedup import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 14).cast("string")).alias("host"),
+        F.md5(F.col("text")).alias("sha1hex"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 7 < 4).select(
+            F.concat(F.lit("m"), ((F.col("doc_id") % 14) + 100).cast("string")).alias("host"),
+            F.md5(F.col("text")).alias("sha1hex"),
+        )
+    )
+    return mirror_hosts(base, tau=0.3)
+
+
+QUERIES2["dd_mirror_hosts"] = dd_mirror_hosts
+
+ORACLES2["dd_mirror_hosts"] = """
+        WITH assign AS (
+            SELECT 'h' || CAST(doc_id % 14 AS VARCHAR) AS host,
+                   md5(text) AS c
+            FROM documents
+            UNION ALL
+            SELECT 'm' || CAST((doc_id % 14) + 100 AS VARCHAR) AS host,
+                   md5(text) AS c
+            FROM documents WHERE doc_id % 7 < 4),
+        sets AS (SELECT DISTINCT host, c FROM assign),
+        sizes AS (SELECT host, count(*) AS sz FROM sets GROUP BY host),
+        inter AS (
+            SELECT a.host AS host1, b.host AS host2, count(*) AS inter
+            FROM sets a JOIN sets b ON a.c = b.c AND a.host < b.host
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT i.host1, i.host2, i.inter,
+                   round(i.inter * 1.0 / (s1.sz + s2.sz - i.inter), 6) AS jacc
+            FROM inter i
+            JOIN sizes s1 ON s1.host = i.host1
+            JOIN sizes s2 ON s2.host = i.host2)
+        SELECT host1, host2, inter, jacc FROM scored WHERE jacc >= 0.3
+"""

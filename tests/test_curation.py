@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sandcrawler_spark.operators import curation
@@ -185,3 +187,23 @@ def test_duplicated_spans_exact(spark):
         duplicated_spans(df, "doc_id", "text", k=4, min_len=8, max_gram_df=1).count()
         == 0
     )
+
+
+def test_mirror_hosts(spark):
+    from sandcrawler_spark.operators.dedup import mirror_hosts
+
+    rows = (
+        [("a.org", f"c{i}") for i in range(10)]
+        + [("b.org", f"c{i}") for i in range(10)]          # exact mirror of a
+        + [("c.org", f"c{i}") for i in range(5)]
+        + [("c.org", f"x{i}") for i in range(5)]           # half-overlap
+        + [("d.org", f"y{i}") for i in range(10)]          # disjoint
+        + [("a.org", "c0")]                                 # dup row: sets, not bags
+    )
+    df = spark.createDataFrame(rows, "host string, sha1hex string")
+    got = {(r["host1"], r["host2"]): (r["inter"], r["jacc"])
+           for r in mirror_hosts(df, tau=0.3).collect()}
+    assert got[("a.org", "b.org")] == (10, 1.0)
+    assert got[("a.org", "c.org")] == (5, pytest.approx(5 / 15, abs=1e-6))
+    assert got[("b.org", "c.org")] == (5, pytest.approx(5 / 15, abs=1e-6))
+    assert not any("d.org" in k for k in got)
