@@ -196,10 +196,26 @@ def main() -> int:
         ("tfidf: keyed window top-k, no python", "ir_tfidf_terms",
          [r"Window", r"Generate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        # sitemap parse: regexp block-extract + transform + explode,
-        # all JVM-side
+        # sitemap/feed parse: regexp block-extract + transform +
+        # explode, all JVM-side
         ("sitemap parse: pure catalyst, no python", "src_sitemap_entries",
          [r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        ("feed parse: pure catalyst, no python", "src_feed_entries",
+         [r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # unigram NLL: postings + term-count join + broadcast totals
+        ("unigram nll: term join + broadcast totals, no python",
+         "txt_unigram_nll",
+         [r"HashAggregate", r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # mirror hosts: hash equi-join intersections, never a cartesian
+        ("mirror hosts: hash equi-join, no cartesian", "dd_mirror_hosts",
+         [r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # interleave stats: keyed lag window, order from data
+        ("interleave stats: keyed window, no python", "sp_interleave_stats",
+         [r"Window"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # substring spans: anchor equi-join + keyed window merge —
         # never python, never a cartesian
