@@ -713,3 +713,45 @@ def pq_search(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "adc_dist")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic
+    deduplication by clustering embeddings and pruning near-identical
+    pairs WITHIN each cluster — the sub-quadratic path to semantic
+    dedup at corpus scale, because the pairwise stage only ever runs
+    inside a cell.
+
+    Keep rule (the paper's cheap deterministic variant): drop a vector
+    iff a SMALLER-id vector in the same cell has cosine ≥ tau with it.
+    Returns ``(vec_id, centroid_id, keep)`` for every corpus vector.
+
+    Scale shape: assignment is the broadcast-centroid
+    :func:`ivf_assign`; the within-cell self-join is an equi-join on
+    ``centroid_id`` (skewed mega-cells are the known failure mode —
+    split them by training more centroids, exactly the paper's k
+    scaling knob).
+    """
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).join(assign, "vec_id")
+    a = v.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "centroid_id")
+    b = v.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "centroid_id")
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("sim", F.round(cosine_col(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("sim") >= tau)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return v.join(dups.withColumn("__dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "centroid_id", F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")
+    )

@@ -2057,3 +2057,43 @@ ORACLES2["dd_mirror_hosts"] = """
             JOIN sizes s2 ON s2.host = i.host2)
         SELECT host1, host2, inter, jacc FROM scored WHERE jacc >= 0.3
 """
+
+
+# =========================================================== SemDeDup
+def dd_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table with the first 8 vectors as
+    fixed centroids (tau 0.99 — synthetic embeddings are near-uniform,
+    so only near-identical pairs prune)."""
+    from sandcrawler_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, emb.filter(F.col("vec_id") < 8), tau=0.99)
+
+
+QUERIES2["dd_semdedup"] = dd_semdedup
+
+ORACLES2["dd_semdedup"] = """
+        WITH cen AS (SELECT vec_id AS centroid_id,
+                            CAST(embedding AS DOUBLE[]) AS cv
+                     FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        s AS (SELECT vec_id, centroid_id,
+                     round(list_cosine_similarity(v, cv), 6) AS sim
+              FROM c CROSS JOIN cen),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, centroid_id ASC) AS rn FROM s)
+            WHERE rn = 1),
+        va AS (SELECT c.vec_id, c.v, a.centroid_id
+               FROM c JOIN assign a USING (vec_id)),
+        dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM va a JOIN va b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
+        SELECT va.vec_id, va.centroid_id,
+               (d.vec_id IS NULL) AS keep
+        FROM va LEFT JOIN dups d ON d.vec_id = va.vec_id
+"""

@@ -84,3 +84,25 @@ def test_corpus_build_deterministic_across_partitioning(spark, corpus):
         )
 
     assert run(1) == run(13)
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    from sandcrawler_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # centroids / members
+        (2, [0.99, 0.01]),                          # near-dup of 0's direction
+        (3, [2.0, 0.0]),                            # same direction as 0, scaled
+        (4, [0.01, 0.99]),                          # near 1's direction
+        (5, [-1.0, 0.0]),                           # anti-parallel: not a dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 2")
+    got = {r["vec_id"]: (r["centroid_id"], r["keep"])
+           for r in semdedup(df, cents, tau=0.95).collect()}
+    # 0 keeps (smallest id); 2 and 3 are pruned by 0; 4 pruned by 1
+    assert got[0] == (0, True) and got[1] == (1, True)
+    assert got[2][1] is False and got[3][1] is False
+    assert got[4] == (1, False)
+    # anti-parallel vector lands in a cell but survives (cos = -1)
+    assert got[5][1] is True
