@@ -272,3 +272,45 @@ def curation_decisions(
             .alias("reason"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    id_col: str,
+    budget: float,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Budget-constrained mixture sampling — the step that APPLIES a
+    :func:`mixture_weights` table: each domain gets ``weight × budget``
+    of the size budget, converted to a per-domain sampling rate
+    ``min(1, target / size_total)`` and applied as a deterministic
+    per-document hash draw (ppm integer threshold, so engine and
+    oracle agree exactly).  Returns the sampled rows with their
+    ``rate_ppm`` attached.
+
+    Scale: the rate table is |domains| rows broadcast onto the corpus
+    scan — one filter pass, no shuffle beyond the weights aggregation.
+    Expected sampled size per domain is ``rate × size_total``; exact
+    quotas (at the cost of a per-domain rank) are
+    :func:`stratified_sample`'s job.
+    """
+    w = mixture_weights(df, domain_col, size_col, alpha)
+    rates = w.select(
+        domain_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("weight") * F.lit(float(budget))) / F.col("size_total"),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_hash60(F.col(id_col), salt) % 1_000_000 < F.col("rate_ppm"))
+    )

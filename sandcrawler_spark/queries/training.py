@@ -2097,3 +2097,42 @@ ORACLES2["dd_semdedup"] = """
                (d.vec_id IS NULL) AS keep
         FROM va LEFT JOIN dups d ON d.vec_id = va.vec_id
 """
+
+
+# ================================================== mixture application
+def smp_mixture_sample(spark, sf_dir):
+    """Apply the alpha=0.5 domain mixture at a 30%-of-corpus char
+    budget: per-lang ppm rates from the weight table, deterministic
+    md5 draws."""
+    from sandcrawler_spark.operators.curation import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    budget = 0.3 * (d.agg(F.sum("n_chars")).first()[0] or 0)
+    return mixture_sample(
+        d, "lang", "n_chars", "doc_id", budget, alpha=0.5
+    ).select("doc_id", "lang", "rate_ppm")
+
+
+QUERIES2["smp_mixture_sample"] = smp_mixture_sample
+
+ORACLES2["smp_mixture_sample"] = """
+        WITH per AS (
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS size_total
+            FROM documents GROUP BY lang),
+        tot AS (SELECT sum(size_total) AS t,
+                       sum(power(size_total, 0.5)) AS z,
+                       0.3 * sum(size_total) AS budget
+                FROM per),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(least(
+                     1.0,
+                     round(power(size_total, 0.5) / z, 6) * budget
+                       / size_total) * 1000000) AS BIGINT) AS rate_ppm
+            FROM per, tot)
+        SELECT d.doc_id, d.lang, r.rate_ppm
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(concat('0x',
+                substr(md5(concat('mix', CAST(d.doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) % 1000000 < r.rate_ppm
+"""

@@ -207,3 +207,32 @@ def test_mirror_hosts(spark):
     assert got[("a.org", "c.org")] == (5, pytest.approx(5 / 15, abs=1e-6))
     assert got[("b.org", "c.org")] == (5, pytest.approx(5 / 15, abs=1e-6))
     assert not any("d.org" in k for k in got)
+
+
+def test_mixture_sample_budget_application(spark):
+    from sandcrawler_spark.operators.curation import mixture_sample
+
+    # two domains, big:small = 90:10 by size; alpha=0 → uniform weights
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (i + 100, "small", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, sz long")
+    total = 100 * 100
+    out = mixture_sample(df, "domain", "sz", "doc_id", budget=0.5 * total, alpha=0.0)
+    rates = {r["domain"]: r["rate_ppm"] for r in
+             out.select("domain", "rate_ppm").distinct().collect()}
+    # uniform weights → each domain targets 2500; small (1000) caps at 1.0
+    assert rates["small"] == 1_000_000
+    assert abs(rates["big"] - int(2500 / 9000 * 1_000_000)) <= 1
+    # capped domain is fully included
+    assert out.filter("domain = 'small'").count() == 10
+    # deterministic across partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), "domain", "sz", "doc_id",
+            budget=0.5 * total, alpha=0.0,
+        ).collect()
+    )
+    assert a == b
