@@ -209,6 +209,14 @@ def main() -> int:
          "txt_unigram_nll",
          [r"HashAggregate", r"Broadcast"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # semdedup: within-cell equi-join pairs, broadcast centroids
+        ("semdedup: cell equi-join pairs, no cartesian", "dd_semdedup",
+         [r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # mixture sampler: broadcast rate table onto one filter pass
+        ("mixture sample: broadcast rates, no python", "smp_mixture_sample",
+         [r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
         # mirror hosts: hash equi-join intersections, never a cartesian
         ("mirror hosts: hash equi-join, no cartesian", "dd_mirror_hosts",
          [r"Join"],
