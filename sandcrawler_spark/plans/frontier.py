@@ -101,6 +101,8 @@ def prepare_seeds(seeds: DataFrame) -> DataFrame:
             F.array().cast("array<string>").alias("hops"),
             "seq",
             F.coalesce("force_recrawl", F.lit(False)).alias("force_recrawl"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("not_before"),
         )
     )
 
@@ -127,13 +129,20 @@ def _dedup_candidates(frontier: DataFrame) -> DataFrame:
     round — the dominant non-scaling cost of the scheduling job.)"""
     keys = ["ingest_type", "canonical_url"]
     payload = [c for c in frontier.columns if c not in keys]
-    order = F.struct(
+    order_cols = [
         F.col("priority"),
         F.col("depth"),
         (-F.col("citation_priority")).alias("neg_cite"),
         F.col("seq"),
         F.concat_ws("|", "hops").alias("hopchain"),
-    )
+    ]
+    if "attempt" in frontier.columns:
+        # retry rows carry the same (priority, depth, cite, seq, hops)
+        # as the stale attempt-0 copy still in the append-only pool —
+        # the HIGHEST attempt must win the dedup so its `not_before`
+        # backoff gate shields the key during the wait window.
+        order_cols.append((-F.col("attempt")).alias("neg_attempt"))
+    order = F.struct(*order_cols)
     return (
         frontier.groupBy(*keys)
         .agg(
@@ -237,14 +246,20 @@ def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:
     )
 
 
-def _resolve_status(fetched: DataFrame) -> DataFrame:
+def _resolve_status(fetched: DataFrame, retries_enabled: bool = False) -> DataFrame:
     """Terminal status state machine (ingest_file.py:637-901 flattened).
 
     The redirect Location is resolved against the fetch URL FIRST
     (C11 urljoin — ia.py:894): loop detection, terminal_url, and the
     redirect expansion all see the absolute canonical target. A
     Location that fails resolution is treated like a missing one
-    (terminal-bad)."""
+    (terminal-bad).
+
+    ``retries_enabled`` splits the non-2xx/3xx bucket: rate-limit /
+    server-error codes (schemas.TRANSIENT_HTTP_CODES) classify as
+    STATUS_TRANSIENT so run_round can re-enqueue them with backoff;
+    disabled (the default) keeps the historical terminal-bad mapping
+    byte-for-byte."""
     fetched = fetched.withColumn(
         "cap_location",
         F.when(
@@ -283,8 +298,13 @@ def _resolve_status(fetched: DataFrame) -> DataFrame:
             .when(F.col("depth") + 1 >= F.lit(S.MAX_HOPS), F.lit(S.STATUS_MAX_HOPS))
             .otherwise(F.lit(S.STATUS_REDIRECT)),
         )
-        .otherwise(F.lit(S.STATUS_TERMINAL_BAD))
     )
+    if retries_enabled:
+        status = status.when(
+            F.col("cap_status").isin(*S.TRANSIENT_HTTP_CODES),
+            F.lit(S.STATUS_TRANSIENT),
+        )
+    status = status.otherwise(F.lit(S.STATUS_TERMINAL_BAD))
     return fetched.withColumn("status", status).withColumn(
         "hit", F.col("status") == S.STATUS_SUCCESS
     )
@@ -417,9 +437,16 @@ def run_round(
     host_tokens: DataFrame | None = None,
     prepared_rules: DataFrame | None = None,
     rules_broadcastable: bool = True,
+    max_retries: int = 0,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
+    if max_retries > 0:
+        # Backoff gate: a retry row dormant until `not_before` wins the
+        # dedup above (highest attempt), so dropping it HERE shields its
+        # key for the whole wait window — the row resurfaces from the
+        # append-only pool once round_id catches up.
+        candidates = candidates.filter(F.col("not_before") <= F.lit(round_id))
 
     # --- URL-seen anti-join (bloom prefilter + exact confirm; SURVEY §7.0)
     if url_seen is not None:
@@ -507,9 +534,33 @@ def run_round(
     scratch.append(fetch_ranked)
 
     # --- fetch simulation + status machine
-    fetched = _resolve_status(_best_capture(fetch_ranked, captures))
+    fetched = _resolve_status(
+        _best_capture(fetch_ranked, captures), retries_enabled=max_retries > 0
+    )
     fetched = fetched.persist()  # reused: results + expansions
     scratch.append(fetched)
+
+    # --- transient-failure retry split (reference: transient worker
+    # errors are re-enqueued, not recorded as terminal results). A
+    # transient fetch with attempts left produces NO url_seen row — it
+    # re-enters the frontier with attempt+1 and an exponential-backoff
+    # round gate (eligible again at round_id + 2^attempt). Exhausted
+    # rows fall through to url_seen with the remote-server-error slug.
+    retries = None
+    if max_retries > 0:
+        retryable = (F.col("status") == S.STATUS_TRANSIENT) & (
+            F.col("attempt") < F.lit(max_retries)
+        )
+        retries = (
+            fetched.filter(retryable)
+            .withColumn(
+                "not_before",
+                (F.lit(round_id) + F.expr("shiftleft(1, attempt)")).cast("int"),
+            )
+            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
+            .select(frontier.columns)
+        )
+        fetched = fetched.filter(~retryable)
 
     # --- url_seen delta (insert-new-only ↔ ON CONFLICT DO NOTHING, db.py:474)
     seen_cols = [
@@ -559,6 +610,8 @@ def run_round(
             F.array_append("hops", F.col("canonical_url")).alias("hops"),
             "seq",
             F.lit(False).alias("force_recrawl"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("not_before"),
         )
         .filter(F.col("canonical_url").isNotNull())
         .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
@@ -599,6 +652,8 @@ def run_round(
             F.array_append("hops", F.col("parent_url")).alias("hops"),
             "seq",
             F.lit(False).alias("force_recrawl"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("not_before"),
         )
         .filter(F.col("canonical_url").isNotNull())
         .filter(~F.array_contains(F.col("hops"), F.col("canonical_url")))
@@ -612,6 +667,8 @@ def run_round(
     # anti-join, instead of rewriting the whole frontier every round
     # (O(additions) writes per round instead of O(frontier)).
     additions = redirects.unionByName(outlinks)
+    if retries is not None:
+        additions = additions.unionByName(retries)
 
     return RoundResult(fetch_ranked, seen_delta, additions, {})
 
@@ -720,6 +777,7 @@ def run_crawl(
     rules_broadcast_max: int = RULES_BROADCAST_MAX,
     compact_factor: float | None = 2.0,
     compact_min_rows: int = 50_000,
+    max_retries: int = 0,
 ) -> SnapshotStore:
     """Multi-round crawl driver with snapshot commit + exact resume.
 
@@ -734,6 +792,14 @@ def run_crawl(
     table (north_star): refill = robots host_budget per round, capacity
     = TOKEN_BUCKET_CAP_MULT × refill, so idle hosts accumulate burst
     capacity. Deterministic and mirrored by the oracle.
+
+    ``max_retries>0`` enables transient-failure retry: a fetch whose
+    best capture carries a TRANSIENT_HTTP_CODES status is re-enqueued
+    (up to max_retries times) with exponential round backoff instead of
+    being recorded in url_seen; the crawl stays alive through rounds
+    where every pending candidate is backing off (the persisted
+    retry_horizon counter). Default 0 preserves the historical
+    terminal-bad semantics byte-for-byte. Mirrored by the oracle.
     """
     from sandcrawler_spark.operators.bloom import BloomStore
 
@@ -806,7 +872,17 @@ def run_crawl(
                     _c(round_id - 1, "scheduled") == 0
                     and _c(round_id - 1, "frontier_rows") == 0
                 )
-                if stale and store.seeds_added_at_round != round_id:
+                # a dormant retry becomes eligible at its not_before
+                # round — the crawl is NOT stale while one is pending,
+                # even across all-quiet backoff-gap rounds
+                retry_horizon = max(
+                    (_c(r, "retry_horizon", 0) for r in range(round_id)), default=0
+                )
+                if (
+                    stale
+                    and store.seeds_added_at_round != round_id
+                    and round_id > retry_horizon
+                ):
                     break  # no selections, no discoveries, no new seeds → done
                 frontier, frontier_input_rows = _assemble_frontier(
                     spark, store, upto_round=round_id - 1
@@ -876,6 +952,7 @@ def run_crawl(
                 host_tokens=host_tokens,
                 prepared_rules=rules_tbl,
                 rules_broadcastable=rules_broadcastable,
+                max_retries=max_retries,
             )
             _trace(f"round {round_id} run_round (rank job)", t0)
 
@@ -903,9 +980,16 @@ def run_crawl(
                     )
                 ).alias("digest"),
             )
-            frontier_df = rr.next_frontier.observe(
-                obs_frontier, F.count(F.lit(1)).alias("frontier_rows")
-            )
+            frontier_exprs = [F.count(F.lit(1)).alias("frontier_rows")]
+            if max_retries > 0:
+                # retry bookkeeping rides the same write-job Observation:
+                # count of re-enqueued rows + the furthest backoff round
+                # (keep-alive horizon for the stale check above)
+                frontier_exprs += [
+                    F.sum((F.col("attempt") > 0).cast("long")).alias("retried"),
+                    F.max("not_before").alias("retry_horizon"),
+                ]
+            frontier_df = rr.next_frontier.observe(obs_frontier, *frontier_exprs)
             # Phased writes: the url_seen write runs FIRST and alone — it
             # materializes the shared `fetched` cache (capture join + status)
             # exactly once. The two remaining writes are then pure
@@ -990,6 +1074,9 @@ def run_crawl(
             counters["order_digest"] = int(fetch_vals["digest"] or 0)
             counters["frontier_rows"] = int(frontier_vals["frontier_rows"])
             counters["forced"] = int(seen_vals["forced"] or 0)
+            if max_retries > 0:
+                counters["retried"] = int(frontier_vals["retried"] or 0)
+                counters["retry_horizon"] = int(frontier_vals["retry_horizon"] or 0)
             # phase-profile evidence that compaction keeps round input
             # O(active): derived from manifest counters, no extra action
             counters["frontier_input_rows"] = frontier_input_rows
@@ -1054,6 +1141,7 @@ def run_reingest(
     extra_rounds: int = 2,
     default_budget: int = DEFAULT_BUDGET,
     use_bloom: bool = True,
+    max_retries: int = 0,
 ) -> SnapshotStore:
     """Dump→re-ingest cycle (reference: sql/dump_reingest_quarterly.sql —
     periodically re-enqueue requests whose results should be retried).
@@ -1079,4 +1167,5 @@ def run_reingest(
         spark, data_dir, state_dir,
         max_rounds=store.last_round + 1 + extra_rounds,
         default_budget=default_budget, use_bloom=use_bloom, resume=True,
+        max_retries=max_retries,
     )

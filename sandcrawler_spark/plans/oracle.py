@@ -46,6 +46,7 @@ def run_oracle(
     reingest_rounds: int = 0,
     token_bucket: bool = False,
     cap_mult: int = 2,
+    max_retries: int = 0,
 ) -> OracleResult:
     """Optionally follows the crawl with a re-ingest cycle: after
     ``max_rounds``, generation bumps to 1 and the seeds at
@@ -86,12 +87,15 @@ def run_oracle(
                 "hops": [],
                 "seq": s["seq"],
                 "force_recrawl": bool(s.get("force_recrawl", False)),
+                "attempt": 0,
+                "not_before": 0,
             }
         )
 
     res = OracleResult()
     generation = 0
     host_tokens: dict = {}  # token-bucket state (only when enabled)
+    retry_horizon = 0       # furthest not_before of any pending retry
 
     # Append-only candidate pool (mirrors the engine's Iceberg-native
     # frontier layout): seeds + every discovered candidate stay in the
@@ -118,9 +122,16 @@ def run_oracle(
                         "hops": [],
                         "seq": s2["seq"],
                         "force_recrawl": bool(s2.get("force_recrawl", False)),
+                        "attempt": 0,
+                        "not_before": 0,
                     }
                 )
-        elif round_id > 0 and prev_scheduled == 0 and prev_additions == 0:
+        elif (
+            round_id > 0
+            and prev_scheduled == 0
+            and prev_additions == 0
+            and round_id > retry_horizon
+        ):
             break
         frontier = pool
         # 1. in-batch dedup: best fetch-priority per (type, url), tie → min seq
@@ -137,6 +148,7 @@ def run_oracle(
                 -c["citation_priority"],
                 c["seq"],
                 "|".join(c["hops"]),
+                -c["attempt"],  # retry row beats its stale pool copy
             )
             if k not in best or key < best[k][0]:
                 best[k] = (key, c)
@@ -145,6 +157,9 @@ def run_oracle(
             c = dict(c)
             c["force_recrawl"] = force_any[k]
             candidates.append(c)
+        if max_retries > 0:
+            # backoff gate: dormant retries shield their key this round
+            candidates = [c for c in candidates if c["not_before"] <= round_id]
 
         # 2. anti-join URL-seen (force_recrawl rows bypass results of
         # EARLIER generations only; reference ingest_file.py:633-635)
@@ -259,8 +274,21 @@ def run_oracle(
                     status = S.STATUS_MAX_HOPS
                 else:
                     status = S.STATUS_REDIRECT
+            elif max_retries > 0 and cap["status_code"] in S.TRANSIENT_HTTP_CODES:
+                status = S.STATUS_TRANSIENT
             else:
                 status = S.STATUS_TERMINAL_BAD
+
+            # transient with attempts left: re-enqueue with exponential
+            # round backoff, NO url_seen record (mirrors run_round)
+            if status == S.STATUS_TRANSIENT and c["attempt"] < max_retries:
+                nb = round_id + (1 << c["attempt"])
+                retry_horizon = max(retry_horizon, nb)
+                counters["retried"] += 1
+                new_candidates.append(
+                    {**c, "attempt": c["attempt"] + 1, "not_before": nb}
+                )
+                continue
 
             res.url_seen[(c["ingest_type"], c["canonical_url"])] = {
                 "hit": status == S.STATUS_SUCCESS,
@@ -289,6 +317,8 @@ def run_oracle(
                             "hops": c["hops"] + [c["canonical_url"]],
                             "seq": c["seq"],
                             "force_recrawl": False,
+                            "attempt": 0,
+                            "not_before": 0,
                         }
                     )
             # expansion: outlinks from successful HTML fetch
@@ -317,6 +347,8 @@ def run_oracle(
                             "hops": new_hops,
                             "seq": c["seq"],
                             "force_recrawl": False,
+                            "attempt": 0,
+                            "not_before": 0,
                         }
                     )
 

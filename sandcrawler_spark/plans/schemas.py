@@ -112,8 +112,20 @@ STATUS_COOKIE = "blocked-cookie"
 STATUS_REDIRECT = "redirect"          # internal: produced candidate at depth+1
 STATUS_LINK_LOOP = "link-loop"
 STATUS_MAX_HOPS = "max-hops-exceeded"
+# transient server-side failure (reference slug: ingest_file.py /
+# ia.py "remote-server-error"): with retries enabled the scheduler
+# re-enqueues these with exponential backoff instead of recording a
+# terminal result; the slug only reaches url_seen once retries are
+# exhausted.
+STATUS_TRANSIENT = "remote-server-error"
 
 MAX_HOPS = 8  # reference ingest_file.py:107
+
+# HTTP statuses treated as retryable when run_crawl(max_retries>0):
+# rate limiting + upstream/server errors. Everything else non-2xx/3xx
+# stays terminal-bad (permanent), matching the reference's split of
+# permanent vs transient failures in its ingest workers.
+TRANSIENT_HTTP_CODES = (429, 500, 502, 503, 504)
 
 # full status vocabulary (used for Observation-based counters)
 ALL_STATUSES = (
@@ -127,4 +139,5 @@ ALL_STATUSES = (
     STATUS_REDIRECT,
     STATUS_LINK_LOOP,
     STATUS_MAX_HOPS,
+    STATUS_TRANSIENT,
 )

@@ -41,6 +41,14 @@ def main() -> int:
         "instead of the flat per-round budget",
     )
     ap.add_argument(
+        "--max-retries",
+        type=int,
+        default=0,
+        help="re-enqueue fetches whose best capture is 429/5xx up to N times "
+        "with exponential round backoff before recording remote-server-error "
+        "(0 = historical terminal-bad semantics)",
+    )
+    ap.add_argument(
         "--refresh-citations-from",
         metavar="STATE_DIR",
         help="before crawling, recompute seed citation_priority via PageRank "
@@ -88,6 +96,7 @@ def main() -> int:
         use_bloom=not args.no_bloom,
         resume=args.resume,
         token_bucket=args.token_bucket,
+        max_retries=args.max_retries,
     )
     out = {"rounds": store.committed_rounds, "counters": store.counters()}
     if refreshed is not None:
