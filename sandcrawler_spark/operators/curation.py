@@ -314,3 +314,67 @@ def mixture_sample(
         df.join(F.broadcast(rates), domain_col)
         .filter(_hash60(F.col(id_col), salt) % 1_000_000 < F.col("rate_ppm"))
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every document by the log-likelihood ratio of a
+    hashed-unigram language model of the TARGET corpus vs the REST,
+    so raw documents that "look like" the curated target distribution
+    can be up-sampled. ``target_col`` is a boolean column marking the
+    in-target rows (e.g. gold in-domain docs); scores are comparable
+    across the whole frame.
+
+    Per-token feature = salted 60-bit md5 hash mod ``buckets`` (the
+    hashed n-gram trick from the paper, portable to the DuckDB oracle);
+    bucket LMs use add-one smoothing:
+
+        score(doc) = Σ_tok  log p_target(b(tok)) − log p_rest(b(tok))
+
+    Scale notes: the token explode is linear and shuffle-free; bucket
+    counts are ONE partial-aggregable groupBy down to ≤``buckets``
+    rows; the log-ratio table broadcasts back onto the token stream
+    (no shuffle), and the per-doc sum is the only real shuffle —
+    partial-aggregated on the map side. Nothing is quadratic and no
+    state touches the driver.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("__tgt"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .withColumn("__b", _hash60(F.col("__tok"), salt) % buckets)
+    )
+    per_bucket = toks.groupBy("__b").agg(
+        F.sum(F.col("__tgt").cast("long")).alias("__nt"),
+        F.sum((~F.col("__tgt")).cast("long")).alias("__nr"),
+    )
+    totals = per_bucket.agg(
+        F.sum("__nt").alias("__T"), F.sum("__nr").alias("__R")
+    )
+    ratio = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__nt") + 1.0) / (F.col("__T") + F.lit(float(buckets))))
+            - F.log((F.col("__nr") + 1.0) / (F.col("__R") + F.lit(float(buckets))))
+        ).alias("__lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum("__lr"), 6).alias("dsir_score"),
+        )
+    )

@@ -2136,3 +2136,94 @@ ORACLES2["smp_mixture_sample"] = """
                 substr(md5(concat('mix', CAST(d.doc_id AS VARCHAR))), 1, 15))
               AS BIGINT) % 1000000 < r.rate_ppm
 """
+
+
+# --- adaptive re-crawl + DSIR importance sampling (session-6) ----------
+
+
+def fr_change_rate(spark, sf_dir):
+    """Cho & Garcia-Molina change-rate estimation (operators/freshness):
+    the `events` stream stands in for capture history — user_id is the
+    page key, ts the capture time, event_type the content digest. Per
+    key: n observations, X consecutive-pair changes, span T → Poisson
+    λ̂ (changes/day) + expected staleness at the corpus horizon."""
+    from sandcrawler_spark.operators import freshness
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        "ts",
+        F.col("event_type").alias("dg"),
+    )
+    return freshness.estimate_change_rates(
+        ev, url_col="url", ts_col="ts", digest_col="dg", min_captures=3
+    )
+
+
+def cu_dsir_score(spark, sf_dir):
+    """DSIR importance scoring (Xie et al. 2023, operators/curation):
+    hashed-unigram LM log-likelihood ratio of the English subset
+    (target) vs the rest, per document."""
+    from sandcrawler_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return curation.dsir_scores(docs, "doc_id", "text", "is_en", buckets=4096)
+
+
+QUERIES2.update({"fr_change_rate": fr_change_rate, "cu_dsir_score": cu_dsir_score})
+
+ORACLES2.update(
+    {
+        "fr_change_rate": """
+        WITH seq AS (
+            SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                   epoch(ts) AS ts_s,
+                   CASE WHEN lag(event_type) OVER w IS NULL THEN 0
+                        WHEN event_type <> lag(event_type) OVER w THEN 1
+                        ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_type)),
+        per AS (
+            SELECT url, count(*) AS n_caps,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   max(ts_s) - min(ts_s) AS span_raw,
+                   max(ts_s) AS last_s
+            FROM seq GROUP BY url
+            HAVING count(*) >= 3 AND max(ts_s) - min(ts_s) > 0),
+        now_t AS (SELECT max(last_s) AS now_s FROM per)
+        SELECT url, n_caps, n_changes,
+               CAST(floor(span_raw) AS BIGINT) AS span_seconds,
+               round(-ln((n_caps - n_changes + 0.5) / (n_caps + 0.5))
+                     / (span_raw / n_caps) * 86400.0, 6) AS lambda_day,
+               round(1.0 - exp(ln((n_caps - n_changes + 0.5) / (n_caps + 0.5))
+                     / (span_raw / n_caps) * (now_s - last_s)), 6) AS staleness
+        FROM per, now_t
+    """,
+        "cu_dsir_score": """
+        WITH toks AS (
+            SELECT doc_id, (lang = 'en') AS tgt,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents),
+        t2 AS (
+            SELECT doc_id, tgt,
+                   CAST(concat('0x', substr(md5(concat('dsir', tok)), 1, 15))
+                        AS BIGINT) % 4096 AS b
+            FROM toks WHERE tok <> ''),
+        pb AS (
+            SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                      CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS nr
+            FROM t2 GROUP BY b),
+        tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt,
+                       CAST(sum(nr) AS BIGINT) AS rr FROM pb),
+        ratio AS (
+            SELECT b, ln((nt + 1.0) / (tt + 4096.0))
+                      - ln((nr + 1.0) / (rr + 4096.0)) AS lr
+            FROM pb, tot)
+        SELECT t2.doc_id, count(*) AS n_toks,
+               round(sum(lr), 6) AS dsir_score
+        FROM t2 JOIN ratio USING (b)
+        GROUP BY t2.doc_id
+    """,
+    }
+)

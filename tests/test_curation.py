@@ -236,3 +236,54 @@ def test_mixture_sample_budget_application(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_dsir_scores_numpy_parity(spark):
+    """DSIR log-ratio scoring against a direct Python recomputation
+    of the same hashed-unigram LMs."""
+    import hashlib
+    import math
+
+    rows = [
+        (1, "alpha beta gamma", True),
+        (2, "alpha alpha delta", True),
+        (3, "beta beta beta epsilon", False),
+        (4, "gamma delta zeta", False),
+        (5, "alpha beta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in curation.dsir_scores(df, "doc_id", "text", "tgt", buckets=64).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(("dsir" + tok).encode()).hexdigest()[:15], 16) % 64
+
+    nt, nr = {}, {}
+    for _id, text, tgt in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            (nt if tgt else nr)[b] = (nt if tgt else nr).get(b, 0) + 1
+    T, R = sum(nt.values()), sum(nr.values())
+    for _id, text, tgt in rows:
+        toks = text.split()
+        want = sum(
+            math.log((nt.get(bucket(t), 0) + 1) / (T + 64))
+            - math.log((nr.get(bucket(t), 0) + 1) / (R + 64))
+            for t in toks
+        )
+        assert out[_id]["n_toks"] == len(toks)
+        assert out[_id]["dsir_score"] == pytest.approx(round(want, 6), abs=1e-6)
+
+    # in-target docs should on average outscore out-of-target ones
+    tgt_mean = (out[1]["dsir_score"] + out[2]["dsir_score"]) / 2
+    rest_mean = (out[3]["dsir_score"] + out[4]["dsir_score"]) / 2
+    assert tgt_mean > rest_mean
+
+
+def test_dsir_partitioning_invariant(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en")
+    a = curation.dsir_scores(d, "doc_id", "text", "is_en").collect()
+    b = curation.dsir_scores(d.repartition(13), "doc_id", "text", "is_en").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -243,6 +243,17 @@ def main() -> int:
         ("bfs depth: per-level anti-join, no python", _bfs_probe,
          [r"LeftAnti"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # change-rate estimation: ONE keyed lag window + one partial
+        # aggregable groupBy(url); the decision-time max broadcasts back
+        # as a 1-row frame — never python, never a cartesian
+        ("change rate: keyed window + agg, no python", "fr_change_rate",
+         [r"Window", r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # DSIR: token explode → bucket agg → broadcast log-ratio table
+        # back onto the token stream → per-doc partial-agg sum
+        ("dsir: explode + broadcast ratios, no python", "cu_dsir_score",
+         [r"Generate", r"HashAggregate", r"Broadcast"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []

@@ -49,6 +49,20 @@ def main() -> int:
         "(0 = historical terminal-bad semantics)",
     )
     ap.add_argument(
+        "--refresh-freshness",
+        action="store_true",
+        help="before crawling, bump seed citation_priority by expected "
+        "staleness (Cho & Garcia-Molina change-rate estimate over the data "
+        "dir's own capture history) so fast-changing pages are fetched "
+        "earlier — the adaptive counterpart of the fixed reingest schedule",
+    )
+    ap.add_argument(
+        "--freshness-weight",
+        type=float,
+        default=1.0,
+        help="staleness bump weight for --refresh-freshness",
+    )
+    ap.add_argument(
         "--refresh-citations-from",
         metavar="STATE_DIR",
         help="before crawling, recompute seed citation_priority via PageRank "
@@ -87,6 +101,23 @@ def main() -> int:
         )
         data_dir = gen_dir
 
+    rescored_fresh = None
+    if args.refresh_freshness:
+        import shutil
+
+        from sandcrawler_spark.operators.freshness import rescore_seeds_by_freshness
+
+        gen_dir = os.path.join(args.state + "_fresh_data")
+        if not os.path.isdir(gen_dir):
+            shutil.copytree(data_dir, gen_dir)
+        rescored_fresh = rescore_seeds_by_freshness(
+            spark,
+            gen_dir,
+            os.path.join(gen_dir, "seeds.parquet"),
+            weight=args.freshness_weight,
+        )
+        data_dir = gen_dir
+
     store = run_crawl(
         spark,
         data_dir,
@@ -101,6 +132,8 @@ def main() -> int:
     out = {"rounds": store.committed_rounds, "counters": store.counters()}
     if refreshed is not None:
         out["seeds_rescored"] = refreshed
+    if rescored_fresh is not None:
+        out["seeds_rescored_freshness"] = rescored_fresh
     print(json.dumps(out))
     return 0
 
