@@ -713,3 +713,174 @@ def html_to_biblio(df: DataFrame, id_col: str, html_col: str,
         F.col(id_col),
         extract_biblio_udf(F.col(url_col), F.col(html_col)).alias("biblio"),
     )
+
+
+# --------------------------------------------------------------------------
+# metadata quality gate (reference: python/scripts/filter_grobid_metadata.py)
+# --------------------------------------------------------------------------
+
+# the 9 inline denylist literals from filter_grobid_metadata.py:9-21;
+# the reference extends these with python/title_slug_denylist.txt (554
+# data rows) — that file is corpus DATA, so it is taken as an input
+# parameter (load_title_denylist) rather than vendored here.
+TITLE_DENYLIST_INLINE = (
+    "editorial",
+    "advertisement",
+    "bookreviews",
+    "reviews",
+    "nr",
+    "abstractoriginalarticle",
+    "originalarticle",
+    "impactfactor",
+    "articlenumber",
+)
+
+NAME_DENYLIST = ("phd", "phdstudent")  # filter_grobid_metadata.py:24-28
+
+_JOURNAL_PREFIXES = (
+    "/ ", "~ ", "& ", "© ",
+    "Original Research Article ", "Original Article ",
+    "Research Article ", "Available online www.jocpr.com ",
+)
+_JOURNAL_SUFFIXES = (
+    " Available online at www.sciarena.com", " Original Article",
+    " Available online at", " ISSN", " ISSUE",
+)
+
+
+def load_title_denylist(path: str) -> tuple[str, ...]:
+    """Read a title-slug denylist file (one slug per line, the
+    reference's ``title_slug_denylist.txt`` format)."""
+    with open(path) as f:
+        return TITLE_DENYLIST_INLINE + tuple(
+            line.strip() for line in f if line.strip()
+        )
+
+
+def _ascii_slug(col):
+    """``tokenize(s, remove_whitespace=True)``
+    (filter_grobid_metadata.py:30-40): keep alphabetic chars, lowercase,
+    drop whitespace, then ASCII-encode with replacement and strip the
+    '?' placeholders — the net effect is "ASCII letters only", which is
+    one Catalyst regexp_replace."""
+    return F.regexp_replace(F.lower(col), "[^a-z]", "")
+
+
+def filter_biblio_metadata(
+    df: DataFrame,
+    title_col: str = "title",
+    authors_col: str = "authors",
+    journal_col: str = "journal",
+    title_denylist: tuple[str, ...] = TITLE_DENYLIST_INLINE,
+) -> DataFrame:
+    """The reference's GROBID-metadata quality gate
+    (``python/scripts/filter_grobid_metadata.py:46-160``) as one pure
+    Catalyst projection + filter — the stage between metadata
+    extraction and the fuzzy-match chain that drops junk titles
+    ("Impact Factor: 2.114", ISSN banners, spaced-out letterings),
+    scrubs author names, and normalizes journal names.
+
+    Rows are KEPT iff (a) title and authors are present on input
+    (``filter_metadata`` :146-148) and (b) the title survives
+    ``filter_title`` (:46-89). Authors/journal are cleaned in place;
+    a row whose authors all get scrubbed keeps its (empty) list,
+    exactly like the reference (:155 filters the list but never
+    re-checks it).
+
+    Faithfully mirrored reference BUG: the title prefix-strip loop
+    (:60-62) discards its ``str.replace`` result, so "Title: " /
+    "Original Article: " prefixes are NOT stripped — reproduced here
+    as a no-op (with this note instead of code) for byte parity.
+
+    Scale: pure projection/filter — no shuffle, no Python; the
+    denylist (≤ ~600 entries) rides the plan as an ``isin`` literal
+    set. 100-TB verdict: scan-rate bound.
+    """
+    t = F.trim(F.col(title_col))
+    slug = _ascii_slug(t)
+    words = F.split(t, r"\s+")
+    single = F.size(F.filter(words, lambda w: F.length(w) == 1))
+    title_ok = (
+        F.col(title_col).isNotNull()
+        & (F.length(t) <= 500)
+        & (F.length(slug) >= 10)
+        & ~slug.isin(*title_denylist)
+        & ~slug.startswith("nr")
+        & ~F.replace(F.lower(t), F.lit("."), F.lit("")).startswith("int j ")
+        & ~t.startswith("The Journal of ")
+        & ~(slug.contains("volume") & slug.contains("issue"))
+        & ~slug.contains("downloadedfrom")
+        & ~slug.startswith("issn")
+        & (F.size(words) <= 50) & (F.size(words) >= 2)
+        & (single <= 12)
+        & (F.regexp_count(t, F.lit(r":")) <= 3)
+        & (F.regexp_count(t, F.lit(r"\|")) <= 1)
+        & (F.regexp_count(t, F.lit(r"\.")) <= 1)
+    )
+
+    # authors: drop denylisted full names, keep only tokens containing
+    # an ASCII letter, re-join, require len > 1  (:92-100)
+    def _clean_name(n):
+        joined = F.array_join(
+            F.filter(F.split(F.trim(n), r"\s+"), lambda w: w.rlike("[a-zA-Z]")),
+            " ",
+        )
+        return F.when(
+            F.replace(F.lower(F.trim(n)), F.lit(" "), F.lit("")).isin(*NAME_DENYLIST),
+            F.lit(None).cast("string"),
+        ).otherwise(joined)
+
+    authors_clean = F.filter(
+        F.transform(F.col(authors_col), _clean_name),
+        lambda n: n.isNotNull() & (F.length(n) > 1),
+    )
+
+    # journal: e-ISSN/p-ISSN scrub → slug/deny/len gates → sequential
+    # prefix/suffix replace-all (the reference uses str.replace, which
+    # hits ALL occurrences — mirrored via F.replace) → banner/length
+    # gates → whitespace normalization  (:107-140)
+    j = F.replace(
+        F.replace(F.col(journal_col), F.lit(" e-ISSN"), F.lit("")),
+        F.lit(" p-ISSN"), F.lit(""),
+    )
+    jslug = _ascii_slug(j)
+    bad_j = (
+        F.col(journal_col).isNull()
+        | jslug.isin(*title_denylist)
+        | (F.length(jslug) < 4)
+        | (j == "N.º")
+    )
+    # sequential conditional replaces MUST be folded via F.aggregate
+    # (one higher-order expression, evaluated iteratively): a python
+    # loop of when(...).otherwise(j) duplicates the whole accumulated
+    # tree per step — 13 steps ≈ 2^13 expression copies, which stalls
+    # Catalyst optimization outright (measured: a 11-row job spun the
+    # JVM for >10 min before this fold)
+    j = F.aggregate(
+        F.array(*[F.lit(p) for p in _JOURNAL_PREFIXES]),
+        j,
+        lambda acc, p: F.when(acc.startswith(p), F.replace(acc, p, F.lit("")))
+        .otherwise(acc),
+    )
+    j = F.aggregate(
+        F.array(*[F.lit(s) for s in _JOURNAL_SUFFIXES]),
+        j,
+        lambda acc, s: F.when(acc.endswith(s), F.replace(acc, s, F.lit("")))
+        .otherwise(acc),
+    )
+    bad_j = bad_j | j.contains("====================") | (F.length(j) > 150)
+    journal_clean = F.when(bad_j, F.lit(None).cast("string")).otherwise(
+        F.array_join(F.filter(F.split(j, r"\s+"), lambda w: w != ""), " ")
+    )
+
+    return (
+        df.filter(
+            F.col(title_col).isNotNull()
+            & F.col(authors_col).isNotNull()
+            & (F.size(authors_col) > 0)
+        )
+        .filter(title_ok)
+        .withColumn(title_col, t)
+        .withColumn(authors_col, authors_clean)
+        .withColumn(journal_col, journal_clean)
+    )

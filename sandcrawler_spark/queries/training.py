@@ -2227,3 +2227,73 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def bib_metadata_filter(spark, sf_dir):
+    """GROBID-metadata quality gate (filter_grobid_metadata.py:46-160
+    via operators/biblio.py::filter_biblio_metadata): synthesized
+    title/authors/journal variants per doc_id arm; the oracle states
+    the expected survivors and cleaned fields independently."""
+    from sandcrawler_spark.operators.biblio import filter_biblio_metadata
+
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(i % 8 == 0, F.concat(F.lit("Study of subject "), sid,
+                                    F.lit(": methods and results")))
+        .when(i % 8 == 1, F.lit("Impact Factor: 2.114"))
+        .when(i % 8 == 2, F.lit("nr short"))
+        .when(i % 8 == 3, F.concat(F.lit("The Journal of Synthetic Results "), sid))
+        .when(i % 8 == 4, F.lit("A b c d e f g h i j k l m n useful"))
+        .when(i % 8 == 5, F.concat(F.lit("Volume 2 Issue 3 results for item "), sid))
+        .when(i % 8 == 6, F.concat(F.lit("Ver. 2. results for item "), sid))
+        .otherwise(F.concat(F.lit("A perfectly ordinary useful title "), sid))
+        .alias("title"),
+        F.when(i % 4 == 0, F.array(F.lit("Jane Q Doe"), F.lit("PhD")))
+        .when(i % 4 == 1, F.array(F.lit("John 123 456")))
+        .when(i % 4 == 2, F.array(F.lit("phd student")))
+        .otherwise(F.array(F.lit("Ana B Cruz"), F.lit("D. E.")))
+        .alias("authors"),
+        F.when(i % 5 == 0, F.lit("Journal of Tests e-ISSN"))
+        .when(i % 5 == 1, F.lit("xy"))
+        .when(i % 5 == 2, F.lit("Research Article Fine Journal ISSN"))
+        .when(i % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("Plain   Journal"))
+        .alias("journal"),
+    )
+    return filter_biblio_metadata(src).select(
+        "doc_id",
+        "title",
+        F.array_join("authors", "|").alias("authors_str"),
+        F.size("authors").alias("n_authors"),
+        "journal",
+    )
+
+
+QUERIES2.update({"bib_metadata_filter": bib_metadata_filter})
+
+ORACLES2.update(
+    {
+        "bib_metadata_filter": """
+        SELECT doc_id,
+               CASE doc_id % 8
+                 WHEN 0 THEN 'Study of subject ' || CAST(doc_id AS VARCHAR)
+                             || ': methods and results'
+                 ELSE 'A perfectly ordinary useful title '
+                      || CAST(doc_id AS VARCHAR)
+               END AS title,
+               CASE doc_id % 4 WHEN 0 THEN 'Jane Q Doe' WHEN 1 THEN 'John'
+                               WHEN 2 THEN '' ELSE 'Ana B Cruz|D. E.'
+               END AS authors_str,
+               CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+                               ELSE 2 END AS n_authors,
+               CASE doc_id % 5 WHEN 0 THEN 'Journal of Tests'
+                               WHEN 2 THEN 'Fine Journal'
+                               WHEN 4 THEN 'Plain Journal'
+                               ELSE NULL END AS journal
+        FROM documents
+        WHERE doc_id % 8 IN (0, 7)
+    """,
+    }
+)

@@ -254,6 +254,14 @@ def main() -> int:
         ("dsir: explode + broadcast ratios, no python", "cu_dsir_score",
          [r"Generate", r"HashAggregate", r"Broadcast"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # metadata quality gate: pure scan+filter+projection — the
+        # prefix/suffix folds are single aggregate() higher-order
+        # expressions, so no shuffle, no python, no expression blowup
+        ("biblio metadata filter: pure projection, no python",
+         "bib_metadata_filter",
+         [r"Scan parquet"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange",
+          r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
