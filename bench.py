@@ -67,6 +67,9 @@ HEADLINE = [
     "lg_pagerank",
     "lg_bfs_depth",
     "ir_bm25_topk",
+    "fr_change_rate",
+    "cu_dsir_score",
+    "bib_metadata_filter",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -182,3 +182,54 @@ def rescore_seeds_by_freshness(
     else:
         refreshed.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def staleness_reingest_seeds(
+    captures: DataFrame,
+    url_seen: DataFrame,
+    tau: float = 0.5,
+    seq_offset: int = 0,
+    ingest_type: str = "html",
+    min_captures: int = 2,
+) -> DataFrame:
+    """Change-rate-driven re-crawl seeds: the adaptive twin of
+    ``sources.sitemaps.freshness_reingest_seeds`` (same output
+    contract, feed to ``plans.frontier.run_reingest``), with the
+    re-crawl *trigger* coming from the URL's own estimated change rate
+    instead of a publisher sitemap: an already-seen URL whose expected
+    staleness ``1 − exp(−λ̂·age)`` is ≥ ``tau`` gets a
+    ``force_recrawl=True`` seed row for the next generation.
+
+    ``citation_priority`` carries the staleness itself, so among due
+    pages the most-likely-changed are fetched first — the Cho &
+    Garcia-Molina crawl ordering. URLs without enough capture history
+    (``min_captures``) never become due here: no evidence, no re-crawl
+    budget (the fixed quarterly cycle remains the catch-all).
+
+    Scale: the rate table is |multi-capture urls| rows; one equi-join
+    against url_seen, one global rank for the seq contract (seeds are
+    the curated input set, not crawl-scale).
+    """
+    from pyspark.sql import Window
+
+    rates = capture_history_rates(captures, min_captures=min_captures)
+    seen = url_seen.filter(F.col("terminal_dt").isNotNull()).select(
+        "ingest_type", F.col("canonical_url"), "terminal_dt"
+    )
+    due = (
+        rates.filter(F.col("staleness") >= F.lit(tau))
+        .select(F.col("url").alias("canonical_url"), "staleness")
+        .join(seen, "canonical_url")
+    )
+    w = Window.orderBy("canonical_url", "ingest_type")
+    return due.select(
+        (F.row_number().over(w) - 1 + seq_offset).cast("long").alias("seq"),
+        F.coalesce("ingest_type", F.lit(ingest_type)).alias("ingest_type"),
+        F.col("canonical_url").alias("base_url"),
+        F.lit("change-rate").alias("link_source"),
+        F.col("canonical_url").alias("link_source_id"),
+        F.lit(0).cast("int").alias("priority"),
+        F.col("staleness").alias("citation_priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(True).alias("force_recrawl"),
+    )

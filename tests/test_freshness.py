@@ -133,3 +133,57 @@ def test_freshness_rescore_generation_parity(spark, tmp_path):
         assert g == w, f"freshness-gen fetch order diverged in round {r}"
     # and the rescore genuinely reordered the crawl vs generation 1
     assert _orders(store1) != got
+
+
+def test_staleness_reingest_seeds(spark):
+    """Adaptive reingest trigger: only multi-capture, seen, above-tau
+    URLs become force_recrawl seeds; citation_priority carries the
+    staleness; contract matches the sitemap trigger's seed schema."""
+    from sandcrawler_spark.operators.freshness import staleness_reingest_seeds
+
+    # hot: 3 captures all different (high λ̂), last capture long ago
+    # cold: 3 captures identical digests (λ̂=0 → staleness 0)
+    # thin: 1 capture (no evidence → never due)
+    caps = spark.createDataFrame(
+        [
+            ("http://h/hot", "20200101000000", "a"),
+            ("http://h/hot", "20200102000000", "b"),
+            ("http://h/hot", "20200103000000", "c"),
+            ("http://h/cold", "20200101000000", "x"),
+            ("http://h/cold", "20200102000000", "x"),
+            ("http://h/cold", "20240101000000", "x"),  # sets "now" horizon
+            ("http://h/thin", "20200101000000", "z"),
+        ],
+        "url string, datetime string, sha1b32 string",
+    )
+    seen = spark.createDataFrame(
+        [
+            ("html", "http://h/hot", "20200103000000"),
+            ("html", "http://h/cold", "20240101000000"),
+            ("html", "http://h/thin", "20200101000000"),
+            ("html", "http://h/never-fetched", None),
+        ],
+        "ingest_type string, canonical_url string, terminal_dt string",
+    )
+    seeds = staleness_reingest_seeds(caps, seen, tau=0.5, seq_offset=100)
+    rows = seeds.collect()
+    assert [r["base_url"] for r in rows] == ["http://h/hot"]
+    r = rows[0]
+    assert r["seq"] == 100 and r["force_recrawl"] and r["priority"] == 0
+    assert r["link_source"] == "change-rate"
+    assert 0.5 <= r["citation_priority"] <= 1.0
+
+    # schema contract identical to the sitemap trigger's seed frame
+    from sandcrawler_spark.sources.sitemaps import freshness_reingest_seeds
+
+    entries = spark.createDataFrame(
+        [], "kind string, url string, lastmod string, fetch_url string"
+    )
+    assert seeds.columns == freshness_reingest_seeds(entries, seen).columns
+
+    # tau=0: cold joins the due set too (staleness 0 >= 0)... but its
+    # λ̂=0 keeps staleness at exactly 0, and hot outranks it
+    all_due = staleness_reingest_seeds(caps, seen, tau=0.0).collect()
+    assert {r["base_url"] for r in all_due} == {"http://h/hot", "http://h/cold"}
+    by_url = {r["base_url"]: r["citation_priority"] for r in all_due}
+    assert by_url["http://h/cold"] == 0.0 < by_url["http://h/hot"]
