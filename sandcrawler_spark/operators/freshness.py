@@ -207,10 +207,12 @@ def staleness_reingest_seeds(
     budget (the fixed quarterly cycle remains the catch-all).
 
     Scale: the rate table is |multi-capture urls| rows; one equi-join
-    against url_seen, one global rank for the seq contract (seeds are
-    the curated input set, not crawl-scale).
+    against url_seen, then the two-phase global rank
+    (``operators.ranking.with_global_rank``) for the seq contract — at
+    a 10^10 frontier the due set is itself crawl-scale, so the naive
+    ``Window.orderBy`` single-task rank is not acceptable here.
     """
-    from pyspark.sql import Window
+    from sandcrawler_spark.operators.ranking import with_global_rank
 
     rates = capture_history_rates(captures, min_captures=min_captures)
     seen = url_seen.filter(F.col("terminal_dt").isNotNull()).select(
@@ -221,9 +223,9 @@ def staleness_reingest_seeds(
         .select(F.col("url").alias("canonical_url"), "staleness")
         .join(seen, "canonical_url")
     )
-    w = Window.orderBy("canonical_url", "ingest_type")
-    return due.select(
-        (F.row_number().over(w) - 1 + seq_offset).cast("long").alias("seq"),
+    ranked = with_global_rank(due, ["canonical_url", "ingest_type"], rank_col="__rank")
+    return ranked.select(
+        (F.col("__rank") + seq_offset).cast("long").alias("seq"),
         F.coalesce("ingest_type", F.lit(ingest_type)).alias("ingest_type"),
         F.col("canonical_url").alias("base_url"),
         F.lit("change-rate").alias("link_source"),

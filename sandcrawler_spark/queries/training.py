@@ -2297,3 +2297,75 @@ ORACLES2.update(
     """,
     }
 )
+
+def fr_reingest_seeds(spark, sf_dir):
+    """Adaptive reingest trigger (operators/freshness::
+    staleness_reingest_seeds): events replay as capture history in the
+    crawl's CDX shape (url, 14-digit datetime, digest); every page is
+    "seen" at its last capture; pages whose expected staleness
+    1-exp(-lambda*age) >= 0.5 become force_recrawl seeds with the
+    staleness as citation_priority (the Cho & Garcia-Molina re-crawl
+    ordering), in the seed schema run_reingest consumes."""
+    from sandcrawler_spark.operators.freshness import staleness_reingest_seeds
+
+    caps = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("datetime"),
+        F.col("event_type").alias("sha1b32"),
+    )
+    seen = (
+        caps.groupBy("url")
+        .agg(F.max("datetime").alias("terminal_dt"))
+        .select(
+            F.lit("html").alias("ingest_type"),
+            F.col("url").alias("canonical_url"),
+            "terminal_dt",
+        )
+    )
+    return staleness_reingest_seeds(caps, seen, tau=0.5, min_captures=3)
+
+
+QUERIES2.update({"fr_reingest_seeds": fr_reingest_seeds})
+
+ORACLES2.update(
+    {
+        # Same estimator CTEs as fr_change_rate, but on second-truncated
+        # timestamps (the 14-digit-datetime roundtrip drops sub-second
+        # fractions), filtered at tau and re-shaped to the seed contract.
+        "fr_reingest_seeds": """
+        WITH seq AS (
+            SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+                   epoch(date_trunc('second', ts)) AS ts_s,
+                   CASE WHEN lag(event_type) OVER w IS NULL THEN 0
+                        WHEN event_type <> lag(event_type) OVER w THEN 1
+                        ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch(date_trunc('second', ts)), event_type)),
+        per AS (
+            SELECT url, count(*) AS n_caps,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   max(ts_s) - min(ts_s) AS span_raw,
+                   max(ts_s) AS last_s
+            FROM seq GROUP BY url
+            HAVING count(*) >= 3 AND max(ts_s) - min(ts_s) > 0),
+        now_t AS (SELECT max(last_s) AS now_s FROM per),
+        due AS (
+            SELECT url AS canonical_url,
+                   round(1.0 - exp(ln((n_caps - n_changes + 0.5) / (n_caps + 0.5))
+                         / (span_raw / n_caps) * (now_s - last_s)), 6) AS staleness
+            FROM per, now_t),
+        hit AS (SELECT * FROM due WHERE staleness >= 0.5)
+        SELECT CAST(row_number() OVER (ORDER BY canonical_url) - 1 AS BIGINT) AS seq,
+               'html' AS ingest_type,
+               canonical_url AS base_url,
+               'change-rate' AS link_source,
+               canonical_url AS link_source_id,
+               CAST(0 AS INTEGER) AS priority,
+               staleness AS citation_priority,
+               CAST(0 AS INTEGER) AS depth,
+               TRUE AS force_recrawl
+        FROM hit
+    """,
+    }
+)
