@@ -696,7 +696,13 @@ def pq_search(
                 d += lut[:, j, :][:, C[:, j]]
             d = np.round(d, 6)
             top = min(k + 1, len(ids))  # +1 absorbs a possible self-match
-            part = np.argpartition(d, top - 1, axis=1)[:, :top]
+            # Per-batch prune must use the SAME total order as the global
+            # window — (adc_dist, vec_id) — or ties straddling the cutoff
+            # get dropped arbitrarily (PQ codes collide, so exact distance
+            # ties are the common case, not the corner case).
+            part = np.stack([
+                np.lexsort((ids, d[q]))[:top] for q in range(len(q_ids))
+            ])
             qi = np.repeat(np.arange(len(q_ids)), top)
             vi = part.ravel()
             yield pd.DataFrame(

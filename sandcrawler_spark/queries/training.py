@@ -2369,3 +2369,62 @@ ORACLES2.update(
     """,
     }
 )
+
+def ann_pq_search(spark, sf_dir):
+    """ADC top-k over PQ codes (similarity.pq_search): the corpus is
+    encoded against the fixed closed-form codebooks (same books as
+    ann_pq_encode), then each query (vec_id < 10) scans the code table
+    with an m-lookup-per-row distance — the memory-bound ANN scale
+    path where the corpus is m bytes/vector instead of dim floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_fixed_books()
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_search(
+        emb.filter(F.col("vec_id") < 10), codes, books, k=5
+    )
+
+
+def _pw16(terms: list) -> str:
+    """Parenthesize a 16-term sum in numpy's pairwise-reduction order
+    (unrolled-by-8 accumulators, then a balanced combine) so the oracle
+    adds the SAME doubles in the SAME order as ``pq_search``'s
+    ``((Q - B) ** 2).sum(axis=2)`` — bit-identical, not merely close."""
+    r = [f"({terms[i]} + {terms[i + 8]})" for i in range(8)]
+    return (
+        f"((({r[0]} + {r[1]}) + ({r[2]} + {r[3]}))"
+        f" + (({r[4]} + {r[5]}) + ({r[6]} + {r[7]})))"
+    )
+
+
+def _pq_search_oracle() -> str:
+    # per-(subspace, code) full squared distance ‖q_sub − B[j][c]‖²,
+    # elementwise (e[i]-b)*(e[i]-b) like numpy's (Q-B)**2
+    cases = []
+    for j in range(_PQ_M):
+        arms = []
+        for c in range(_PQ_K):
+            terms = []
+            for i in range(_PQ_DSUB):
+                idx = j * _PQ_DSUB + i + 1
+                b = _pq_b(j, c, i)
+                if b == 0:
+                    terms.append(f"q.e[{idx}] * q.e[{idx}]")
+                else:
+                    terms.append(f"(q.e[{idx}] - ({b})) * (q.e[{idx}] - ({b}))")
+            arms.append(f"WHEN {c} THEN {_pw16(terms)}")
+        cases.append(f"(CASE enc.c{j} {' '.join(arms)} END)")
+    dist = " + ".join(cases)  # left-assoc == numpy's sequential d += lut_j
+    return f"""
+        WITH enc AS ({_pq_encode_oracle()}),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 10),
+        d AS (SELECT q.q_id, enc.vec_id, round({dist}, 6) AS adc_dist
+              FROM q CROSS JOIN enc WHERE enc.vec_id <> q.q_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, vec_id) AS rn FROM d)
+        SELECT q_id, vec_id, adc_dist FROM r WHERE rn <= 5
+    """
+
+
+QUERIES2.update({"ann_pq_search": ann_pq_search})
+ORACLES2.update({"ann_pq_search": _pq_search_oracle()})
