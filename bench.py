@@ -70,6 +70,8 @@ HEADLINE = [
     "fr_change_rate",
     "cu_dsir_score",
     "bib_metadata_filter",
+    "ann_pq_search",
+    "med_audio_segments",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -179,6 +179,11 @@ FRAME_SCHEMA = "doc_id string, frame_idx int, t_sec double, frame binary"
 
 FEATURE_SCHEMA = "doc_id string, embedding array<float>"
 
+SEGMENT_SCHEMA = (
+    "doc_id string, seg_idx int, t_start double, t_end double, "
+    "segment binary"
+)
+
 
 def resize_image(blob: bytes, max_dim: int, fake: bool = False) -> tuple[int, int, bytes]:
     """STUB resize kernel (reference: pdftocairo page-0 thumbnail at a
@@ -254,6 +259,55 @@ def sample_frames(
             )
 
     return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def segment_audio(
+    df: DataFrame, id_col: str, binary_col: str, window_s: float = 4.0,
+    hop_s: float = 2.0, max_segments: int = 16, fake_decode: bool = True,
+) -> DataFrame:
+    """Audio windowing: one input row fans out to overlapping
+    (window_s, hop_s) segment rows (doc_id, seg_idx, t_start, t_end,
+    segment binary) — the standard front end for ASR / audio-embedding
+    stages. Like :func:`sample_frames`, the 1→N explosion happens
+    INSIDE the Arrow batch so a 100 TB audio corpus never shuffles
+    per-segment rows before downstream filters prune. STUB decoder:
+    deterministic fake duration from the content hash (a distinct hash
+    byte from the video stub, so the two modalities don't alias);
+    a real build swaps in soundfile/ffmpeg behind the same signature."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("blob"))
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, t0s, t1s, payloads = [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "audio codecs not available in this environment"
+                    )
+                h = hashlib.md5(blob).digest()
+                duration = 1.0 + h[3]  # deterministic fake seconds
+                n = min(
+                    max_segments,
+                    max(1, int((duration - window_s) / hop_s) + 1),
+                )
+                for i in range(n):
+                    t0 = i * hop_s
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    t0s.append(t0)
+                    t1s.append(min(t0 + window_s, duration))
+                    payloads.append(
+                        hashlib.sha256(
+                            blob + b"|aud|" + i.to_bytes(4, "big")
+                        ).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "seg_idx": idxs, "t_start": t0s,
+                 "t_end": t1s, "segment": payloads}
+            )
+
+    return src.mapInPandas(segs, schema=SEGMENT_SCHEMA)
 
 
 def extract_features(

@@ -10,6 +10,8 @@ ORACLES = {**ORACLES, **ORACLES2}
 # every query gains a driver-green row across rounds; the local gate
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
+    "ann_pq_search",
+    "med_audio_segments",
     "rb_longest_match",
     "txt_gopher_rules",
     "txt_line_dedup",

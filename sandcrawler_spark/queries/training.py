@@ -2428,3 +2428,46 @@ def _pq_search_oracle() -> str:
 
 QUERIES2.update({"ann_pq_search": ann_pq_search})
 ORACLES2.update({"ann_pq_search": _pq_search_oracle()})
+
+
+def med_audio_segments(spark, sf_dir):
+    """Audio windowing over the documents table (stub decoder:
+    hash-derived duration from md5 byte 3, overlapping 4s windows at
+    2s hop, ≤16 segments, payload = sha256(blob | '|aud|' |
+    seg_idx_be32)); the 1→N fan-out happens inside the Arrow batch.
+    Oracle: unnest(range(n)) per doc in DuckDB with the same window
+    arithmetic (integer-valued durations keep the doubles exact)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    out = media.segment_audio(
+        d, "doc_id", "blob", window_s=4.0, hop_s=2.0, max_segments=16
+    )
+    return out.select(
+        "doc_id", "seg_idx", "t_start", "t_end",
+        F.lower(F.hex("segment")).alias("segment_sha256"),
+    )
+
+
+QUERIES2.update({"med_audio_segments": med_audio_segments})
+ORACLES2.update(
+    {
+        "med_audio_segments": """
+        WITH f AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   1.0 + CAST(concat('0x', substr(md5(text), 7, 2)) AS BIGINT) AS dur
+            FROM documents),
+        g AS (
+            SELECT doc_id, text, dur,
+                   LEAST(16, GREATEST(1, CAST(floor((dur - 4.0) / 2.0) AS INT) + 1)) AS n
+            FROM f),
+        x AS (SELECT doc_id, text, dur, unnest(range(n)) AS i FROM g)
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               CAST(i * 2.0 AS DOUBLE) AS t_start,
+               LEAST(i * 2.0 + 4.0, dur) AS t_end,
+               sha256(text || '|aud|' || decode(unhex(lpad(to_hex(i), 8, '0')))) AS segment_sha256
+        FROM x
+    """,
+    }
+)

@@ -16,6 +16,7 @@ from sandcrawler_spark.operators.media import (
     resize_image,
     resize_images,
     sample_frames,
+    segment_audio,
 )
 
 
@@ -57,6 +58,33 @@ def test_sample_frames_fanout_inside_batch(spark):
         for f in frames:
             assert f["t_sec"] == pytest.approx(f["frame_idx"] / 0.5)
         assert len({bytes(f["frame"]) for f in frames}) == len(frames)
+
+
+def test_segment_audio_overlapping_windows(spark):
+    df = _blob_df(spark, n=4)
+    got = segment_audio(
+        df, "doc_id", "blob", window_s=4.0, hop_s=2.0, max_segments=6
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {f"d{i}" for i in range(4)}
+    for doc_id, segs in by_doc.items():
+        blob = next(bytes([i]) * (50 + i) for i in range(4) if f"d{i}" == doc_id)
+        duration = 1.0 + hashlib.md5(blob).digest()[3]
+        expect_n = min(6, max(1, int((duration - 4.0) / 2.0) + 1))
+        segs.sort(key=lambda r: r["seg_idx"])
+        assert [s["seg_idx"] for s in segs] == list(range(expect_n))
+        for s in segs:
+            # hop spacing, window length capped by duration, 2s overlap
+            assert s["t_start"] == pytest.approx(s["seg_idx"] * 2.0)
+            assert s["t_end"] == pytest.approx(
+                min(s["t_start"] + 4.0, duration)
+            )
+        # consecutive windows overlap (hop < window) and payloads differ
+        assert len({bytes(s["segment"]) for s in segs}) == len(segs)
+        for a, b in zip(segs, segs[1:]):
+            assert b["t_start"] < a["t_end"]
 
 
 def test_extract_features_unit_norm_feeds_ann(spark):

@@ -124,6 +124,13 @@ def main() -> int:
         ("pq search: join-free linear codes scan", _pq_search_probe,
          [r"MapInPandas"],
          [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
+        # audio windowing: the 1→N segment fan-out happens INSIDE the
+        # Arrow batch (MapInPandas) — no Generate/explode, no shuffle
+        # before downstream filters can prune, no row-Python
+        ("audio segmentation: in-batch fan-out, no explode/shuffle",
+         "med_audio_segments",
+         [r"MapInPandas"],
+         [r"Generate", r"Exchange", r"BatchEvalPython"]),
         # curation: hash sampling is a pure scan+filter (no shuffle, no
         # python); stratified/pack ride the two-phase range rank (windows
         # are per-__pid, never a single-task global window)
