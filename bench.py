@@ -72,6 +72,7 @@ HEADLINE = [
     "bib_metadata_filter",
     "ann_pq_search",
     "med_audio_segments",
+    "aj_asof_join",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

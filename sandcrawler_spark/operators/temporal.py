@@ -1,0 +1,182 @@
+"""As-of (temporal) join: for each left row, the latest right row at or
+before it (``backward``) or the earliest at or after it (``forward``),
+per key.
+
+Spark has no built-in as-of join; the crawl data model needs one
+constantly — "which robots snapshot governed this fetch", "which capture
+was current when this citation was emitted", "latest click before each
+purchase". The reference resolves these with CDX best-capture scans
+keyed by timestamp (see `plans/frontier.py` W2, reference ia.py:371-390)
+— this operator is the general form.
+
+Two physical strategies, same semantics:
+
+* **union-window** (default): tag both sides, union, one window per key
+  ordered by (time, side) with ``last(payload, ignorenulls)`` carrying
+  the right payload forward. ONE shuffle total (the window exchange) —
+  no range-condition join, which Catalyst would execute as a
+  BroadcastNestedLoop/cartesian and explode at scale.
+* **bucketed** (``bucket_s=...``): the union-window serializes each
+  key's full history through one task; a hot key (a crawl host with
+  10^8 fetches) becomes a straggler. Bucketing windows over
+  (key, time-bucket) instead — parallel across buckets — then resolves
+  rows with no in-bucket match via a second, bucket-granularity as-of
+  over the per-bucket LAST right rows (keys × buckets rows, tiny).
+  Exactly equal to the plain path (pytest-pinned), survives single-key
+  skew.
+
+Right-side rows must be unique per (key, time) — at equal timestamps
+"the" latest row is undefined; callers dedupe first (e.g. last-wins by
+id, operators A8). Matching is inclusive at equal time, like DuckDB
+``ASOF JOIN`` (``l.t >= r.t``) and pandas ``merge_asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_SIDE = "__asof_side"
+_B = "__asof_b"
+_PFX = "__asof_r_"
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+):
+    """Unified (keys, time, side, left-payload, right-payload) relation.
+
+    side 0 = right, 1 = left: at equal time the right row sorts first,
+    so the inclusive (>=) match falls out of plain (time, side) order.
+    """
+    left_payload = [c for c in left.columns if c not in on and c != left_time]
+    l = left.select(
+        *on,
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(_PFX + c)
+          for c in right_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(right_time).alias(_T),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_payload],
+        *[F.col(c).alias(_PFX + c) for c in right_cols],
+    )
+    return l.unionByName(r), left_payload
+
+
+def _carry(cols: list[str], w) -> list:
+    return [
+        F.last(F.col(_PFX + c), ignorenulls=True).over(w).alias(_PFX + c)
+        for c in cols
+    ]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_time: str,
+    right_time: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Left as-of join. Returns every left row plus the matched right
+    payload columns renamed ``<col><suffix>`` (null when no match).
+
+    ``bucket_s`` switches to the skew-proof two-phase plan (bucket
+    width in seconds over the time column); semantics are identical.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_time = right_time or left_time
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if bucket_s is not None and direction != "backward":
+        raise ValueError("bucketed path implements direction='backward'")
+
+    u, left_payload = _tagged_union(
+        left, right, on, left_time, right_time, right_cols
+    )
+    t_order = F.asc(_T) if direction == "backward" else F.desc(_T)
+
+    if bucket_s is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(t_order, F.asc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.select(*on, _T, _SIDE, *left_payload, *_carry(right_cols, w))
+    else:
+        u = u.withColumn(_B, F.floor(F.unix_timestamp(_T) / F.lit(bucket_s)))
+        # phase 1: in-bucket carry — parallel across (key, bucket)
+        wb = (
+            Window.partitionBy(*on, _B)
+            .orderBy(F.asc(_T), F.asc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        staged = u.select(
+            *on, _T, _SIDE, _B, *left_payload, *_carry(right_cols, wb)
+        )
+        # phase 2: per-(key, bucket) LAST right row — keys × buckets rows
+        wr = (
+            Window.partitionBy(*on, _B)
+            .orderBy(F.desc(_T), F.desc(_SIDE))
+        )
+        rp = (
+            u.filter(F.col(_SIDE) == 0)
+            .withColumn("__asof_rn", F.row_number().over(wr))
+            .filter(F.col("__asof_rn") == 1)
+            .select(*on, _B, *[_PFX + c for c in right_cols])
+        )
+        # bucket-granularity as-of: left buckets (side 0 here, so a
+        # bucket's own rp — whose rows are all LATER than any in-bucket
+        # miss — stays invisible) vs rp buckets (side 1)
+        lb = staged.select(*on, _B).distinct().select(
+            *on, _B, F.lit(0).alias(_SIDE),
+            *[F.lit(None).cast(right.schema[c].dataType).alias(_PFX + c)
+              for c in right_cols],
+        )
+        rb = rp.select(*on, _B, F.lit(1).alias(_SIDE),
+                       *[_PFX + c for c in right_cols])
+        wc = (
+            Window.partitionBy(*on)
+            .orderBy(F.asc(_B), F.asc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = (
+            lb.unionByName(rb)
+            .select(*on, _B, _SIDE, *_carry(right_cols, wc))
+            .filter(F.col(_SIDE) == 0)
+            .select(
+                *on, _B,
+                *[F.col(_PFX + c).alias("__asof_c_" + c) for c in right_cols],
+            )
+        )
+        matched = staged.join(carry, on=[*on, _B], how="left").select(
+            *on, _T, _SIDE, *left_payload,
+            *[
+                F.coalesce(F.col(_PFX + c), F.col("__asof_c_" + c))
+                .alias(_PFX + c)
+                for c in right_cols
+            ],
+        )
+
+    out_right = [F.col(_PFX + c).alias(c + suffix) for c in right_cols]
+    return (
+        matched.filter(F.col(_SIDE) == 1)
+        .select(*on, F.col(_T).alias(left_time), *left_payload, *out_right)
+    )

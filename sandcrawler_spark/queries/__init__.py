@@ -10,6 +10,7 @@ ORACLES = {**ORACLES, **ORACLES2}
 # every query gains a driver-green row across rounds; the local gate
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
+    "aj_asof_join",
     "ann_pq_search",
     "med_audio_segments",
     "rb_longest_match",

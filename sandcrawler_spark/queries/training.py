@@ -6,10 +6,11 @@ convention; MinHash permutation constants reproduced literally in SQL).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sandcrawler_spark.operators import dedup, media, similarity, text
+from sandcrawler_spark.operators import dedup, media, similarity, temporal, text
 from sandcrawler_spark.queries.battery import _t
 
 # shared SQL CTE fragments (DuckDB): tokenization + distinct 3-gram shingles
@@ -2468,6 +2469,55 @@ ORACLES2.update(
                LEAST(i * 2.0 + 4.0, dur) AS t_end,
                sha256(text || '|aud|' || decode(unhex(lpad(to_hex(i), 8, '0')))) AS segment_sha256
         FROM x
+    """,
+    }
+)
+
+
+def aj_asof_join(spark, sf_dir):
+    """As-of join over the events stream: for each purchase, the user's
+    latest click at-or-before it (operators/temporal.py). Runs the
+    BUCKETED two-phase plan (1-day buckets over the 30-day stream) so
+    the skew-proof scale path — not just the single-window one — is the
+    variant proven oracle-exact. Right side deduped last-wins per
+    (user_id, ts); oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts",
+                F.col("event_id").alias("click_id"),
+                F.col("value").alias("click_value"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return temporal.asof_join(
+        left, right, on="user_id", left_time="ts",
+        right_cols=["click_id", "click_value"], bucket_s=86400,
+    )
+
+
+QUERIES2.update({"aj_asof_join": aj_asof_join})
+ORACLES2.update(
+    {
+        "aj_asof_join": """
+        WITH r0 AS (
+            SELECT user_id, ts, event_id AS click_id, value AS click_value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, click_id, click_value FROM r0 WHERE rn = 1),
+        l AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT l.user_id, l.ts, l.event_id,
+               r.click_id AS click_id_right,
+               r.click_value AS click_value_right
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     }
 )

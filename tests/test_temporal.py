@@ -1,0 +1,153 @@
+"""As-of join: union-window plan vs the skew-proof bucketed plan vs a
+pandas ``merge_asof`` oracle. The operator's contract: inclusive match
+at equal timestamps, per-key, every left row preserved, and the two
+physical strategies are row-identical."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.temporal import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # 3 hosts; right = robots snapshots, left = fetches. Includes: exact
+    # timestamp tie (must match inclusively), a left row before any
+    # right row (null match), a key with no right rows at all, and
+    # gaps larger than the bucket width (carry must cross empty buckets).
+    right_rows = [
+        ("a", _ts(0), 1, "r-a0"),
+        ("a", _ts(10), 2, "r-a10"),
+        ("a", _ts(500), 3, "r-a500"),
+        ("b", _ts(5), 4, "r-b5"),
+    ]
+    left_rows = [
+        ("a", _ts(0), 100),    # tie with r-a0 -> inclusive match
+        ("a", _ts(9), 101),    # -> r-a0
+        ("a", _ts(10), 102),   # tie -> r-a10
+        ("a", _ts(499), 103),  # carry across ~8 empty hour-buckets
+        ("a", _ts(501), 104),  # -> r-a500
+        ("b", _ts(4), 105),    # before any b snapshot -> null
+        ("b", _ts(1000), 106), # -> r-b5, long carry
+        ("c", _ts(50), 107),   # no right rows for c -> null
+    ]
+    right = spark.createDataFrame(
+        right_rows, "host string, ts timestamp, snap_id long, body string"
+    )
+    left = spark.createDataFrame(
+        left_rows, "host string, ts timestamp, fetch_id long"
+    )
+    return left, right
+
+
+def _expected(left_rows, right_rows):
+    lpdf = pd.DataFrame(left_rows, columns=["host", "ts", "fetch_id"])
+    rpdf = pd.DataFrame(right_rows, columns=["host", "ts", "snap_id", "body"])
+    out = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts").rename(
+            columns={"snap_id": "snap_id_right", "body": "body_right"}
+        ),
+        on="ts", by="host", direction="backward",
+    )
+    return {
+        int(r.fetch_id): (
+            None if pd.isna(r.snap_id_right) else int(r.snap_id_right),
+            None if pd.isna(r.body_right) else r.body_right,
+        )
+        for r in out.itertuples()
+    }
+
+
+def _got(df):
+    return {
+        r["fetch_id"]: (r["snap_id_right"], r["body_right"])
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_matches_pandas(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="host", left_time="ts",
+        right_cols=["snap_id", "body"],
+    )
+    assert out.count() == left.count()  # every left row survives
+    got = _got(out)
+    right_rows = [tuple(r) for r in right.collect()]
+    left_rows = [tuple(r) for r in left.collect()]
+    assert got == _expected(left_rows, right_rows)
+    # null-match rows are explicit
+    assert got[105] == (None, None)
+    assert got[107] == (None, None)
+    assert got[100] == (1, "r-a0")  # inclusive tie
+
+
+def test_asof_bucketed_equals_plain(spark, frames):
+    left, right = frames
+    plain = asof_join(
+        left, right, on="host", left_time="ts",
+        right_cols=["snap_id", "body"],
+    )
+    for width in (60, 3600, 86400 * 365):  # minute / hour / everything-in-one
+        bucketed = asof_join(
+            left, right, on="host", left_time="ts",
+            right_cols=["snap_id", "body"], bucket_s=width,
+        )
+        assert _got(bucketed) == _got(plain), f"bucket_s={width}"
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="host", left_time="ts",
+        right_cols=["snap_id"], direction="forward",
+    )
+    got = {r["fetch_id"]: r["snap_id_right"] for r in out.collect()}
+    # forward = earliest right at-or-after
+    assert got[100] == 1      # tie is inclusive forward too
+    assert got[101] == 2
+    assert got[103] == 3
+    assert got[104] is None   # nothing after minute 501
+    assert got[105] == 4
+    assert got[106] is None
+    assert got[107] is None
+
+
+def test_asof_rejects_bad_args(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="host", left_time="ts", direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, on="host", left_time="ts",
+            direction="forward", bucket_s=60,
+        )
+
+
+def test_asof_plan_has_no_range_join(spark, frames):
+    """The whole point: an as-of join that is NOT a range-condition
+    join. The plan must contain window exchanges but no cartesian /
+    nested-loop join, and stay Python-free."""
+    left, right = frames
+    for kwargs in ({}, {"bucket_s": 3600}):
+        out = asof_join(
+            left, right, on="host", left_time="ts",
+            right_cols=["snap_id"], **kwargs,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Window" in plan
