@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_pq_search",
     "med_audio_segments",
     "aj_asof_join",
+    "iv_interval_join",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -33,8 +33,9 @@ id, operators A8). Matching is inclusive at equal time, like DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 _T = "__asof_t"
 _SIDE = "__asof_side"
@@ -179,4 +180,84 @@ def asof_join(
     return (
         matched.filter(F.col(_SIDE) == 1)
         .select(*on, F.col(_T).alias(left_time), *left_payload, *out_right)
+    )
+
+
+def _epoch(col: Column, df: DataFrame, name: str) -> Column:
+    dt_ = df.schema[name].dataType
+    if isinstance(dt_, TimestampNTZType):
+        # NTZ has no epoch; read it in the session TZ — a uniform shift,
+        # and both sides go through the same mapping, so the overlap
+        # comparisons are unaffected
+        col = col.cast("timestamp")
+        dt_ = TimestampType()
+    if isinstance(dt_, TimestampType):
+        # microseconds-as-double is exact (|unix_micros| < 2^53)
+        return F.unix_micros(col) / F.lit(1e6)
+    return col.cast("double")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket_s: float = 3600.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Overlap (range) join without the nested-loop trap: pairs of rows
+    whose [start, end] intervals intersect (closed ends), per key.
+
+    Catalyst executes ``l.start <= r.end AND r.start <= l.end`` as a
+    BroadcastNestedLoopJoin — quadratic, dead at scale. Here each
+    interval fans out to its covering ``bucket_s``-wide time buckets
+    (`sequence` + `explode`, bounded by interval length / bucket_s),
+    the join is a plain equi-join on (key, bucket), and each
+    overlapping pair is kept ONLY in the canonical bucket containing
+    ``greatest(l.start, r.start)`` — the overlap's first instant — so
+    no dedup/distinct pass is needed. Pick ``bucket_s`` near the
+    typical interval length: fan-out stays O(1) per row while bucket
+    populations stay small.
+
+    Timestamp columns are compared at microsecond precision (epoch
+    seconds as double); numeric columns compare as-is."""
+    on = [on] if isinstance(on, str) else list(on)
+    ls, le = left_span
+    rs, re_ = right_span
+
+    def prep(df: DataFrame, s: str, e: str, tag: str):
+        start = _epoch(F.col(s), df, s).alias(f"__iv_s{tag}")
+        end = _epoch(F.col(e), df, e).alias(f"__iv_e{tag}")
+        payload = [c for c in df.columns if c not in on]
+        return df.select(*on, start, end, *payload)
+
+    l = prep(left, ls, le, "l")
+    r = prep(right, rs, re_, "r")
+    for c in [c for c in right.columns if c not in on]:
+        r = r.withColumnRenamed(c, c + suffix)
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__iv_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_s)),
+                    F.floor(F.col(e) / F.lit(bucket_s)),
+                )
+            ),
+        )
+
+    lb, rb = burst(l, "__iv_sl", "__iv_el"), burst(r, "__iv_sr", "__iv_er")
+    canon = F.floor(
+        F.greatest(F.col("__iv_sl"), F.col("__iv_sr")) / F.lit(bucket_s)
+    )
+    return (
+        lb.join(rb, on=[*on, "__iv_b"], how="inner")
+        .filter(
+            (F.col("__iv_sl") <= F.col("__iv_er"))
+            & (F.col("__iv_sr") <= F.col("__iv_el"))
+            & (F.col("__iv_b") == canon)
+        )
+        .drop("__iv_b", "__iv_sl", "__iv_el", "__iv_sr", "__iv_er")
     )

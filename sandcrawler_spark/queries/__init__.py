@@ -11,6 +11,7 @@ ORACLES = {**ORACLES, **ORACLES2}
 # (tools/check_oracle.py) always runs all of them regardless of order.
 _FRONT = [
     "aj_asof_join",
+    "iv_interval_join",
     "ann_pq_search",
     "med_audio_segments",
     "rb_longest_match",

@@ -2521,3 +2521,42 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def iv_interval_join(spark, sf_dir):
+    """Interval (range) join over the events stream: clicks landing
+    inside the 12-hour window after each error, per user
+    (operators/temporal.py::interval_join — bucketized equi-join with
+    canonical-bucket dedupe; a naive range-condition join would plan as
+    BroadcastNestedLoop). Oracle: plain SQL range join in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = temporal.interval_join(
+        left, right, on="user_id", left_span=("s", "e"),
+        right_span=("ts", "ts"), bucket_s=43200.0,
+    )
+    return out.select("err_id", "user_id", "click_id_right")
+
+
+QUERIES2.update({"iv_interval_join": iv_interval_join})
+ORACLES2.update(
+    {
+        "iv_interval_join": """
+        WITH l AS (SELECT event_id AS err_id, user_id, ts AS s,
+                          ts + INTERVAL 12 HOUR AS e
+                   FROM events WHERE event_type = 'error'),
+        r AS (SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT l.err_id, l.user_id, r.click_id AS click_id_right
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND r.ts >= l.s AND r.ts <= l.e
+    """,
+    }
+)

@@ -10,7 +10,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from sandcrawler_spark.operators.temporal import asof_join
+from sandcrawler_spark.operators.temporal import asof_join, interval_join
 
 T0 = dt.datetime(2024, 1, 1)
 
@@ -151,3 +151,76 @@ def test_asof_plan_has_no_range_join(spark, frames):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+
+
+def _iv_frames(spark):
+    # intervals engineered to hit: containment, partial overlap, exact
+    # endpoint touch (closed intervals -> match), disjoint, long interval
+    # spanning many buckets (multi-bucket candidate pairs must dedupe to
+    # one), and key isolation.
+    left_rows = [
+        ("a", 1, 0.0, 10.0),
+        ("a", 2, 20.0, 22.0),
+        ("a", 3, 0.0, 10_000.0),   # spans ~3 hour-buckets
+        ("b", 4, 0.0, 10.0),
+    ]
+    right_rows = [
+        ("a", 10, 5.0, 6.0),       # inside 1 and 3
+        ("a", 11, 10.0, 15.0),     # touches 1 at 10.0 (closed), inside 3
+        ("a", 12, 16.0, 19.0),     # only 3
+        ("a", 13, 9_999.0, 12_000.0),  # tail of 3, crosses bucket edge
+        ("a", 14, 30_000.0, 30_001.0),  # disjoint from all
+        ("b", 15, 20.0, 21.0),     # key b, disjoint from 4
+    ]
+    left = spark.createDataFrame(
+        left_rows, "k string, lid long, s double, e double"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, rid long, s double, e double"
+    )
+    return left, right, left_rows, right_rows
+
+
+def test_interval_join_matches_bruteforce(spark):
+    left, right, left_rows, right_rows = _iv_frames(spark)
+    got = interval_join(
+        left, right, on="k", left_span=("s", "e"), right_span=("s", "e"),
+        bucket_s=3600.0,
+    )
+    rows = got.collect()
+    pairs = {(r["lid"], r["rid_right"]) for r in rows}
+    expected = {
+        (lid, rid)
+        for (lk, lid, ls, le) in left_rows
+        for (rk, rid, rs, re_) in right_rows
+        if lk == rk and ls <= re_ and rs <= le
+    }
+    assert pairs == expected
+    # multi-bucket overlap (3, 13) appears exactly once — canonical
+    # bucket, not a distinct pass, does the dedupe
+    dup = [r for r in rows if (r["lid"], r["rid_right"]) == (3, 13)]
+    assert len(dup) == 1
+
+
+def test_interval_join_timestamps_and_plan(spark):
+    # timestamp inputs compare at microsecond precision; equi-join plan
+    left = spark.createDataFrame(
+        [("a", 1, _ts(0), _ts(10))], "k string, lid long, s timestamp, e timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", 2, _ts(10), _ts(11)), ("a", 3, _ts(10) + dt.timedelta(microseconds=1), _ts(11))],
+        "k string, rid long, s timestamp, e timestamp",
+    )
+    out = interval_join(
+        left, right, on="k", left_span=("s", "e"), right_span=("s", "e"),
+        bucket_s=60.0,
+    )
+    assert {r["rid_right"] for r in out.collect()} == {2}  # closed end; +1us misses
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
