@@ -41,6 +41,7 @@ _T = "__asof_t"
 _SIDE = "__asof_side"
 _B = "__asof_b"
 _PFX = "__asof_r_"
+_RT = "__asof_rt"
 
 
 def _tagged_union(
@@ -93,12 +94,18 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     bucket_s: int | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns every left row plus the matched right
     payload columns renamed ``<col><suffix>`` (null when no match).
 
     ``bucket_s`` switches to the skew-proof two-phase plan (bucket
     width in seconds over the time column); semantics are identical.
+
+    ``tolerance_s`` nulls out matches further than that many seconds
+    from the left time (pandas ``merge_asof(tolerance=...)``): a
+    robots snapshot older than 24h is not "the governing snapshot",
+    it's stale — the null-match row is the refetch signal.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_time = right_time or left_time
@@ -108,6 +115,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction}")
     if bucket_s is not None and direction != "backward":
         raise ValueError("bucketed path implements direction='backward'")
+    public_right = list(right_cols)
+    if tolerance_s is not None:
+        # carry the matched right time as a hidden payload column so
+        # the staleness gap can be computed after the carry
+        right = right.withColumn(_RT, F.col(right_time))
+        right_cols = [*right_cols, _RT]
 
     u, left_payload = _tagged_union(
         left, right, on, left_time, right_time, right_cols
@@ -176,15 +189,23 @@ def asof_join(
             ],
         )
 
-    out_right = [F.col(_PFX + c).alias(c + suffix) for c in right_cols]
+    if tolerance_s is None:
+        out_right = [F.col(_PFX + c).alias(c + suffix) for c in public_right]
+    else:
+        lt = _epoch_col(F.col(_T), left.schema[left_time].dataType)
+        rt = _epoch_col(F.col(_PFX + _RT), right.schema[right_time].dataType)
+        ok = F.abs(lt - rt) <= F.lit(float(tolerance_s))
+        out_right = [
+            F.when(ok, F.col(_PFX + c)).alias(c + suffix)
+            for c in public_right
+        ]
     return (
         matched.filter(F.col(_SIDE) == 1)
         .select(*on, F.col(_T).alias(left_time), *left_payload, *out_right)
     )
 
 
-def _epoch(col: Column, df: DataFrame, name: str) -> Column:
-    dt_ = df.schema[name].dataType
+def _epoch_col(col: Column, dt_) -> Column:
     if isinstance(dt_, TimestampNTZType):
         # NTZ has no epoch; read it in the session TZ — a uniform shift,
         # and both sides go through the same mapping, so the overlap
@@ -195,6 +216,10 @@ def _epoch(col: Column, df: DataFrame, name: str) -> Column:
         # microseconds-as-double is exact (|unix_micros| < 2^53)
         return F.unix_micros(col) / F.lit(1e6)
     return col.cast("double")
+
+
+def _epoch(col: Column, df: DataFrame, name: str) -> Column:
+    return _epoch_col(col, df.schema[name].dataType)
 
 
 def interval_join(

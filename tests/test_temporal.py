@@ -124,6 +124,39 @@ def test_asof_forward(spark, frames):
     assert got[107] is None
 
 
+def test_asof_tolerance_nulls_stale_matches(spark, frames):
+    """tolerance_s = max staleness: matches older than the window are
+    nulled (the refetch signal), like pandas merge_asof(tolerance=...).
+    Both physical paths agree with the pandas oracle."""
+    left, right = frames
+    tol = dt.timedelta(minutes=5)
+    lpdf = pd.DataFrame(
+        [tuple(r) for r in left.collect()], columns=["host", "ts", "fetch_id"]
+    )
+    rpdf = pd.DataFrame(
+        [tuple(r) for r in right.collect()],
+        columns=["host", "ts", "snap_id_right", "body"],
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf[["host", "ts", "snap_id_right"]].sort_values("ts"),
+        on="ts", by="host", direction="backward", tolerance=tol,
+    )
+    expected = {
+        int(r.fetch_id): None if pd.isna(r.snap_id_right) else int(r.snap_id_right)
+        for r in exp.itertuples()
+    }
+    for kwargs in ({}, {"bucket_s": 3600}):
+        out = asof_join(
+            left, right, on="host", left_time="ts",
+            right_cols=["snap_id"], tolerance_s=300.0, **kwargs,
+        )
+        got = {r["fetch_id"]: r["snap_id_right"] for r in out.collect()}
+        assert got == expected, f"{kwargs}"
+    # sanity on the interesting rows: 9-min-stale match nulled, tie kept
+    assert expected[101] is None
+    assert expected[100] == 1
+
+
 def test_asof_rejects_bad_args(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
