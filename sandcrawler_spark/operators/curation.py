@@ -37,6 +37,12 @@ Scale notes (the design points, in order of appearance):
   ``applyInPandas`` group per shard — parallel across shards, which is
   the knob that scales (shard count grows with the cluster, per-shard
   work stays bounded by the LPT pre-split).
+- ``pack_token_chunks`` (concat-and-chunk into fixed-length training
+  sequences, docs split at chunk boundaries — the GPT-pretraining
+  packing) is a closed-form function of the global token cumsum, so it
+  needs NO sequential pass at all: two-phase cumsum (range shuffle +
+  broadcast of per-partition totals) then a pure span projection with
+  a bounded `sequence` fan-out for docs longer than one chunk.
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sandcrawler_spark.operators.ranking import with_global_rank
@@ -201,6 +207,94 @@ def pack_ffd(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(_pack, out_schema)
+
+
+def pack_token_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    num_partitions: int | None = None,
+    scratch: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``id_col`` order into one token stream, which is cut into
+    fixed-``max_tokens`` training sequences ("chunks"); documents split
+    at chunk boundaries. One output row per (doc, chunk) span:
+
+    - ``chunk``     global 0-based sequence index
+    - ``chunk_off`` where the span starts inside the chunk
+    - ``doc_off``   where the span starts inside the document
+    - ``n_toks``    span length
+
+    Every chunk except the last is exactly full, so the packing is a
+    closed-form function of the exclusive global cumsum ``c0``:
+    doc occupies [c0, c0+toks) and lands in chunks
+    floor(c0/max) .. floor((c0+toks-1)/max). The cumsum is two-phase
+    (range shuffle on id, per-partition totals broadcast — the
+    with_global_rank pattern, driver traffic = #partitions rows), the
+    rest is a pure projection + bounded `sequence` fan-out. No
+    applyInPandas, no per-shard sequential pass. Zero-token docs are
+    dropped (they contribute no span).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    src = df.filter(F.col(tokens_col) > 0).select(
+        id_col, F.col(tokens_col).cast("long").alias("__toks")
+    )
+    ranged = (
+        src.repartitionByRange(int(n), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # offsets below are valid ONLY for this materialized
+        # range layout (range bounds come from sampling) — keep it
+        # cached until the result is consumed; scratch hands the handle
+        # to the caller for unpersist, like with_global_rank
+    )
+    if scratch is not None:
+        scratch.append(ranged)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid").agg(F.sum("__toks").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c0 = F.coalesce(F.sum("__toks").over(w), F.lit(0)) + F.col("__off")
+    m = F.lit(int(max_tokens))
+    spans = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__c0", c0)
+        .withColumn(
+            "chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__c0") / m),
+                    F.floor((F.col("__c0") + F.col("__toks") - 1) / m),
+                )
+            ),
+        )
+    )
+    k0 = F.col("chunk") * m
+    doc_off = F.greatest(k0 - F.col("__c0"), F.lit(0))
+    chunk_off = F.greatest(F.col("__c0") - k0, F.lit(0))
+    span_end = F.least(F.col("__toks"), k0 + m - F.col("__c0"))
+    out = spans.select(
+        id_col,
+        F.col("chunk").cast("long").alias("chunk"),
+        chunk_off.cast("long").alias("chunk_off"),
+        doc_off.cast("long").alias("doc_off"),
+        (span_end - doc_off).cast("long").alias("n_toks"),
+    )
+    return out
 
 
 def weighted_sample(

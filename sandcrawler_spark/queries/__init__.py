@@ -12,6 +12,7 @@ ORACLES = {**ORACLES, **ORACLES2}
 _FRONT = [
     "aj_asof_join",
     "iv_interval_join",
+    "pack_token_chunks",
     "ann_pq_search",
     "med_audio_segments",
     "rb_longest_match",

@@ -2560,3 +2560,41 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def pack_token_chunks_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing over the documents table
+    (n_chars standing in for token counts, 2048-token chunks): one row
+    per (doc, chunk) span with chunk/chunk_off/doc_off/n_toks. The
+    packing is a closed-form function of the exclusive global cumsum,
+    so the oracle is a plain window cumsum + unnest(range(...))."""
+    from sandcrawler_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.pack_token_chunks(d, "doc_id", "n_chars", 2048)
+
+
+QUERIES2.update({"pack_token_chunks": pack_token_chunks_q})
+ORACLES2.update(
+    {
+        "pack_token_chunks": """
+        WITH c AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS toks,
+                   COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS c0
+            FROM documents WHERE n_chars > 0),
+        x AS (
+            SELECT doc_id, toks, c0,
+                   unnest(range(CAST(floor(c0 / 2048.0) AS BIGINT),
+                                CAST(floor((c0 + toks - 1) / 2048.0) AS BIGINT) + 1)) AS k
+            FROM c)
+        SELECT doc_id, k AS chunk,
+               GREATEST(c0 - k * 2048, 0) AS chunk_off,
+               GREATEST(k * 2048 - c0, 0) AS doc_off,
+               LEAST(toks, (k + 1) * 2048 - c0) - GREATEST(k * 2048 - c0, 0) AS n_toks
+        FROM x
+    """,
+    }
+)

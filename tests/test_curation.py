@@ -287,3 +287,57 @@ def test_dsir_partitioning_invariant(spark, sf_dir):
     a = curation.dsir_scores(d, "doc_id", "text", "is_en").collect()
     b = curation.dsir_scores(d.repartition(13), "doc_id", "text", "is_en").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_token_chunks_invariants(spark):
+    """Concat-and-chunk packing: spans tile every document exactly,
+    chunks tile the global token stream exactly (every chunk but the
+    last is full), zero-token docs are dropped, and the output is
+    independent of input partitioning."""
+    rows = [
+        ("d01", 100), ("d02", 0), ("d03", 2048), ("d04", 5000),
+        ("d05", 1), ("d06", 2047), ("d07", 9000), ("d08", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, toks int")
+    out = curation.pack_token_chunks(df, "doc_id", "toks", 2048).collect()
+
+    toks = {d: t for d, t in rows if t > 0}
+    total = sum(toks.values())
+    n_chunks = -(-total // 2048)
+
+    # per-doc tiling: doc_offs cover [0, toks) contiguously, in
+    # consecutive chunks
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r["chunk"])
+        assert spans[0]["doc_off"] == 0
+        assert sum(s["n_toks"] for s in spans) == toks[d]
+        for a, b in zip(spans, spans[1:]):
+            assert b["chunk"] == a["chunk"] + 1
+            assert b["doc_off"] == a["doc_off"] + a["n_toks"]
+
+    # per-chunk tiling: offsets cover [0, 2048) (last chunk: [0, rem))
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk"], []).append(r)
+    assert set(by_chunk) == set(range(n_chunks))
+    for k, spans in by_chunk.items():
+        spans.sort(key=lambda r: r["chunk_off"])
+        assert spans[0]["chunk_off"] == 0
+        fill = sum(s["n_toks"] for s in spans)
+        assert fill == (2048 if k < n_chunks - 1 else total - 2048 * k)
+        for a, b in zip(spans, spans[1:]):
+            assert b["chunk_off"] == a["chunk_off"] + a["n_toks"]
+
+    # partitioning-independence: same spans from a 1-partition layout
+    got1 = {tuple(r) for r in out}
+    got2 = {
+        tuple(r)
+        for r in curation.pack_token_chunks(
+            df.repartition(1), "doc_id", "toks", 2048
+        ).collect()
+    }
+    assert got1 == got2
