@@ -106,25 +106,38 @@ def asof_join(
     from the left time (pandas ``merge_asof(tolerance=...)``): a
     robots snapshot older than 24h is not "the governing snapshot",
     it's stale — the null-match row is the refetch signal.
+
+    ``direction="nearest"`` picks whichever of the backward/forward
+    candidates is closer in time (ties → backward, like pandas). Both
+    carries are computed in ONE pass — two windows over the same
+    partitioning, so still a single shuffle.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_time = right_time or left_time
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on]
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     if bucket_s is not None and direction != "backward":
         raise ValueError("bucketed path implements direction='backward'")
     public_right = list(right_cols)
-    if tolerance_s is not None:
+    if tolerance_s is not None or direction == "nearest":
         # carry the matched right time as a hidden payload column so
-        # the staleness gap can be computed after the carry
+        # the gap to the left time can be computed after the carry
         right = right.withColumn(_RT, F.col(right_time))
         right_cols = [*right_cols, _RT]
 
     u, left_payload = _tagged_union(
         left, right, on, left_time, right_time, right_cols
     )
+
+    if direction == "nearest":
+        return _nearest(
+            u, on, left, right, left_time, right_time, left_payload,
+            public_right, right_cols, suffix, tolerance_s,
+        )
     t_order = F.asc(_T) if direction == "backward" else F.desc(_T)
 
     if bucket_s is None:
@@ -220,6 +233,55 @@ def _epoch_col(col: Column, dt_) -> Column:
 
 def _epoch(col: Column, df: DataFrame, name: str) -> Column:
     return _epoch_col(col, df.schema[name].dataType)
+
+
+def _nearest(
+    u, on, left, right, left_time, right_time, left_payload,
+    public_right, right_cols, suffix, tolerance_s,
+):
+    """direction='nearest': both carries from one shuffle (the two
+    windows share the partitioning; only the sort differs), then a
+    row-local pick of the closer side (ties → backward)."""
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc(_T), F.asc(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.desc(_T), F.asc(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_b = [
+        F.last(F.col(_PFX + c), ignorenulls=True).over(wb).alias(f"__b_{c}")
+        for c in right_cols
+    ]
+    carry_f = [
+        F.last(F.col(_PFX + c), ignorenulls=True).over(wf).alias(f"__f_{c}")
+        for c in right_cols
+    ]
+    m = u.select(*on, _T, _SIDE, *left_payload, *carry_b, *carry_f).filter(
+        F.col(_SIDE) == 1
+    )
+    lt = _epoch_col(F.col(_T), left.schema[left_time].dataType)
+    rdt = right.schema[right_time].dataType
+    gap_b = lt - _epoch_col(F.col(f"__b_{_RT}"), rdt)
+    gap_f = _epoch_col(F.col(f"__f_{_RT}"), rdt) - lt
+    if tolerance_s is not None:
+        tol = F.lit(float(tolerance_s))
+        gap_b = F.when(gap_b <= tol, gap_b)
+        gap_f = F.when(gap_f <= tol, gap_f)
+    use_b = gap_b.isNotNull() & (gap_f.isNull() | (gap_b <= gap_f))
+    use_f = gap_f.isNotNull() & ~use_b
+    out_right = [
+        F.when(use_b, F.col(f"__b_{c}"))
+        .when(use_f, F.col(f"__f_{c}"))
+        .alias(c + suffix)
+        for c in public_right
+    ]
+    return m.select(
+        *on, F.col(_T).alias(left_time), *left_payload, *out_right
+    )
 
 
 def interval_join(

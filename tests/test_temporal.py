@@ -157,10 +157,45 @@ def test_asof_tolerance_nulls_stale_matches(spark, frames):
     assert expected[100] == 1
 
 
+def test_asof_nearest_matches_pandas(spark, frames):
+    """direction='nearest' (one shuffle, dual windows) against the
+    pandas merge_asof oracle, with and without tolerance."""
+    left, right = frames
+    lpdf = pd.DataFrame(
+        [tuple(r) for r in left.collect()], columns=["host", "ts", "fetch_id"]
+    )
+    rpdf = pd.DataFrame(
+        [tuple(r) for r in right.collect()],
+        columns=["host", "ts", "snap_id_right", "body"],
+    )
+    for tol_s in (None, 300.0):
+        tol = None if tol_s is None else dt.timedelta(seconds=tol_s)
+        exp = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf[["host", "ts", "snap_id_right"]].sort_values("ts"),
+            on="ts", by="host", direction="nearest", tolerance=tol,
+        )
+        expected = {
+            int(r.fetch_id):
+                None if pd.isna(r.snap_id_right) else int(r.snap_id_right)
+            for r in exp.itertuples()
+        }
+        out = asof_join(
+            left, right, on="host", left_time="ts",
+            right_cols=["snap_id"], direction="nearest", tolerance_s=tol_s,
+        )
+        got = {r["fetch_id"]: r["snap_id_right"] for r in out.collect()}
+        assert got == expected, f"tolerance={tol_s}"
+    # the interesting rows: 105 (4 min before first b snapshot) now
+    # matches forward; 107 still has no candidates
+    assert expected[105] == 4
+    assert expected[107] is None
+
+
 def test_asof_rejects_bad_args(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
-        asof_join(left, right, on="host", left_time="ts", direction="nearest")
+        asof_join(left, right, on="host", left_time="ts", direction="sideways")
     with pytest.raises(ValueError):
         asof_join(
             left, right, on="host", left_time="ts",
