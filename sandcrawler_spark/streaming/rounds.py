@@ -124,3 +124,45 @@ def windowed_status_counters(spark: SparkSession, input_dir: str):
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("wstart"), "status", "n")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    window_s: int = 600,
+    watermark_s: int = 300,
+) -> DataFrame:
+    """Stream-stream time-range join: right events landing in the
+    ``window_s`` window after each left event, per key — the streaming
+    form of ``operators/temporal.py::interval_join`` (batch twin used
+    as the oracle in tests).
+
+    Both inputs must be streaming DataFrames. Watermarks bound the join
+    state: Spark keeps a left row only until its window can no longer
+    match (watermark past ``left_time + window_s``) and a right row
+    until the watermark passes ``right_time``, so state is
+    O(in-flight window), not O(stream). The equality key keeps it a
+    hash join per micro-batch — no nested loop."""
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("l_ts"),
+        *[c for c in left.columns if c not in (on, left_time)],
+    ).withWatermark("l_ts", f"{watermark_s} seconds")
+    r = right.select(
+        F.col(on).alias("__k2"),
+        F.col(right_time).alias("r_ts"),
+        *[c for c in right.columns if c not in (on, right_time)],
+    ).withWatermark("r_ts", f"{watermark_s} seconds")
+    cond = (
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .drop("__k2")
+        .withColumnRenamed("__k", on)
+    )

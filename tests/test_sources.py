@@ -413,3 +413,62 @@ def test_datagen_chunked_identical():
             b = duckdb.sql(f"SELECT * FROM '{many}/{t}.parquet'").fetchall()
             assert a == b, t
             assert len(a) > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """§2.9: watermarked stream-stream time-range join — right events
+    inside the window after each left event, per key. The batch twin
+    (an explicit nested-loop over the tiny fixture) is the oracle; the
+    join must also respect the key equality (no cross-key matches)."""
+    import json as _json
+
+    from sandcrawler_spark.streaming.rounds import stream_interval_join
+
+    l_rows = [
+        {"k": "a", "ts": "2024-01-01T00:00:00.000Z", "lid": 1},
+        {"k": "a", "ts": "2024-01-01T00:20:00.000Z", "lid": 2},
+        {"k": "b", "ts": "2024-01-01T00:00:00.000Z", "lid": 3},
+    ]
+    r_rows = [
+        {"k": "a", "ts": "2024-01-01T00:05:00.000Z", "rid": 10},  # in 1's window
+        {"k": "a", "ts": "2024-01-01T00:10:00.000Z", "rid": 11},  # edge: t0+10min, closed
+        {"k": "a", "ts": "2024-01-01T00:25:00.000Z", "rid": 12},  # in 2's window only
+        {"k": "b", "ts": "2024-01-01T00:21:00.000Z", "rid": 13},  # outside 3's window
+        {"k": "b", "ts": "2024-01-01T00:02:00.000Z", "rid": 14},  # in 3's window
+    ]
+    ldir, rdir = tmp_path / "sj_l", tmp_path / "sj_r"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "l.json").write_text("\n".join(_json.dumps(r) for r in l_rows))
+    (rdir / "r.json").write_text("\n".join(_json.dumps(r) for r in r_rows))
+    schema_l = "k string, ts timestamp, lid long"
+    schema_r = "k string, ts timestamp, rid long"
+    l = spark.readStream.schema(schema_l).json(str(ldir))
+    r = spark.readStream.schema(schema_r).json(str(rdir))
+    out = stream_interval_join(l, r, on="k", window_s=600, watermark_s=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lid"], r["rid"])
+        for r in spark.sql("SELECT lid, rid FROM sjoin").collect()
+    }
+    import datetime as _dt
+
+    def _p(s):
+        return _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+
+    expected = {
+        (lr["lid"], rr["rid"])
+        for lr in l_rows
+        for rr in r_rows
+        if lr["k"] == rr["k"]
+        and _p(lr["ts"]) <= _p(rr["ts"]) <= _p(lr["ts"]) + _dt.timedelta(seconds=600)
+    }
+    assert got == expected
+    assert (1, 11) in got       # closed right edge
+    assert (3, 13) not in got   # outside window
