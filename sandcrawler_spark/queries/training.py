@@ -2598,3 +2598,61 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def sp_media_context(spark, sf_dir):
+    """Interleaved-span context resolution: for every TEXT span, the
+    nearest PRECEDING media span in the same document — the lookup a
+    multimodal training pipeline does to pair each text chunk with its
+    governing image. It is exactly an as-of join with doc_id as the
+    key and span offset as time (operators/temporal.py::asof_join,
+    backward), over the same synthesized interleave as
+    sp_interleave_stats. Oracle: DuckDB ASOF LEFT JOIN on offsets."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    rows = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("offset")
+    ).select(
+        "doc_id",
+        F.when((F.col("doc_id") + F.col("offset")) % 3 == 0, F.lit("image"))
+        .otherwise(F.lit("text"))
+        .alias("kind"),
+        "offset",
+    )
+    left = rows.filter(F.col("kind") == "text").select("doc_id", "offset")
+    right = rows.filter(F.col("kind") == "image").select(
+        "doc_id", "offset",
+        F.col("offset").cast("long").alias("media_off"),
+        F.concat(
+            F.lit("m"), F.col("doc_id").cast("string"),
+            F.lit("_"), F.col("offset").cast("string"),
+        ).alias("media_ref"),
+    )
+    return temporal.asof_join(
+        left, right, on="doc_id", left_time="offset",
+        right_cols=["media_off", "media_ref"],
+    )
+
+
+QUERIES2.update({"sp_media_context": sp_media_context})
+ORACLES2.update(
+    {
+        "sp_media_context": """
+        WITH rows_ AS (
+            SELECT doc_id, u.off AS "offset",
+                   CASE WHEN (doc_id + u.off) % 3 = 0 THEN 'image'
+                        ELSE 'text' END AS kind
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300),
+                 (SELECT unnest(range(6)) AS off) u),
+        t AS (SELECT doc_id, "offset" FROM rows_ WHERE kind = 'text'),
+        m AS (SELECT doc_id, "offset",
+                     CAST("offset" AS BIGINT) AS media_off,
+                     concat('m', doc_id, '_', "offset") AS media_ref
+              FROM rows_ WHERE kind = 'image')
+        SELECT t.doc_id, t."offset",
+               m.media_off AS media_off_right,
+               m.media_ref AS media_ref_right
+        FROM t ASOF LEFT JOIN m
+          ON t.doc_id = m.doc_id AND t."offset" >= m."offset"
+    """,
+    }
+)
