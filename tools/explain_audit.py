@@ -131,6 +131,27 @@ def main() -> int:
          "med_audio_segments",
          [r"MapInPandas"],
          [r"Generate", r"Exchange", r"BatchEvalPython"]),
+        # temporal operators: as-of is union + window carry (NO join of
+        # any kind on the plain path would be ideal, but the bucketed
+        # battery variant uses one equi-join for the carry-in — what
+        # matters is no nested-loop/cartesian and no Python anywhere
+        ("as-of join: window carry, no nested loop, no python",
+         "aj_asof_join",
+         [r"Window"],
+         [r"CartesianProduct", r"BroadcastNestedLoop",
+          r"BatchEvalPython", r"ArrowEvalPython"]),
+        ("interval join: bucket equi-join, no nested loop, no python",
+         "iv_interval_join",
+         [r"Join"],
+         [r"CartesianProduct", r"BroadcastNestedLoop",
+          r"BatchEvalPython", r"ArrowEvalPython"]),
+        # token-chunk packing: two-phase cumsum + bounded sequence
+        # fan-out — pure Catalyst, no applyInPandas
+        ("token-chunk packing: catalyst-only, no pandas groups",
+         "pack_token_chunks",
+         [r"Window", r"Generate"],
+         [r"FlatMapGroupsInPandas", r"BatchEvalPython", r"ArrowEvalPython",
+          r"CartesianProduct"]),
         # curation: hash sampling is a pure scan+filter (no shuffle, no
         # python); stratified/pack ride the two-phase range rank (windows
         # are per-__pid, never a single-task global window)
