@@ -74,6 +74,7 @@ HEADLINE = [
     "med_audio_segments",
     "aj_asof_join",
     "iv_interval_join",
+    "fs_dataset_ingest",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

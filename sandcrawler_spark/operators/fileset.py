@@ -1,0 +1,335 @@
+"""Dataset/fileset ingest modeling — the reference's platform-dispatch
+and strategy-selection pipeline re-expressed as pure Catalyst column
+logic over a (requests, manifest) pair of DataFrames.
+
+Reference surface (cited per function):
+
+- ``python/sandcrawler/ingest_fileset.py:57-76,100-103,265-375`` —
+  IngestFilesetWorker: the ordered platform-helper dispatch
+  (dataverse → figshare → zenodo → archiveorg), the ``want`` gate
+  (ingest_type == 'dataset'), the manifest summary
+  (file_count / total_size), and the size gates
+  (max_total_size = 64 GiB → 'too-large-size',
+  max_file_count = 200 → 'too-many-files').
+- ``python/sandcrawler/fileset_platforms.py:44-58`` — the default
+  ``chose_strategy`` (single file: < 64 MiB → web-file else
+  archiveorg-file; multi-file: largest < 64 MiB and total < 128 GiB →
+  web-fileset else archiveorg-fileset); ``:820-832`` — ArchiveOrg's
+  override (1 file → archiveorg-file, else archiveorg-fileset).
+- ``python/sandcrawler/fileset_platforms.py:66-128,130-156`` —
+  Dataverse persistentId grammar (doi:/hdl: prefix, authority /
+  optional shoulder / 6-char dataset id / optional 6-char file id) and
+  match rule; a file-level id is a PlatformScopeError
+  (``fileset_platforms.py:223-226``) → status 'platform-scope'.
+- ``python/sandcrawler/fileset_platforms.py:360-421`` — Figshare URL
+  path grammar (``/articles[/<type>]/<name>/<id>[/<version>]``; match
+  requires BOTH id and version).
+- ``python/sandcrawler/fileset_platforms.py:563-579`` — Zenodo match
+  (host == zenodo.org and '/record/' in path).
+- ``python/sandcrawler/fileset_platforms.py:745-762,767-789`` —
+  ArchiveOrg match ('://archive.org/details/' or '/download/'
+  substring) and the file-path scope error (a 6th URL segment means a
+  single file, not an item → 'platform-scope').
+- ``python/sandcrawler/fileset_platforms.py:716-742`` —
+  ``want_item_file``: drop non-'original' sources, item-metadata
+  sidecar files (``_meta.sqlite`` …), names starting with '_', and
+  academictorrents sidecars.
+- ``python/sandcrawler/fileset_types.py:7-13`` — the IngestStrategy
+  enum values used verbatim as the ``ingest_strategy`` strings.
+
+Deliberately NOT modeled (live-API surface, not URL/data-derivable):
+platform HTTP metadata fetches, Zenodo work-level redirects, the
+archive.org mediatype != collection/web assertion, and the actual
+archiving strategies (SPN2/petabox I/O). The pipeline here covers
+everything the reference decides from the request row + manifest rows
+alone, which is the entire relational core of ingest_fileset.
+
+Everything is when/otherwise + split/parse_url column logic — no UDFs,
+fully codegen'd, broadcast-join-free; the only shuffle in
+``fileset_ingest`` is the manifest groupBy + its join onto requests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_TOTAL_SIZE = 64 * 1024 * 1024 * 1024  # ingest_fileset.py:75
+MAX_FILE_COUNT = 200  # ingest_fileset.py:76
+_64MB = 64 * 1024 * 1024  # fileset_platforms.py:49,54
+_128GB = 128 * 1024 * 1024 * 1024  # fileset_platforms.py:54
+
+# fileset_platforms.py:683-710 (subset used by tests; Unknown → NULL)
+ARCHIVEORG_FORMAT_TO_MIMETYPE = {
+    "BZIP": "application/x-bzip",
+    "BZIP2": "application/x-bzip2",
+    "ZIP": "application/zip",
+    "GZIP": "application/gzip",
+    "RAR": "application/vnd.rar",
+    "TAR": "application/x-tar",
+    "7z": "application/x-7z-compressed",
+    "HTML": "text/html",
+    "Text": "text/plain",
+    "PDF": "application/pdf",
+    "CSV": "text/csv",
+    "XML": "application/xml",
+    "JSON": "application/json",
+    "MP3": "audio/mpeg",
+    "MP4": "video/mp4",
+    "MPEG": "video/mpeg",
+    "JPEG": "image/jpeg",
+    "GIF": "image/gif",
+    "PNG": "image/png",
+    "TIFF": "image/tiff",
+    "Unknown": None,
+}
+
+
+def _host(url: Column) -> Column:
+    """Lowercased hostname without port (fileset_platforms.py:143-144)."""
+    return F.lower(F.split(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")), ":")[0])
+
+
+def _path(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def dataverse_pid(url: Column) -> Column:
+    """Parse the ``persistentId`` query param per the reference grammar
+    (fileset_platforms.py:66-128): ``doi:``/``hdl:`` prefix stripped as
+    ``pid[4:]``, then '/'-split into authority / optional shoulder /
+    6-char dataset_id / optional 6-char file_id.
+
+    Returns struct<valid:boolean, dataset_id:string, file_id:string>.
+    """
+    pid = F.parse_url(url, F.lit("QUERY"), F.lit("persistentId"))
+    typed = pid.startswith("doi:10.") | pid.startswith("hdl:")
+    body = F.substring(pid, 5, 2048)  # pid[4:] for both 4-char prefixes
+    comp = F.split(body, "/")
+    n = F.size(comp)
+    c2, c3, c4 = (F.try_element_at(comp, F.lit(i)) for i in (2, 3, 4))
+    l2 = F.length(c2)
+    # fileset_platforms.py:99-115 branch table
+    ds = (
+        F.when((l2 != 6) & (n == 3), c3)
+        .when((l2 != 6) & (n == 4), c3)
+        .when((l2 == 6) & (n == 2), c2)
+        .when((l2 == 6) & (n == 3), c2)
+    )
+    fid = (
+        F.when((l2 != 6) & (n == 4), c4)
+        .when((l2 == 6) & (n == 3), c3)
+    )
+    valid = (
+        pid.isNotNull()
+        & typed
+        & (n >= 2)
+        & ds.isNotNull()
+        & (F.length(ds) == 6)  # fileset_platforms.py:117-118
+        & (fid.isNull() | (F.length(fid) == 6))  # :119-120
+    )
+    return F.struct(
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+        F.when(valid, ds).alias("dataset_id"),
+        F.when(valid, fid).alias("file_id"),
+    )
+
+
+_FIGSHARE_TYPES = ["dataset", "journal_contribution", "presentation", "poster", "thesis"]
+
+
+def figshare_ids(url: Column) -> Column:
+    """Parse a figshare URL path per fileset_platforms.py:360-391:
+    ``/articles[/<type>]/<name>/<id>[/<version>]``. Returns
+    struct<article_id:string, version:string>; the reference's
+    match_request (fileset_platforms.py:393-421) additionally requires
+    host contains 'figshare.com' AND version present — callers check.
+    """
+    comp = F.split(_path(url), "/")
+    ok_head = (F.size(comp) >= 4) & (F.try_element_at(comp, F.lit(2)) == "articles")
+    # comp = comp[2:] → 1-indexed slice from 3; then optionally drop a type word
+    rest = F.slice(comp, 3, 64)
+    rest = F.when(
+        F.try_element_at(rest, F.lit(1)).isin(_FIGSHARE_TYPES), F.slice(rest, 2, 64)
+    ).otherwise(rest)
+    digits = "^[0-9]+$"
+    r2, r3 = (F.try_element_at(rest, F.lit(i)) for i in (2, 3))
+    aid = (
+        F.when((F.size(rest) == 3) & r2.rlike(digits) & r3.rlike(digits), r2)
+        .when((F.size(rest) == 2) & r2.rlike(digits), r2)
+    )
+    ver = F.when((F.size(rest) == 3) & r2.rlike(digits) & r3.rlike(digits), r3)
+    # NB: the reference does not require a non-empty <name> segment —
+    # '/articles//123/4' parses there, so it parses here too.
+    return F.struct(
+        F.when(ok_head, aid).alias("article_id"),
+        F.when(ok_head, ver).alias("version"),
+    )
+
+
+def platform_name(url: Column) -> Column:
+    """Ordered platform dispatch (ingest_fileset.py:62-68 dict order:
+    dataverse, figshare, zenodo, archiveorg); NULL = no-platform-match.
+    """
+    dv = dataverse_pid(url)
+    fs = figshare_ids(url)
+    return (
+        F.when(dv["valid"], F.lit("dataverse"))
+        .when(
+            _host(url).contains("figshare.com")
+            & fs["article_id"].isNotNull()
+            & fs["version"].isNotNull(),
+            F.lit("figshare"),
+        )
+        .when(
+            (_host(url) == "zenodo.org") & _path(url).contains("/record/"),
+            F.lit("zenodo"),
+        )
+        .when(
+            url.contains("://archive.org/details/")
+            | url.contains("://archive.org/download/"),
+            F.lit("archiveorg"),
+        )
+    )
+
+
+def platform_scope_error(url: Column, platform: Column) -> Column:
+    """URL-derivable PlatformScopeError cases:
+
+    - dataverse: a file-level persistentId (fileset_platforms.py:223-226)
+    - archiveorg: a file path after the item name — base_url splits into
+      6 '/'-parts with a non-empty 6th (fileset_platforms.py:775-789)
+    """
+    six = F.split(url, "/")
+    return (
+        ((platform == "dataverse") & dataverse_pid(url)["file_id"].isNotNull())
+        | (
+            (platform == "archiveorg")
+            & (F.size(six) == 6)
+            & (F.try_element_at(six, F.lit(6)) != "")
+        )
+    )
+
+
+def choose_strategy(
+    platform: Column, file_count: Column, total_size: Column, largest_size: Column
+) -> Column:
+    """IngestStrategy selection. Dataverse/figshare/zenodo always land
+    in an archive.org item in the reference, so their helpers override
+    to archiveorg-file/-fileset?  No: only ArchiveOrgHelper overrides
+    (fileset_platforms.py:820-832); dataverse/figshare/zenodo inherit
+    the size-threshold default (fileset_platforms.py:44-58).
+    """
+    default = F.when(
+        file_count == 1,
+        F.when(total_size < _64MB, F.lit("web-file")).otherwise(
+            F.lit("archiveorg-file")
+        ),
+    ).otherwise(
+        F.when(
+            (largest_size < _64MB) & (total_size < _128GB), F.lit("web-fileset")
+        ).otherwise(F.lit("archiveorg-fileset"))
+    )
+    archiveorg = F.when(file_count == 1, F.lit("archiveorg-file")).otherwise(
+        F.lit("archiveorg-fileset")
+    )
+    return F.when(platform == "archiveorg", archiveorg).otherwise(default)
+
+
+def archiveorg_want_file(
+    name: Column, source: Column, item_name: Column
+) -> Column:
+    """want_item_file (fileset_platforms.py:716-742) as a predicate:
+    keep only source == 'original', drop item-sidecar files (exact
+    ``<item>``/``<lower(item)>`` + suffix matches), names starting with
+    '_', and academictorrents_* sidecars.
+    """
+    sidecars = [
+        "_meta.sqlite",
+        "_archive.torrent",
+        "_itemimage.jpg",
+        "_meta.xml",
+        "_thumb.png",
+        "_files.xml",
+    ]
+    is_sidecar = F.lit(False)
+    for sfx in sidecars:
+        is_sidecar = is_sidecar | (name == F.concat(item_name, F.lit(sfx))) | (
+            name == F.concat(F.lower(item_name), F.lit(sfx))
+        )
+    at_sidecar = F.lit(False)
+    for sfx in ["_academictorrents.torrent", "_academictorrents_torrent.txt", ".bib"]:
+        at_sidecar = at_sidecar | (name == F.concat(item_name, F.lit(sfx)))
+    return (
+        (source == "original")
+        & ~is_sidecar
+        & ~name.startswith("_")
+        & ~(item_name.startswith("academictorrents_") & at_sidecar)
+    )
+
+
+def summarize_manifest(
+    manifest: DataFrame, key: str = "base_url", size_col: str = "size"
+) -> DataFrame:
+    """Per-dataset manifest rollup (ingest_fileset.py:355-356 +
+    fileset_platforms.py:46-47): file_count, total_size (null sizes
+    contribute 0), largest_size. One map-side-combinable groupBy.
+    """
+    s = F.coalesce(F.col(size_col).cast("bigint"), F.lit(0))
+    return manifest.groupBy(key).agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum(s).alias("total_size"),
+        F.max(s).alias("largest_size"),
+    )
+
+
+def fileset_ingest(
+    requests: DataFrame,
+    manifest: DataFrame,
+    max_total_size: int = MAX_TOTAL_SIZE,
+    max_file_count: int = MAX_FILE_COUNT,
+) -> DataFrame:
+    """The relational core of IngestFilesetWorker.process
+    (ingest_fileset.py:265-375) as one declarative plan.
+
+    requests: (base_url, ingest_type, ...); manifest: (base_url, path,
+    size, ...) — one row per file, keyed by the request URL. Returns
+    one row per *dataset* request with (status, platform_name,
+    file_count, total_size, ingest_strategy), statuses in the
+    reference's precedence order: no-platform-match → platform-scope →
+    empty-manifest → too-large-size → too-many-files → success.
+
+    Non-'dataset' requests are dropped (the reference's ``want``,
+    ingest_fileset.py:100-103 — it refuses rather than statuses them).
+    """
+    url = F.col("base_url")
+    reqs = requests.filter(F.col("ingest_type") == "dataset").withColumn(
+        "platform_name", platform_name(url)
+    )
+    summary = summarize_manifest(manifest)
+    joined = reqs.join(summary, "base_url", "left")
+    fc = F.coalesce(F.col("file_count"), F.lit(0))
+    status = (
+        F.when(F.col("platform_name").isNull(), F.lit("no-platform-match"))
+        .when(
+            platform_scope_error(url, F.col("platform_name")),
+            F.lit("platform-scope"),
+        )
+        .when(fc == 0, F.lit("empty-manifest"))
+        .when(F.col("total_size") > max_total_size, F.lit("too-large-size"))
+        .when(fc > max_file_count, F.lit("too-many-files"))
+        .otherwise(F.lit("success"))
+    )
+    return joined.select(
+        "base_url",
+        "platform_name",
+        status.alias("status"),
+        fc.alias("file_count"),
+        F.coalesce(F.col("total_size"), F.lit(0)).alias("total_size"),
+        F.when(
+            status == "success",
+            choose_strategy(
+                F.col("platform_name"), fc, F.col("total_size"), F.col("largest_size")
+            ),
+        ).alias("ingest_strategy"),
+    )

@@ -290,6 +290,27 @@ def main() -> int:
          [r"Scan parquet"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange",
           r"CartesianProduct"]),
+        # fileset ingest: URL grammar is parse_url/split column logic
+        # (codegen), manifest rollup is one map-side-combinable
+        # HashAggregate, summary joins requests on base_url — no
+        # python, no cartesian anywhere
+        ("fileset ingest: catalyst grammar + one rollup, no python",
+         "fs_dataset_ingest",
+         [r"HashAggregate", r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        # crossref refs prep: filter + one keyed window for the
+        # per-work cap; the only python is the Arrow-batched unescape
+        # (never row-at-a-time BatchEvalPython), no cartesian
+        ("crossref refs prep: keyed window cap, arrow-only python",
+         "bib_crossref_refs",
+         [r"Window"],
+         [r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoop"]),
+        # TEI parse: one Arrow-batched pandas UDF pass, no shuffle
+        ("tei biblio: arrow-batched parse, no shuffle, no row-python",
+         "bib_tei_metadata",
+         [r"ArrowEvalPython"],
+         [r"BatchEvalPython", r"Exchange", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
