@@ -199,6 +199,95 @@ def minhash_near_dups(
     )
 
 
+def build_minhash_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """The persistable LSH state of a long-running crawl: (id, band,
+    band_key) rows, one write per corpus batch, kept in a parquet/
+    Iceberg table partitioned by band. Each later batch PROBES this
+    table (:func:`minhash_probe_index`) instead of re-signing the whole
+    corpus — the incremental twin of the sharded bloom store, and the
+    only shape that works at 10^9+ documents (re-running
+    :func:`minhash_near_dups` over corpus ∪ delta is O(corpus) per
+    batch; probing is O(delta + matched buckets))."""
+    return lsh_band_keys(minhash_signatures_wide(df, id_col, text_col, n))
+
+
+def minhash_probe_index(
+    delta: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.8,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs that TOUCH a new batch.
+
+    candidates = (delta bands ⋈ stored index) ∪ (banded intra-delta
+    self-join); verify = exact n-gram Jaccard, with the corpus side
+    re-shingled ONLY for candidate ids (semi-join pushdown — the 100 TB
+    corpus scan reads matched docs, not everything). Output
+    (id1, id2, jacc) with the same canonical id1 < id2 orientation and
+    rounding as :func:`minhash_near_dups`, so the union of this result
+    with the corpus's own historical pairs equals the full batch run.
+
+    ``corpus`` must be the table the index was built from (text is
+    needed for verification); delta and corpus ids must be disjoint.
+    """
+    sh_delta = shingles(delta, id_col, text_col, n).persist()
+    sig = minhash_signatures_wide(delta, id_col, text_col, n, _shingles=sh_delta)
+    dbands = cap_bucket_width(lsh_band_keys(sig), ["band", "band_key"], max_bucket)
+    ix = cap_bucket_width(
+        index.select(F.col("id").alias("cid"), "band", "band_key"),
+        ["band", "band_key"],
+        max_bucket,
+    )
+    cross = (
+        dbands.join(ix, ["band", "band_key"])
+        .filter(F.col("id") != F.col("cid"))
+        .select(
+            F.least("id", "cid").alias("id1"), F.greatest("id", "cid").alias("id2")
+        )
+    )
+    b1 = dbands.select(F.col("id").alias("id1"), "band", "band_key")
+    b2 = dbands.select(F.col("id").alias("id2"), "band", "band_key")
+    intra = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    cand = cross.unionByName(intra).distinct()
+    # corpus shingles only for docs that appear in a candidate pair
+    cand_ids = cand.select(F.col("id1").alias(id_col)).unionByName(
+        cand.select(F.col("id2").alias(id_col))
+    ).distinct()
+    sh_corpus = shingles(
+        corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    sh = sh_delta.unionByName(sh_corpus).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jacc",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jacc") >= tau)
+        .select("id1", "id2", "jacc")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """60-bit SimHash: per token (with multiplicity) take hash60; each
     bit contributes ±1; simhash bit = majority. Output (id, simhash).

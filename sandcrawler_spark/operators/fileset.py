@@ -167,18 +167,37 @@ def figshare_ids(url: Column) -> Column:
     )
 
 
+def _figshare_versioned_match(url: Column) -> Column:
+    """figshare match_request's parse condition with BOTH id and
+    version present — the only parser branch that yields a version is
+    the 3-element one, so the boolean is written directly instead of
+    expanding the :func:`figshare_ids` struct twice (each struct field
+    access embeds a full copy of the expression tree, which doubles
+    Janino codegen size for no semantic gain)."""
+    comp = F.split(_path(url), "/")
+    ok_head = (F.size(comp) >= 4) & (F.try_element_at(comp, F.lit(2)) == "articles")
+    rest = F.slice(comp, 3, 64)
+    rest = F.when(
+        F.try_element_at(rest, F.lit(1)).isin(_FIGSHARE_TYPES), F.slice(rest, 2, 64)
+    ).otherwise(rest)
+    digits = "^[0-9]+$"
+    return (
+        ok_head
+        & (F.size(rest) == 3)
+        & F.try_element_at(rest, F.lit(2)).rlike(digits)
+        & F.try_element_at(rest, F.lit(3)).rlike(digits)
+    )
+
+
 def platform_name(url: Column) -> Column:
     """Ordered platform dispatch (ingest_fileset.py:62-68 dict order:
     dataverse, figshare, zenodo, archiveorg); NULL = no-platform-match.
     """
     dv = dataverse_pid(url)
-    fs = figshare_ids(url)
     return (
         F.when(dv["valid"], F.lit("dataverse"))
         .when(
-            _host(url).contains("figshare.com")
-            & fs["article_id"].isNotNull()
-            & fs["version"].isNotNull(),
+            _host(url).contains("figshare.com") & _figshare_versioned_match(url),
             F.lit("figshare"),
         )
         .when(
@@ -201,8 +220,17 @@ def platform_scope_error(url: Column, platform: Column) -> Column:
       6 '/'-parts with a non-empty 6th (fileset_platforms.py:775-789)
     """
     six = F.split(url, "/")
+    # platform == 'dataverse' already implies the pid grammar is valid,
+    # so file-id presence reduces to its two branch shapes — checked
+    # directly rather than expanding the dataverse_pid struct again
+    # (codegen-size, see _figshare_versioned_match)
+    pid = F.parse_url(url, F.lit("QUERY"), F.lit("persistentId"))
+    comp = F.split(F.substring(pid, 5, 2048), "/")
+    n = F.size(comp)
+    l2 = F.length(F.try_element_at(comp, F.lit(2)))
+    has_file_id = ((l2 != 6) & (n == 4)) | ((l2 == 6) & (n == 3))
     return (
-        ((platform == "dataverse") & dataverse_pid(url)["file_id"].isNotNull())
+        ((platform == "dataverse") & has_file_id)
         | (
             (platform == "archiveorg")
             & (F.size(six) == 6)
@@ -320,14 +348,16 @@ def fileset_ingest(
         .when(fc > max_file_count, F.lit("too-many-files"))
         .otherwise(F.lit("success"))
     )
-    return joined.select(
+    # status is materialized as its own projection so the strategy gate
+    # references the column instead of inlining the when-chain twice
+    return joined.withColumn("status", status).select(
         "base_url",
         "platform_name",
-        status.alias("status"),
+        "status",
         fc.alias("file_count"),
         F.coalesce(F.col("total_size"), F.lit(0)).alias("total_size"),
         F.when(
-            status == "success",
+            F.col("status") == "success",
             choose_strategy(
                 F.col("platform_name"), fc, F.col("total_size"), F.col("largest_size")
             ),

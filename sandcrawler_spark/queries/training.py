@@ -2656,3 +2656,168 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def dd_minhash_incr(spark, sf_dir):
+    """Incremental MinHash-LSH: even doc_ids are the persisted corpus
+    (band index built once), odd doc_ids are the new batch probing it —
+    output is every confirmed near-dup pair touching the batch. Oracle
+    = the full-batch MinHash SQL restricted to pairs with an odd id."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    ix = dedup.build_minhash_index(corpus, "doc_id", "text")
+    return dedup.minhash_probe_index(delta, ix, corpus, "doc_id", "text", tau=0.8)
+
+
+QUERIES2.update({"dd_minhash_incr": dd_minhash_incr})
+ORACLES2.update(
+    {
+        "dd_minhash_incr": f"""
+        WITH {_SQL_TOKS}, {_SQL_SH}, {_SQL_PERMS},
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+              FROM sh),
+        mh AS (SELECT doc_id, j, min((a * h + b) % {dedup.MINHASH_P}) AS mh
+               FROM h CROSS JOIN perms GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // {dedup.LSH_ROWS_PER_BAND} AS band,
+                         md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j)) AS band_key
+                  FROM mh GROUP BY doc_id, j // {dedup.LSH_ROWS_PER_BAND}),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+                 WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.id1, c.id2, count(*) AS m
+                  FROM cand c
+                  JOIN sh s1 ON s1.doc_id = c.id1
+                  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.s = s1.s
+                  GROUP BY 1, 2)
+        {_JACCARD_TAIL}
+    """,
+    }
+)
+
+
+def sp_html_scope(spark, sf_dir):
+    """HTML ingest scope classification (operators/scope.py =
+    ingest_html.py:232-374): 15 deterministic URL/HTML/biblio shapes per
+    doc_id covering every decision family. The Spark side must extract
+    the generator/platform signals from the HTML text with the real
+    regex chain; the oracle re-derives platform and scope from the case
+    id, so the comparison checks the extraction + decision chain."""
+    from sandcrawler_spark.operators import scope as _scope
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    m = k % 15
+    ks = k.cast("string")
+    wc = (k * 7) % 2500
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://x.org/p/"), ks, F.lit("/cookieAbsent")))
+        .when(m == 1, F.lit("https://page-one.live.cf.public.springer.com/x/y"))
+        .when(m == 2, F.lit("https://scielo.br/scielo.php?script=sci_abstract&pid=1"))
+        .when(m == 3, F.lit("https://scielo.br/scielo.php?script=sci_arttext&pid=1"))
+        .when(m == 4, F.lit("https://x.org/p/showcaptcha.asp?u=1"))
+        .when(m == 5, F.lit("https://x.org/"))
+        .when(m == 6, F.concat(F.lit("https://x.org/a/"), ks))
+        .when(m == 7, F.concat(F.lit("https://x.org/a/"), ks))
+        .when(m == 8, F.concat(F.lit("https://j.org/article/"), ks))
+        .when(m == 9, F.concat(F.lit("https://j.org/article/view/"), ks))
+        .when(m == 10, F.concat(F.lit("https://blog.example.org/post/"), ks))
+        .when(m == 11, F.concat(F.lit("https://plain.org/doc/"), ks))
+        .when(m == 12, F.lit("https://karger.com/Article/Abstract/12"))
+        .when(m == 13, F.lit("https://dergipark.gov.tr/x/y"))
+        .otherwise(F.concat(F.lit("https://x.org/p/"), ks))
+    )
+    html = (
+        F.when(
+            m == 8,
+            F.lit(
+                '<html><head><meta name="generator" content="Open Journal'
+                ' Systems 3.1.2"/></head><body>b</body></html>'
+            ),
+        )
+        .when(
+            m == 9,
+            F.lit(
+                "<html><head><meta content='Open Journal Systems 2.4'"
+                " name='generator'/></head><body>b</body></html>"
+            ),
+        )
+        .when(
+            m == 10,
+            F.lit(
+                "<html><head><meta name='generator' content='WordPress 5.0'/>"
+                "</head><body>b</body></html>"
+            ),
+        )
+        .when(
+            m == 14,
+            F.lit("<html><body><center><h1>403 Forbidden</h1></center></body></html>"),
+        )
+        .otherwise(F.lit("<html><body>page</body></html>"))
+    )
+    ft = (
+        F.when(m == 6, F.concat(F.lit("http://www.x.org/a/"), ks))
+        .when(m == 7, F.lit("http://x.org/other"))
+        .cast("string")
+    )
+    title = F.when(m == 8, F.lit("T")).cast("string")
+    pdf = F.lit(None).cast("string")
+    base = docs.select(
+        "doc_id",
+        url.alias("url"),
+        html.alias("html"),
+        ft.alias("ft"),
+        title.alias("title"),
+        pdf.alias("pdf"),
+        wc.alias("wc"),
+    ).withColumn("platform", _scope.html_platform_col(F.col("url"), F.col("html")))
+    return base.select(
+        "doc_id",
+        "platform",
+        _scope.html_scope_col(
+            F.col("url"), F.col("html"), F.col("platform"),
+            F.col("ft"), F.col("title"), F.col("pdf"), F.col("wc"),
+        ).alias("scope"),
+    )
+
+
+QUERIES2.update({"sp_html_scope": sp_html_scope})
+ORACLES2.update(
+    {
+        "sp_html_scope": """
+        SELECT doc_id,
+          CASE doc_id % 15
+            WHEN 2 THEN 'scielo' WHEN 3 THEN 'scielo'
+            WHEN 8 THEN 'ojs3' WHEN 9 THEN 'ojs' WHEN 10 THEN 'wordpress'
+          END AS platform,
+          CASE doc_id % 15
+            WHEN 0 THEN 'blocked-cookie'
+            WHEN 1 THEN 'article-sample'
+            WHEN 2 THEN 'landingpage'
+            WHEN 3 THEN 'article-fulltext'
+            WHEN 4 THEN 'blocked-captcha'
+            WHEN 5 THEN 'homepage-domain'
+            WHEN 6 THEN 'article-fulltext'
+            WHEN 7 THEN 'landingpage'
+            WHEN 8 THEN CASE WHEN (doc_id * 7) % 2500 > 1200
+                             THEN 'fulltext' ELSE 'landingpage' END
+            WHEN 9 THEN CASE WHEN (doc_id * 7) % 2500 > 600
+                             THEN 'fulltext' ELSE 'other' END
+            WHEN 10 THEN CASE WHEN (doc_id * 7) % 2500 < 20 THEN 'stub'
+                              WHEN (doc_id * 7) % 2500 > 500
+                              THEN 'article-fulltext' ELSE 'unknown' END
+            WHEN 11 THEN CASE WHEN (doc_id * 7) % 2500 < 20 THEN 'stub'
+                              WHEN (doc_id * 7) % 2500 > 1200
+                              THEN 'article-fulltext' ELSE 'unknown' END
+            WHEN 12 THEN 'landingpage'
+            WHEN 13 THEN 'other'
+            WHEN 14 THEN 'blocked-forbidden'
+          END AS scope
+        FROM documents
+    """,
+    }
+)

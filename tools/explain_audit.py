@@ -311,6 +311,20 @@ def main() -> int:
          "bib_tei_metadata",
          [r"ArrowEvalPython"],
          [r"BatchEvalPython", r"Exchange", r"CartesianProduct"]),
+        # incremental MinHash: delta bands equi-join the stored index;
+        # corpus re-shingled only behind a semi-join; never a cartesian
+        ("minhash incremental probe: equi-joins only, semi-join pushdown",
+         "dd_minhash_incr",
+         [r"LeftSemi"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        # HTML scope classification: regex/when-chain string logic only
+        # — one codegen'd projection, no python, no shuffle
+        ("html scope: pure codegen projection, no python, no shuffle",
+         "sp_html_scope",
+         [r"\[codegen id :"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange",
+          r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
