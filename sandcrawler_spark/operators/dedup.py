@@ -369,6 +369,62 @@ def simhash_near_dups(
     )
 
 
+def simhash_probe_index(
+    delta: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental SimHash: near-dup pairs touching a new batch, probed
+    against a persisted signature table instead of re-hashing the
+    corpus (the SimHash twin of :func:`minhash_probe_index` — the
+    corpus-side state is just (id, simhash), 8 bytes a doc, and chunk
+    keys are a cheap projection of it, so no corpus text is ever read).
+
+    ``index``: the stored (id, simhash) table (the output of
+    :func:`simhash` on prior batches, appended per batch); delta and
+    index ids must be disjoint. Output (id1, id2, hamming) with the
+    same canonical orientation as :func:`simhash_near_dups`, so this
+    result ∪ historical pairs == the full batch run."""
+    sh_d = simhash(delta, id_col, text_col)
+    bands_d = cap_bucket_width(
+        simhash_bands(sh_d, max_hamming), ["chunk", "chunk_val"], max_bucket
+    )
+    bands_i = cap_bucket_width(
+        simhash_bands(index.select("id", "simhash"), max_hamming),
+        ["chunk", "chunk_val"],
+        max_bucket,
+    )
+    cross = (
+        bands_d.alias("a")
+        .join(bands_i.alias("b"), ["chunk", "chunk_val"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+        )
+    )
+    intra = (
+        bands_d.alias("a")
+        .join(bands_d.alias("b"), ["chunk", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    cand = cross.unionByName(intra).distinct()
+    sigs = sh_d.unionByName(index.select("id", "simhash"))
+    h1 = sigs.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    h2 = sigs.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        cand.join(h1, "id1")
+        .join(h2, "id2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
 def self_join_matchable(
     df,
     slug_col: str = "slug",

@@ -2821,3 +2821,40 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def dd_simhash_incr(spark, sf_dir):
+    """Incremental SimHash: even doc_ids are the stored signature table,
+    odd doc_ids probe it. Oracle = the full-batch SimHash pair SQL
+    restricted to pairs with an odd id."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    ix = dedup.simhash(corpus, "doc_id", "text")
+    return dedup.simhash_probe_index(delta, ix, "doc_id", "text", max_hamming=3)
+
+
+QUERIES2.update({"dd_simhash_incr": dd_simhash_incr})
+ORACLES2.update(
+    {
+        "dd_simhash_incr": f"""
+        WITH {_SQL_TOKS},
+        tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM tk),
+        bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+                 FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+                 GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+    """,
+    }
+)

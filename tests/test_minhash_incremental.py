@@ -53,3 +53,26 @@ def test_probe_empty_delta_is_empty(spark, docs):
     ix = build_minhash_index(corpus, "doc_id", "text")
     out = minhash_probe_index(delta, ix, corpus, "doc_id", "text", tau=0.8)
     assert out.count() == 0
+
+
+def test_simhash_probe_equals_batch_restricted(spark, docs):
+    from sandcrawler_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+        simhash_probe_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    ix = simhash(corpus, "doc_id", "text")
+    got = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in simhash_probe_index(delta, ix, "doc_id", "text", max_hamming=3).collect()
+    }
+    batch = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    want = {p for p in batch if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert got == want
+    assert len(got) > 0

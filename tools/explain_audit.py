@@ -325,6 +325,13 @@ def main() -> int:
          [r"\[codegen id :"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange",
           r"CartesianProduct"]),
+        # incremental SimHash: chunk equi-joins against the stored
+        # signature table; XOR verify; never a cartesian
+        ("simhash incremental probe: chunk equi-joins, no cartesian",
+         "dd_simhash_incr",
+         [r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
