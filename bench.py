@@ -241,6 +241,11 @@ def main() -> None:
         "metric": "headline operator suite wall-clock (sf parquet) + frontier URLs scheduled+deduped/sec at N vs 4N cores",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        # the suite has grown every round (r1: 13 queries, r2: 13,
+        # r3: 33+) — compare wall-clock per query across rounds, not
+        # the raw total
+        "n_queries": len(times),
+        "sec_per_query": round(sum(times.values()) / max(1, len(times)), 3),
         "queries": times,
         "sf": SF_DIR,
         "frontier": {

@@ -120,6 +120,12 @@ def dataverse_pid(url: Column) -> Column:
         F.when((l2 != 6) & (n == 4), c4)
         .when((l2 == 6) & (n == 3), c3)
     )
+    # the reference's file-id length check is truthiness-gated
+    # (``if file_id and len(file_id) != 6``, :119-120), so an EMPTY
+    # trailing segment ('hdl:x/abcdef/') is a valid pid with no file id
+    # — normalized to NULL here since every downstream check is
+    # truthiness anyway
+    fid = F.nullif(fid, F.lit(""))
     valid = (
         pid.isNotNull()
         & typed
@@ -228,7 +234,11 @@ def platform_scope_error(url: Column, platform: Column) -> Column:
     comp = F.split(F.substring(pid, 5, 2048), "/")
     n = F.size(comp)
     l2 = F.length(F.try_element_at(comp, F.lit(2)))
-    has_file_id = ((l2 != 6) & (n == 4)) | ((l2 == 6) & (n == 3))
+    fid_seg = F.when((l2 != 6) & (n == 4), F.try_element_at(comp, F.lit(4))).when(
+        (l2 == 6) & (n == 3), F.try_element_at(comp, F.lit(3))
+    )
+    # empty segment = falsy file id in the reference → no scope error
+    has_file_id = fid_seg.isNotNull() & (fid_seg != "")
     return (
         ((platform == "dataverse") & has_file_id)
         | (
