@@ -264,3 +264,47 @@ def crossref_refs_prep(
             clean_crossref_unstructured_col(F.col("unstructured")).alias("clean_ref"),
         )
     )
+
+
+TEI_BODY_TYPE = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("word_count", T.IntegerType()),
+    ]
+)
+
+
+def _tei_body_words(xml_text: str | None) -> dict:
+    """teixml_body_text + the word count taken on it
+    (ingest_html.py:50-51,64-72). Mirrors two reference behaviors
+    exactly: a parse failure is an error status, and the ``if body:``
+    truthiness test — an ElementTree Element with TEXT but no child
+    elements is FALSY, so a childless body yields word_count 0 (the
+    reference inherits this stdlib quirk; trafilatura bodies always
+    have <p> children so it is latent there)."""
+    if not xml_text:
+        return {"status": "empty-xml", "word_count": None}
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return {"status": "parse-error", "word_count": None}
+    body = root.find(f".//{_TEI_NS}body")
+    if body:
+        text = " ".join(body.itertext())
+    else:
+        text = ""
+    return {"status": "success", "word_count": len(text.split())}
+
+
+@F.pandas_udf(TEI_BODY_TYPE)
+def tei_body_words_udf(xml_text: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_tei_body_words(x) for x in xml_text])
+
+
+def tei_body_stats(df: DataFrame, xml_col: str = "tei_xml") -> DataFrame:
+    """html_extract_body_teixml's downstream half over a DataFrame of
+    TEI-XML strings (the trafilatura HTML→TEI conversion itself is an
+    external library, out of scope like the media codecs): adds a
+    ``body`` struct with (status, word_count) — the word_count that
+    feeds html_guess_scope (ingest_html.py:414)."""
+    return df.withColumn("body", tei_body_words_udf(F.col(xml_col)))

@@ -2858,3 +2858,102 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def pipe_html_ingest(spark, sf_dir):
+    """The HTML-ingest decision spine (ingest_html.py:383-449
+    run_single, minus the wayback/trafilatura I/O hops): mimetype gate
+    → TEI-body word count (real XML parse) → platform + scope
+    classification → wrong-mimetype / wrong-scope / success. Six
+    deterministic shapes per doc_id; the oracle re-derives every field
+    from the case id, so the comparison checks the composed pipeline
+    (XML parse included), not the generator."""
+    from sandcrawler_spark.operators import scope as _scope
+    from sandcrawler_spark.operators import tei as _tei
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    m = k % 6
+    ks = k.cast("string")
+    mimetype = (
+        F.when(m == 0, F.lit("application/pdf"))
+        .when(m == 4, F.lit("text/xml"))
+        .otherwise(F.lit("text/html"))
+    )
+    n_words = (
+        F.when(m == 2, F.lit(1300)).when(m == 3, F.lit(5)).otherwise(F.lit(300))
+    )
+    tei_xml = F.concat(
+        F.lit('<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><p>'),
+        F.rtrim(F.repeat(F.lit("w "), n_words)),
+        F.lit("</p></body></text></TEI>"),
+    )
+    url = (
+        F.when(m == 5, F.concat(F.lit("https://x.org/p/"), ks, F.lit("/cookieAbsent")))
+        .otherwise(F.concat(F.lit("https://x.org/a/"), ks))
+    )
+    ft = F.when(m == 1, F.lit("http://x.org/other")).cast("string")
+    html = F.lit("<html><body>page</body></html>")
+    rows = docs.select(
+        "doc_id",
+        url.alias("url"),
+        html.alias("html"),
+        mimetype.alias("mimetype"),
+        tei_xml.alias("tei_xml"),
+        ft.alias("ft"),
+    )
+    withbody = _tei.tei_body_stats(rows)
+    withplat = withbody.withColumn(
+        "platform", _scope.html_platform_col(F.col("url"), F.col("html"))
+    )
+    sc = _scope.html_scope_col(
+        F.col("url"), F.col("html"), F.col("platform"),
+        F.col("ft"), F.lit(None).cast("string"), F.lit(None).cast("string"),
+        F.col("body")["word_count"],
+    )
+    mime_ok = F.col("mimetype").isin("text/html", "text/xml")
+    scored = withplat.withColumn("scope", F.when(mime_ok, sc))
+    status = (
+        F.when(~mime_ok, F.lit("wrong-mimetype"))
+        .when(~F.col("scope").isin("article-fulltext", "unknown"), F.lit("wrong-scope"))
+        .otherwise(F.lit("success"))
+    )
+    return scored.select(
+        "doc_id",
+        status.alias("status"),
+        "scope",
+        F.when(mime_ok, F.col("body")["word_count"]).alias("word_count"),
+    )
+
+
+QUERIES2.update({"pipe_html_ingest": pipe_html_ingest})
+ORACLES2.update(
+    {
+        "pipe_html_ingest": """
+        SELECT doc_id,
+          CASE doc_id % 6
+            WHEN 0 THEN 'wrong-mimetype'
+            WHEN 1 THEN 'wrong-scope'
+            WHEN 2 THEN 'success'
+            WHEN 3 THEN 'wrong-scope'
+            WHEN 4 THEN 'success'
+            ELSE 'wrong-scope'
+          END AS status,
+          CASE doc_id % 6
+            WHEN 0 THEN NULL
+            WHEN 1 THEN 'landingpage'
+            WHEN 2 THEN 'article-fulltext'
+            WHEN 3 THEN 'stub'
+            WHEN 4 THEN 'unknown'
+            ELSE 'blocked-cookie'
+          END AS scope,
+          CASE doc_id % 6
+            WHEN 0 THEN NULL
+            WHEN 2 THEN 1300
+            WHEN 3 THEN 5
+            ELSE 300
+          END AS word_count
+        FROM documents
+    """,
+    }
+)

@@ -161,3 +161,25 @@ def test_crossref_refs_prep_cap_and_filter(spark):
     assert len(b) == 1
     assert b[0]["clean_ref"] == "same ref."
     assert b[0]["source_ts"] == "2021-06-01"
+
+
+def test_tei_body_words(spark):
+    tei_ns = '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+    vectors = [
+        ("p", tei_ns + "<text><body><p>one two three</p><p>four</p></body></text></TEI>",
+         "success", 4),
+        # ElementTree quirk mirrored from the reference (ingest_html.py:68):
+        # `if body:` is falsy for a childless element, so bare body text
+        # counts zero words
+        ("bare", tei_ns + "<text><body>bare text only</body></text></TEI>", "success", 0),
+        ("nobody", tei_ns + "<text><p>no body at all</p></text></TEI>", "success", 0),
+        ("broken", "<TEI><oops", "parse-error", None),
+        ("empty", None, "empty-xml", None),
+    ]
+    df = spark.createDataFrame(
+        [(k, x) for k, x, *_ in vectors], "k string, tei_xml string"
+    )
+    rows = {r["k"]: r["body"] for r in tei.tei_body_stats(df).collect()}
+    for k, _, status, wc in vectors:
+        assert rows[k]["status"] == status, k
+        assert rows[k]["word_count"] == wc, k
