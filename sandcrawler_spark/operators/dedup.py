@@ -388,12 +388,16 @@ def simhash_probe_index(
     index ids must be disjoint. Output (id1, id2, hamming) with the
     same canonical orientation as :func:`simhash_near_dups`, so this
     result ∪ historical pairs == the full batch run."""
-    sh_d = simhash(delta, id_col, text_col)
+    # Both signature tables feed the band build AND the verify join —
+    # persist so each is computed (delta) / read (stored index) once,
+    # mirroring minhash_probe_index's persisted delta shingles.
+    sh_d = simhash(delta, id_col, text_col).persist()
+    sigs_i = index.select("id", "simhash").persist()
     bands_d = cap_bucket_width(
         simhash_bands(sh_d, max_hamming), ["chunk", "chunk_val"], max_bucket
     )
     bands_i = cap_bucket_width(
-        simhash_bands(index.select("id", "simhash"), max_hamming),
+        simhash_bands(sigs_i, max_hamming),
         ["chunk", "chunk_val"],
         max_bucket,
     )
@@ -413,7 +417,7 @@ def simhash_probe_index(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
     )
     cand = cross.unionByName(intra).distinct()
-    sigs = sh_d.unionByName(index.select("id", "simhash"))
+    sigs = sh_d.unionByName(sigs_i)
     h1 = sigs.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
     h2 = sigs.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
     return (
