@@ -42,8 +42,11 @@ def _entries(xml_col, block_re: str, kind: str):
             F.nullif(F.regexp_extract(b, _LASTMOD, 1), F.lit("")).alias(
                 "lastmod"
             ),
+            # try_cast: a malformed <priority> (non-numeric text) must
+            # yield null, not abort the scan under ANSI mode (found by
+            # the garbage-XML fuzz test).
             F.nullif(F.regexp_extract(b, _PRIORITY, 1), F.lit(""))
-            .cast("double")
+            .try_cast("double")
             .alias("sm_priority"),
         ),
     )
