@@ -235,7 +235,9 @@ def _best_capture(fetch: DataFrame, captures: DataFrame) -> DataFrame:
         (F.col("cap_mime") == F.col("best_mimetype")).cast("int").desc(),
         (F.col("cap_mime") != F.lit("warc/revisit")).cast("int").desc(),
         F.lit(0).desc(),  # closest_dt year match: batch mode has no 'closest' target
-        F.col("cap_dt").cast("long").desc(),
+        # try_cast: a malformed (non-digit / overflowing) capture datetime
+        # must rank worst under ANSI mode, not throw — desc puts nulls last
+        F.col("cap_dt").try_cast("long").desc(),
         F.col("cap_warc_path").contains("/").cast("int").desc(),
         F.col("cap_sha1hex").desc(),
     )

@@ -55,17 +55,28 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         & F.col("rawstatus").rlike("^[0-9]+$")  # non-HTTP (whois) has no status
     )
     mime = normalize_mime_col(F.col("rawmime"))
-    return df.select(
+    # try_cast, not cast: the digit regexes above bound the *alphabet* but
+    # not the magnitude — a 20-digit csize would pass ^[0-9]+$ and then
+    # throw under ANSI mode (Spark 4 default), killing the whole scan on
+    # one hostile line. A value that overflows int64 is physically
+    # impossible (WARC offsets are bounded by file size), so such rows are
+    # treated as invalid and dropped, same as any other F1 failure.
+    df = df.select(
         "surt",
         "datetime",
         "url",
         F.coalesce(mime, F.lit("application/octet-stream")).alias("mimetype"),
-        F.col("rawstatus").cast("int").alias("http_status"),
+        F.col("rawstatus").try_cast("int").alias("http_status"),
         "sha1b32",
         b32_hex_udf(F.col("sha1b32")).alias("sha1hex"),
-        F.col("rawcsize").cast("long").alias("warc_csize"),
-        F.col("rawoffset").cast("long").alias("warc_offset"),
+        F.col("rawcsize").try_cast("long").alias("warc_csize"),
+        F.col("rawoffset").try_cast("long").alias("warc_offset"),
         "warc_path",
+    )
+    return df.filter(
+        F.col("http_status").isNotNull()
+        & F.col("warc_csize").isNotNull()
+        & F.col("warc_offset").isNotNull()
     )
 
 

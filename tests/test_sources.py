@@ -38,6 +38,11 @@ def test_cdx_parse(spark, tmp_path):
         # unknown mime → octet-stream fallback
         _mk_cdx_line("org,example)/e", "20200101000005", "http://example.org/e",
                      "unk", "404", good_sha, "5", "6", "CRAWL/q.warc.gz"),
+        # csize passes the digit regex but overflows int64 → dropped, not a
+        # crash (ANSI cast would throw; parse uses try_cast)
+        _mk_cdx_line("org,example)/huge", "20200101000006", "http://example.org/huge",
+                     "text/html", "200", good_sha, "99999999999999999999", "7",
+                     "CRAWL/q.warc.gz"),
     ]
     p = tmp_path / "test.cdx"
     p.write_text("\n".join(lines) + "\n")
