@@ -31,6 +31,7 @@ aggregation — no per-URL Python, broadcastable rules side.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -106,9 +107,16 @@ def parse_robots_txt(
             collecting_agents = False
             if groups:
                 try:
-                    groups[-1].crawl_delay = float(val)
+                    d = float(val)
                 except ValueError:
-                    pass
+                    d = None
+                # float() accepts "nan"/"inf"/negatives; a NaN delay would
+                # poison the downstream host_budget .cast("int") under ANSI
+                # mode, inf/negative give nonsense budgets — treat all as
+                # absent (same as unparseable), per RFC 9309's "ignore
+                # records the crawler doesn't understand"
+                if d is not None and math.isfinite(d) and d >= 0:
+                    groups[-1].crawl_delay = d
         elif key == "sitemap":
             # group-independent per RFC 9309 §2.2.4 "other records"
             sitemaps.append(val)

@@ -95,6 +95,19 @@ class TestMatchPrecedence:
         assert maps == ["https://ex.org/map.xml"]
         assert len(rules) == 1
 
+    def test_crawl_delay_hostile_values_ignored(self):
+        # nan would poison the downstream ANSI int cast; inf/negative give
+        # nonsense budgets — all must parse as "no delay", like garbage text
+        for bad in ("nan", "inf", "-inf", "-5", "1e400", "soon", ""):
+            txt = f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n"
+            _, delay, _ = R.parse_robots_txt(txt, "anybot")
+            assert delay is None, bad
+        # zero is a legal no-wait delay and must survive
+        _, delay, _ = R.parse_robots_txt(
+            "User-agent: *\nCrawl-delay: 0\n", "anybot"
+        )
+        assert delay == 0.0
+
 
 class TestSparkParity:
     """The set-oriented join reproduces the pure-Python decision."""
