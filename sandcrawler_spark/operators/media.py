@@ -461,3 +461,101 @@ def pdf_result_sinks(results: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("sha1hex").alias("key"), F.col("page0_thumbnail").alias("value")
     )
     return pdftext, thumbs
+
+
+PDFTRIO_JSON_SCHEMA = (
+    "status_code int, status string, updated string, "
+    "versions struct<pdftrio_version:string, models_date:string>, "
+    "ensemble_score double, bert_score double, linear_score double, "
+    "image_score double"
+)
+
+FILE_META_JSON_SCHEMA = (
+    "sha1hex string, sha256hex string, md5hex string, size_bytes long, "
+    "mimetype string"
+)
+
+
+def pdftrio_persist_rows(
+    results: DataFrame,
+    seq_col: str = "seq",
+    now: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """PDF-classifier result persist fan-out (PersistPdfTrioWorker,
+    reference persist.py:470-500 + db.py:362-416 insert_pdftrio +
+    sandcrawler_schema.sql:80-91): one batch of classifier result
+    messages becomes TWO relational upsert feeds.
+
+    Input: one row per result message with columns
+    ``key`` (sha1hex of the PDF), ``pdf_trio`` (the classifier response
+    as a JSON string, may be NULL), ``file_meta`` (JSON string, may be
+    NULL), and ``seq_col`` — the batch arrival order, which makes the
+    reference's dict-overwrite batch dedup (db.py:409-413
+    ``row_dict[b[0]] = b``, LAST row per key wins) deterministic under
+    parallelism instead of partition-order-dependent.
+
+    Semantics pinned to the reference:
+
+    - rows without a *truthy* ``pdf_trio.status_code`` are dropped
+      before anything else (persist.py:483 — ``None`` AND ``0`` are
+      dropped; negative heritrix-style codes like -4/-2 are kept);
+    - ``versions.pdftrio_version`` / ``versions.models_date`` use the
+      ``or None`` idiom (db.py:400-401): empty string becomes NULL;
+      ``models_date`` is a DATE column;
+    - ``updated`` is the message's value or the caller's batch
+      timestamp (db.py:393,397 ``d.get("updated") or now`` — the
+      reference stamps ``datetime.now()``; callers pass ``now``
+      explicitly so replays are deterministic); kept as the wire string
+      since this engine's Iceberg MERGE layer casts on write;
+    - scores are REAL (float32) columns;
+    - the pdftrio feed upserts with policy "update", so every surviving
+      key emits exactly one row (last in batch order);
+    - the ``file_meta`` side feed (persist.py:492-499) takes only rows
+      with ``status == 'success'`` AND a present ``file_meta``, policy
+      "nothing" (first-writer-wins at merge; batch-internal dedup is
+      still last-wins, db.py:186-190).
+
+    Both outputs are pure Catalyst: from_json -> filter -> max_by
+    struct aggregation, no Python.
+    """
+    seq = F.col(seq_col).cast("long")
+    parsed = results.select(
+        F.col("key").alias("sha1hex"),
+        seq.alias("_seq"),
+        F.from_json(F.col("pdf_trio"), PDFTRIO_JSON_SCHEMA).alias("pt"),
+        F.from_json(F.col("file_meta"), FILE_META_JSON_SCHEMA).alias("fm"),
+    ).filter(
+        F.col("pt.status_code").isNotNull() & (F.col("pt.status_code") != 0)
+    )
+
+    blank_to_null = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    trio_row = F.struct(
+        F.coalesce(blank_to_null(F.col("pt.updated")), F.lit(now)).alias("updated"),
+        F.col("pt.status_code").alias("status_code"),
+        F.col("pt.status").alias("status"),
+        blank_to_null(F.col("pt.versions.pdftrio_version")).alias("pdftrio_version"),
+        F.to_date(blank_to_null(F.col("pt.versions.models_date"))).alias("models_date"),
+        F.col("pt.ensemble_score").cast("float").alias("ensemble_score"),
+        F.col("pt.bert_score").cast("float").alias("bert_score"),
+        F.col("pt.linear_score").cast("float").alias("linear_score"),
+        F.col("pt.image_score").cast("float").alias("image_score"),
+    )
+    pdftrio = (
+        parsed.groupBy("sha1hex")
+        .agg(F.max_by(trio_row, F.col("_seq")).alias("r"))
+        .select("sha1hex", "r.*")
+    )
+
+    fm_row = F.struct(
+        F.col("fm.sha256hex").alias("sha256hex"),
+        F.col("fm.md5hex").alias("md5hex"),
+        F.col("fm.size_bytes").alias("size_bytes"),
+        F.col("fm.mimetype").alias("mimetype"),
+    )
+    file_meta = (
+        parsed.filter((F.col("pt.status") == "success") & F.col("fm").isNotNull())
+        .groupBy("sha1hex")
+        .agg(F.max_by(fm_row, F.col("_seq")).alias("r"))
+        .select("sha1hex", "r.*")
+    )
+    return pdftrio, file_meta

@@ -2957,3 +2957,159 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def bib_pdftrio_persist(spark, sf_dir):
+    """PDF-classifier persist fan-out (PersistPdfTrioWorker,
+    persist.py:470-500 + db.py:362-416): synthesized classifier result
+    messages (six arms per doc_id: absent payload, missing status_code,
+    status_code 0, full success, heritrix-style -4 timeout, success
+    with empty versions) keyed so 40 sha1 groups collide and the
+    last-in-batch-wins dedup is exercised; both sink feeds (pdftrio
+    update-policy rows + gated file_meta rows) come back as one tagged
+    union. The oracle re-derives every survivor arithmetically."""
+    from sandcrawler_spark.operators.media import pdftrio_persist_rows
+
+    i = F.col("doc_id")
+    m6 = i % 6
+    k32 = F.md5(F.concat(F.lit("trio"), (i % 40).cast("string")))
+    src = _t(spark, sf_dir, "documents").select(
+        F.concat(k32, F.substring(k32, 1, 8)).alias("key"),
+        i.alias("seq"),
+        F.when(
+            m6 != 0,
+            F.to_json(
+                F.struct(
+                    F.when(m6 == 2, F.lit(0))
+                    .when(m6 == 4, F.lit(-4))
+                    .when(m6.isin(3, 5), F.lit(200))
+                    .alias("status_code"),
+                    F.when(m6 == 1, F.lit("error-misc"))
+                    .when(m6 == 2, F.lit("error-connect"))
+                    .when(m6 == 4, F.lit("error-timeout"))
+                    .otherwise(F.lit("success"))
+                    .alias("status"),
+                    F.when(m6 == 3, F.lit("2020-05-06T12:00:00Z")).alias("updated"),
+                    F.when(
+                        m6 == 3,
+                        F.struct(
+                            F.lit("0.3.1-dev").alias("pdftrio_version"),
+                            F.lit("2020-01-31").alias("models_date"),
+                        ),
+                    )
+                    .when(
+                        m6 == 5,
+                        F.struct(
+                            F.lit("").alias("pdftrio_version"),
+                            F.lit("").alias("models_date"),
+                        ),
+                    )
+                    .alias("versions"),
+                    F.when(m6.isin(3, 5), (i % 64) / 64.0).alias("ensemble_score"),
+                    F.when(m6 == 3, (i % 32) / 32.0).alias("bert_score"),
+                    F.when(m6 == 3, (i % 16) / 16.0).alias("linear_score"),
+                    F.when(m6 == 3, (i % 8) / 8.0).alias("image_score"),
+                )
+            ),
+        ).alias("pdf_trio"),
+        F.when(
+            m6.isin(3, 4, 5),
+            F.to_json(
+                F.struct(
+                    F.md5(F.concat(F.lit("s256"), i.cast("string"))).alias("sha256hex"),
+                    F.md5(F.concat(F.lit("m5"), i.cast("string"))).alias("md5hex"),
+                    (F.lit(1000) + i).cast("long").alias("size_bytes"),
+                    F.lit("application/pdf").alias("mimetype"),
+                )
+            ),
+        ).alias("file_meta"),
+    )
+    trio, fmeta = pdftrio_persist_rows(src, seq_col="seq", now="2024-01-01T00:00:00Z")
+    trio_out = trio.select(
+        F.lit("pdftrio").alias("sink"),
+        "sha1hex", "updated", "status_code", "status",
+        "pdftrio_version", "models_date",
+        F.col("ensemble_score").cast("double").alias("ensemble_score"),
+        F.col("bert_score").cast("double").alias("bert_score"),
+        F.col("linear_score").cast("double").alias("linear_score"),
+        F.col("image_score").cast("double").alias("image_score"),
+        F.lit(None).cast("string").alias("sha256hex"),
+        F.lit(None).cast("string").alias("md5hex"),
+        F.lit(None).cast("long").alias("size_bytes"),
+        F.lit(None).cast("string").alias("mimetype"),
+    )
+    fm_out = fmeta.select(
+        F.lit("file_meta").alias("sink"),
+        "sha1hex",
+        F.lit(None).cast("string").alias("updated"),
+        F.lit(None).cast("int").alias("status_code"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("pdftrio_version"),
+        F.lit(None).cast("date").alias("models_date"),
+        F.lit(None).cast("double").alias("ensemble_score"),
+        F.lit(None).cast("double").alias("bert_score"),
+        F.lit(None).cast("double").alias("linear_score"),
+        F.lit(None).cast("double").alias("image_score"),
+        "sha256hex", "md5hex", "size_bytes", "mimetype",
+    )
+    return trio_out.unionByName(fm_out)
+
+
+QUERIES2.update({"bib_pdftrio_persist": bib_pdftrio_persist})
+
+ORACLES2.update(
+    {
+        "bib_pdftrio_persist": """
+        WITH src AS (
+            SELECT doc_id, doc_id % 6 AS m6,
+                   md5('trio' || CAST(doc_id % 40 AS VARCHAR)) AS k32
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, m6, k32 || substr(k32, 1, 8) AS sha1hex
+            FROM src WHERE m6 IN (3, 4, 5)
+        ),
+        trio AS (
+            SELECT sha1hex,
+                   CASE WHEN m6 = 3 THEN '2020-05-06T12:00:00Z'
+                        ELSE '2024-01-01T00:00:00Z' END AS updated,
+                   CASE WHEN m6 = 4 THEN -4 ELSE 200 END AS status_code,
+                   CASE WHEN m6 = 4 THEN 'error-timeout'
+                        ELSE 'success' END AS status,
+                   CASE WHEN m6 = 3 THEN '0.3.1-dev' END AS pdftrio_version,
+                   CASE WHEN m6 = 3 THEN DATE '2020-01-31' END AS models_date,
+                   CASE WHEN m6 IN (3, 5)
+                        THEN (doc_id % 64) / 64.0 END AS ensemble_score,
+                   CASE WHEN m6 = 3 THEN (doc_id % 32) / 32.0 END AS bert_score,
+                   CASE WHEN m6 = 3 THEN (doc_id % 16) / 16.0 END AS linear_score,
+                   CASE WHEN m6 = 3 THEN (doc_id % 8) / 8.0 END AS image_score,
+                   row_number() OVER (PARTITION BY sha1hex
+                                      ORDER BY doc_id DESC) AS rn
+            FROM kept
+        ),
+        fm AS (
+            SELECT sha1hex,
+                   md5('s256' || CAST(doc_id AS VARCHAR)) AS sha256hex,
+                   md5('m5' || CAST(doc_id AS VARCHAR)) AS md5hex,
+                   CAST(1000 + doc_id AS BIGINT) AS size_bytes,
+                   'application/pdf' AS mimetype,
+                   row_number() OVER (PARTITION BY sha1hex
+                                      ORDER BY doc_id DESC) AS rn
+            FROM kept WHERE m6 IN (3, 5)
+        )
+        SELECT 'pdftrio' AS sink, sha1hex, updated, status_code, status,
+               pdftrio_version, models_date, ensemble_score, bert_score,
+               linear_score, image_score,
+               CAST(NULL AS VARCHAR) AS sha256hex,
+               CAST(NULL AS VARCHAR) AS md5hex,
+               CAST(NULL AS BIGINT) AS size_bytes,
+               CAST(NULL AS VARCHAR) AS mimetype
+        FROM trio WHERE rn = 1
+        UNION ALL
+        SELECT 'file_meta', sha1hex, NULL, NULL, NULL, NULL,
+               CAST(NULL AS DATE), NULL, NULL, NULL, NULL,
+               sha256hex, md5hex, size_bytes, mimetype
+        FROM fm WHERE rn = 1
+    """,
+    }
+)

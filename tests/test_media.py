@@ -451,3 +451,67 @@ def test_pq_search_cluster_precision(spark):
         other = ((M[[i for i in range(len(M)) if i // 20 != cluster]]
                   - M[qid]) ** 2).sum(axis=1).min()
         assert all(r["adc_dist"] < other / 4 for r in mine)
+
+
+def test_pdftrio_persist_rows_reference_semantics(spark):
+    """PersistPdfTrioWorker parity (persist.py:470-500, db.py:362-416):
+    truthy-status_code gate, `or None` on versions fields, last-in-batch
+    wins per sha1hex, and the success+file_meta gate on the side feed."""
+    import json
+
+    from sandcrawler_spark.operators.media import pdftrio_persist_rows
+
+    def msg(code=None, status="x", versions=None, updated=None, **scores):
+        d = dict(status=status, **scores)
+        if code is not None:
+            d["status_code"] = code
+        if versions is not None:
+            d["versions"] = versions
+        if updated is not None:
+            d["updated"] = updated
+        return json.dumps(d)
+
+    fm = json.dumps(
+        {"sha256hex": "b" * 64, "md5hex": "c" * 32,
+         "size_bytes": 1234, "mimetype": "application/pdf"}
+    )
+    rows = [
+        # dropped: no pdf_trio at all
+        ("k1", 0, None, fm),
+        # dropped: no status_code key
+        ("k1", 1, msg(status="error-misc"), fm),
+        # dropped: status_code 0 (python falsy, persist.py:483)
+        ("k1", 2, msg(code=0, status="error-connect"), fm),
+        # kept: negative heritrix code is truthy; no file_meta feed (not success)
+        ("k2", 3, msg(code=-4, status="error-timeout"), fm),
+        # kept then OVERWRITTEN by seq 5 (db.py:409-413 last-wins)
+        ("k3", 4, msg(code=200, status="success", ensemble_score=0.25,
+                      versions={"pdftrio_version": "0.1.0",
+                                "models_date": "2019-12-01"}), fm),
+        ("k3", 5, msg(code=200, status="success", ensemble_score=0.75,
+                      updated="2020-02-02T00:00:00Z",
+                      versions={"pdftrio_version": "", "models_date": ""}),
+         None),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, seq long, pdf_trio string, file_meta string"
+    )
+    trio, fmeta = pdftrio_persist_rows(df, now="2021-07-01T00:00:00Z")
+    t = {r["sha1hex"]: r.asDict() for r in trio.collect()}
+    assert set(t) == {"k2", "k3"}
+    assert t["k2"]["status_code"] == -4
+    assert t["k2"]["status"] == "error-timeout"
+    # missing updated falls back to the batch timestamp (db.py:397)
+    assert t["k2"]["updated"] == "2021-07-01T00:00:00Z"
+    assert t["k2"]["pdftrio_version"] is None
+    assert t["k2"]["ensemble_score"] is None
+    # last row in batch order won, empty-string versions became NULL
+    assert t["k3"]["ensemble_score"] == 0.75
+    assert t["k3"]["updated"] == "2020-02-02T00:00:00Z"
+    assert t["k3"]["pdftrio_version"] is None
+    assert t["k3"]["models_date"] is None
+    # file_meta feed: only success rows WITH file_meta; the seq-5
+    # overwrite carried no file_meta, so seq 4's meta survives for k3
+    f = {r["sha1hex"]: r.asDict() for r in fmeta.collect()}
+    assert set(f) == {"k3"}
+    assert f["k3"]["size_bytes"] == 1234 and f["k3"]["md5hex"] == "c" * 32
