@@ -1,0 +1,187 @@
+"""Operational ingest monitoring reports — the reference's Postgres
+dashboard queries (sql/monitoring_queries.md) re-expressed as pure
+Catalyst plans over (ingest_request, ingest_file_result)-shaped
+DataFrames.
+
+The reference runs these by hand against the crawl database to watch a
+running ingest: status rollups, broken-domain reports, DOI-prefix
+summaries, and per-day throughput (sql/monitoring_queries.md:3-120;
+the weekly variants feed sql/ingest_stats/*). Every query there has
+the same skeleton — ``FROM ingest_file_result LEFT JOIN ingest_request
+ON (ingest_type, base_url)`` with WHERE gates on a time window, an
+ingest type, and a request source — so that skeleton is one shared
+helper here and each report is a projection/aggregation on top.
+
+Scale notes (10^10-row result tables):
+
+- The join is a plain equi-join on ``(ingest_type, base_url)``; both
+  sides are result-table-sized so it shuffles on the key — the same
+  shape as the frontier's url_seen join, no skew (base_url is unique
+  per request). The WHERE gates on request columns make the LEFT JOIN
+  an inner join; Catalyst performs that conversion, so the literal
+  reference shape costs nothing.
+- All rollups are groupBy counts → map-side partial aggregation; the
+  ``LIMIT n`` reports sort only the aggregated groups
+  (TakeOrderedAndProject, never a global row sort).
+- Time-window + type/source filters are plain column predicates,
+  pushed to the parquet/Iceberg scan.
+- The reference's top-N is ``ORDER BY COUNT DESC LIMIT n`` — ties at
+  the cutoff are picked arbitrarily by Postgres. Here every report
+  totalizes the sort key (count desc, then group keys asc) so the
+  selected SET is deterministic across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Postgres `substring(x FROM '...')` = first capture group, '' / NULL
+# on no match on either engine's regexp_extract.
+DOMAIN_RE = "[^/]+://([^/]*)"  # monitoring_queries.md:27 (terminal_url host)
+DOI_PREFIX_RE = r"(10\.[^/]*)/.*"  # monitoring_queries.md:81 (link_source_id)
+
+
+def _joined(
+    results: DataFrame,
+    requests: DataFrame,
+    ingest_type: str,
+    source: str,
+) -> DataFrame:
+    """The shared FROM/WHERE skeleton of every monitoring query:
+    result LEFT JOIN request ON (ingest_type, base_url), gated on the
+    request's ingest_type + ingest_request_source (which collapses the
+    left join to inner — the reference relies on the same behavior)."""
+    req = requests.select(
+        F.col("ingest_type").alias("_req_type"),
+        F.col("base_url").alias("_req_url"),
+        "created",
+        "ingest_request_source",
+        "link_source",
+        "link_source_id",
+    )
+    return (
+        results.join(
+            req,
+            (results["ingest_type"] == req["_req_type"])
+            & (results["base_url"] == req["_req_url"]),
+            "left",
+        )
+        .filter(
+            (F.col("_req_type") == ingest_type)
+            & (F.col("ingest_request_source") == source)
+        )
+        .drop("_req_type", "_req_url")
+    )
+
+
+def ingest_status_rollup(
+    results: DataFrame,
+    requests: DataFrame,
+    now: str,
+    window_days: int = 30,
+    ingest_type: str = "pdf",
+    source: str = "fatcat-changelog",
+    limit: int = 20,
+) -> DataFrame:
+    """'Overall ingest status, past 30 days' (monitoring_queries.md:5-17):
+    per (ingest_type, status) counts over requests created inside the
+    window, count-desc top-N."""
+    return (
+        _joined(results, requests, ingest_type, source)
+        .filter(F.col("created") >= F.date_sub(F.lit(now).cast("date"), window_days))
+        .groupBy("ingest_type", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("status"))
+        .limit(limit)
+    )
+
+
+def terminal_domain(url: Column) -> Column:
+    """Host of a terminal URL, the reference's
+    ``substring(terminal_url FROM '[^/]+://([^/]*)')`` — '' when the
+    URL has no scheme (filtered by callers, like the reference's
+    ``domain != ''``)."""
+    return F.regexp_extract(url, DOMAIN_RE, 1)
+
+
+def broken_domains(
+    results: DataFrame,
+    requests: DataFrame,
+    now: str,
+    window_days: int = 7,
+    ingest_type: str = "pdf",
+    source: str = "fatcat-ingest",
+    limit: int = 25,
+) -> DataFrame:
+    """'Broken domains, past N days' (monitoring_queries.md:20-43,
+    113-134): non-success statuses grouped by terminal-URL host,
+    windowed on the RESULT's updated time, count-desc top-N."""
+    return (
+        _joined(results, requests, ingest_type, source)
+        .filter(F.col("updated") >= F.date_sub(F.lit(now).cast("date"), window_days))
+        .select(terminal_domain(F.col("terminal_url")).alias("domain"), "status")
+        .filter((F.col("domain") != "") & (F.col("status") != "success"))
+        .groupBy("domain", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("domain"), F.asc("status"))
+        .limit(limit)
+    )
+
+
+def doi_prefix_report(
+    results: DataFrame,
+    requests: DataFrame,
+    now: str,
+    window_days: int = 7,
+    ingest_type: str = "pdf",
+    source: str = "fatcat-changelog",
+    min_count: int = 200,
+) -> DataFrame:
+    """'Summary of DOI prefix and status' (monitoring_queries.md:70-92;
+    the weekly sql/ingest_stats dump uses the same shape): DOI-linked
+    requests only, prefix from link_source_id, CUBE(doi_prefix, status)
+    with a min-count HAVING — the cube's NULL rows are the per-prefix
+    and per-status margins the dashboard reads."""
+    base = (
+        _joined(results, requests, ingest_type, source)
+        .filter(F.col("updated") >= F.date_sub(F.lit(now).cast("date"), window_days))
+        .filter(F.col("link_source") == "doi")
+        .select(
+            F.regexp_extract(F.col("link_source_id"), DOI_PREFIX_RE, 1).alias(
+                "doi_prefix"
+            ),
+            "status",
+        )
+        .filter(F.col("doi_prefix") != "")
+    )
+    return (
+        base.cube("doi_prefix", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > min_count)
+    )
+
+
+def daily_throughput(
+    results: DataFrame,
+    requests: DataFrame,
+    now: str,
+    window_days: int = 7,
+    ingest_type: str = "pdf",
+    source: str = "fatcat-ingest",
+) -> DataFrame:
+    """'Throughput per day, and success' (monitoring_queries.md:95-110,
+    136-151): per-day totals plus a conditional success count — the
+    reference's ``COUNT(CASE status WHEN 'success' THEN 1 ELSE null
+    END)`` is a count_if here (identical semantics, one pass)."""
+    return (
+        _joined(results, requests, ingest_type, source)
+        .filter(F.col("updated") >= F.date_sub(F.lit(now).cast("date"), window_days))
+        .groupBy(
+            F.col("ingest_type"),
+            F.col("updated").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("status") == "success").alias("success"),
+        )
+    )

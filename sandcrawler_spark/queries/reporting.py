@@ -1,0 +1,197 @@
+"""Monitoring-report battery (operators/reporting.py): the reference's
+Postgres dashboard queries (sql/monitoring_queries.md) over a
+deterministic (ingest_request, ingest_file_result) fixture synthesized
+from the events table. The DuckDB oracles rebuild the same two tables
+in a WITH clause and replay each report verbatim, so the comparison
+checks the join skeleton, the window/type/source gates, the regex
+extractions, the CUBE margins, and the deterministic top-N — not the
+generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators import reporting
+from sandcrawler_spark.queries.battery import _t
+
+NOW = "2024-04-10"
+
+
+def _ingest_fixture(spark, sf_dir):
+    """(requests, results) with the reference's schema subset. One
+    request per event_id; a result for 9-in-10 of them (the missing
+    tenth exercises the result-side-driven FROM). Keys are unique per
+    id so the (ingest_type, base_url) join is 1:1."""
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    itype = F.when(i % 5 == 0, F.lit("html")).otherwise(F.lit("pdf"))
+    base_url = F.concat(
+        F.lit("https://site"), (i % 37).cast("string"), F.lit(".org/p/"), i.cast("string")
+    )
+    requests = ev.select(
+        itype.alias("ingest_type"),
+        base_url.alias("base_url"),
+        F.date_add(F.lit("2024-03-01").cast("date"), (i % 45).cast("int")).alias("created"),
+        F.when(i % 3 == 0, F.lit("fatcat-changelog"))
+        .when(i % 3 == 1, F.lit("fatcat-ingest"))
+        .otherwise(F.lit("savepapernow-web"))
+        .alias("ingest_request_source"),
+        F.when(i % 2 == 0, F.lit("doi")).otherwise(F.lit("pmid")).alias("link_source"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("10."), (i % 23).cast("string"), F.lit("/j."), i.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("PMC"), i.cast("string")))
+        .alias("link_source_id"),
+    )
+    results = ev.filter(i % 10 != 7).select(
+        itype.alias("ingest_type"),
+        base_url.alias("base_url"),
+        F.date_add(F.lit("2024-03-15").cast("date"), (i % 30).cast("int")).alias("updated"),
+        F.when(i % 7 <= 2, F.lit("success"))
+        .when(i % 7 == 3, F.lit("no-pdf-link"))
+        .when(i % 7 == 4, F.lit("terminal-bad-status"))
+        .when(i % 7 == 5, F.lit("wrong-mimetype"))
+        .otherwise(F.lit("redirect-loop"))
+        .alias("status"),
+        F.when(i % 13 == 0, F.concat(F.lit("broken-path/"), i.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("https://term"), (i % 29).cast("string"), F.lit(".net/t/"), i.cast("string")
+            )
+        )
+        .alias("terminal_url"),
+    )
+    return requests, results
+
+
+# One WITH clause shared by every oracle: DuckDB rebuilds the fixture.
+_FIXTURE_SQL = """
+WITH req AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'html' ELSE 'pdf' END AS ingest_type,
+         'https://site' || (event_id % 37) || '.org/p/' || event_id AS base_url,
+         DATE '2024-03-01' + CAST(event_id % 45 AS INT) AS created,
+         CASE event_id % 3 WHEN 0 THEN 'fatcat-changelog'
+                           WHEN 1 THEN 'fatcat-ingest'
+                           ELSE 'savepapernow-web' END AS ingest_request_source,
+         CASE WHEN event_id % 2 = 0 THEN 'doi' ELSE 'pmid' END AS link_source,
+         CASE WHEN event_id % 2 = 0
+              THEN '10.' || (event_id % 23) || '/j.' || event_id
+              ELSE 'PMC' || event_id END AS link_source_id
+  FROM events),
+res AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'html' ELSE 'pdf' END AS ingest_type,
+         'https://site' || (event_id % 37) || '.org/p/' || event_id AS base_url,
+         DATE '2024-03-15' + CAST(event_id % 30 AS INT) AS updated,
+         CASE WHEN event_id % 7 <= 2 THEN 'success'
+              WHEN event_id % 7 = 3 THEN 'no-pdf-link'
+              WHEN event_id % 7 = 4 THEN 'terminal-bad-status'
+              WHEN event_id % 7 = 5 THEN 'wrong-mimetype'
+              ELSE 'redirect-loop' END AS status,
+         CASE WHEN event_id % 13 = 0 THEN 'broken-path/' || event_id
+              ELSE 'https://term' || (event_id % 29) || '.net/t/' || event_id
+              END AS terminal_url
+  FROM events WHERE event_id % 10 <> 7),
+joined AS (
+  SELECT r.ingest_type, r.updated, r.status, r.terminal_url,
+         q.created, q.ingest_request_source, q.link_source, q.link_source_id
+  FROM res r LEFT JOIN req q
+    ON r.ingest_type = q.ingest_type AND r.base_url = q.base_url)
+"""
+
+
+def mon_status_rollup(spark, sf_dir):
+    """'Overall ingest status, past 30 days'
+    (monitoring_queries.md:5-17)."""
+    requests, results = _ingest_fixture(spark, sf_dir)
+    return reporting.ingest_status_rollup(
+        results, requests, NOW, window_days=30,
+        ingest_type="pdf", source="fatcat-changelog", limit=20,
+    )
+
+
+def mon_broken_domains(spark, sf_dir):
+    """'Broken domains, past N days' (monitoring_queries.md:20-43)."""
+    requests, results = _ingest_fixture(spark, sf_dir)
+    return reporting.broken_domains(
+        results, requests, NOW, window_days=14,
+        ingest_type="pdf", source="fatcat-ingest", limit=25,
+    )
+
+
+def mon_doi_prefix_cube(spark, sf_dir):
+    """'Summary of DOI prefix and status' CUBE report
+    (monitoring_queries.md:70-92)."""
+    requests, results = _ingest_fixture(spark, sf_dir)
+    return reporting.doi_prefix_report(
+        results, requests, NOW, window_days=21,
+        ingest_type="pdf", source="fatcat-changelog", min_count=20,
+    )
+
+
+def mon_daily_throughput(spark, sf_dir):
+    """'Throughput per day, and success' (monitoring_queries.md:95-110)."""
+    requests, results = _ingest_fixture(spark, sf_dir)
+    return reporting.daily_throughput(
+        results, requests, NOW, window_days=21,
+        ingest_type="pdf", source="fatcat-ingest",
+    )
+
+
+QUERIES5 = {
+    "mon_status_rollup": mon_status_rollup,
+    "mon_broken_domains": mon_broken_domains,
+    "mon_doi_prefix_cube": mon_doi_prefix_cube,
+    "mon_daily_throughput": mon_daily_throughput,
+}
+
+ORACLES5 = {
+    "mon_status_rollup": _FIXTURE_SQL + """
+        SELECT ingest_type, status, count(*) AS cnt
+        FROM joined
+        WHERE created >= DATE '2024-04-10' - 30
+          AND ingest_request_source = 'fatcat-changelog'
+          AND ingest_type = 'pdf'
+        GROUP BY ingest_type, status
+        ORDER BY cnt DESC, status ASC
+        LIMIT 20
+    """,
+    "mon_broken_domains": _FIXTURE_SQL + """
+        SELECT domain, status, count(*) AS cnt FROM (
+            SELECT regexp_extract(terminal_url, '[^/]+://([^/]*)', 1) AS domain,
+                   status
+            FROM joined
+            WHERE updated >= DATE '2024-04-10' - 14
+              AND ingest_request_source = 'fatcat-ingest'
+              AND ingest_type = 'pdf'
+        ) t1
+        WHERE domain <> '' AND status <> 'success'
+        GROUP BY domain, status
+        ORDER BY cnt DESC, domain ASC, status ASC
+        LIMIT 25
+    """,
+    "mon_doi_prefix_cube": _FIXTURE_SQL + """
+        SELECT doi_prefix, status, count(*) AS cnt FROM (
+            SELECT regexp_extract(link_source_id, '(10\\.[^/]*)/.*', 1) AS doi_prefix,
+                   status
+            FROM joined
+            WHERE updated >= DATE '2024-04-10' - 21
+              AND ingest_request_source = 'fatcat-changelog'
+              AND ingest_type = 'pdf'
+              AND link_source = 'doi'
+        ) t1
+        WHERE doi_prefix <> ''
+        GROUP BY CUBE (doi_prefix, status)
+        HAVING count(*) > 20
+    """,
+    "mon_daily_throughput": _FIXTURE_SQL + """
+        SELECT ingest_type, updated AS day, count(*) AS total,
+               count(CASE status WHEN 'success' THEN 1 END) AS success
+        FROM joined
+        WHERE updated >= DATE '2024-04-10' - 21
+          AND ingest_request_source = 'fatcat-ingest'
+          AND ingest_type = 'pdf'
+        GROUP BY ingest_type, updated
+    """,
+}
