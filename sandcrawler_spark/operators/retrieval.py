@@ -192,3 +192,46 @@ def unigram_nll(
             )
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4, public
+    paper): per language, partition documents into quality buckets by
+    LM score terciles — ``head`` (lowest NLL, most corpus-typical),
+    ``middle``, ``tail``. This is the stage whose output CCNet actually
+    ships; downstream recipes train on head(+middle) only.
+
+    Returns ``(doc_id, lang, nll, bucket)`` for every scorable doc.
+
+    Scale shape: the per-doc NLL is :func:`unigram_nll` (one postings
+    build, term-keyed join, per-doc agg); the per-language cut points
+    are ONE tiny aggregate (``n_langs`` rows — Spark's exact
+    interpolated ``percentile``, same definition as DuckDB
+    ``quantile_cont``) broadcast back onto the scored stream. No global
+    sort, no ntile window over the corpus — bucketing is a threshold
+    comparison, which is also how CCNet applies it (cutoffs from a
+    held-out sample, then a streaming filter)."""
+    nll = unigram_nll(docs, alpha=alpha, id_col=id_col, text_col=text_col)
+    scored = nll.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    th = scored.groupBy("lang").agg(
+        F.percentile("nll", list(cuts)).alias("qs")
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(F.col("nll") <= F.col("qs")[0], F.lit("head"))
+        .when(F.col("nll") <= F.col("qs")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -3113,3 +3113,50 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# ============================================== CCNet head/middle/tail
+def txt_ccnet_buckets(spark, sf_dir):
+    """CCNet's per-language head/middle/tail quality split (Wenzek et
+    al. 2020): unigram-LM NLL terciles per language, applied as
+    broadcast thresholds."""
+    from sandcrawler_spark.operators.retrieval import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+QUERIES2["txt_ccnet_buckets"] = txt_ccnet_buckets
+
+ORACLES2["txt_ccnet_buckets"] = """
+        WITH toksu AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+        post AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM (
+              SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toksu)
+            WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        counts AS (SELECT term, sum(tf) AS cnt FROM post GROUP BY 1),
+        totals AS (SELECT sum(cnt) AS t_tokens, count(*) AS v_size
+                   FROM counts),
+        nll AS (
+            SELECT p.doc_id,
+                   round(-sum(p.tf * ln((c.cnt + 0.5)
+                                        / (tt.t_tokens + 0.5 * tt.v_size)))
+                         / any_value(p.dl), 6) AS nll
+            FROM post p JOIN counts c USING (term), totals tt
+            GROUP BY p.doc_id),
+        scored AS (
+            SELECT n.doc_id, d.lang, n.nll
+            FROM nll n JOIN documents d USING (doc_id)),
+        th AS (
+            SELECT lang,
+                   quantile_cont(nll, 1.0/3) AS q1,
+                   quantile_cont(nll, 2.0/3) AS q2
+            FROM scored GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.nll,
+               CASE WHEN s.nll <= t.q1 THEN 'head'
+                    WHEN s.nll <= t.q2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN th t USING (lang)
+"""

@@ -176,3 +176,27 @@ def test_unigram_nll_ranks_outliers_higher(spark):
         math.log((cnt[w] + a) / (T + a * V)) for w in toks[0]
     ) / len(toks[0])
     assert got[1] == pytest.approx(round(nll1, 6), abs=1e-6)
+
+
+def test_ccnet_buckets_tercile_structure(spark, sf_dir):
+    from sandcrawler_spark.operators.retrieval import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_buckets(docs, alpha=0.5).collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["nll"], r["bucket"]))
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        # buckets are monotone in nll: head <= middle <= tail
+        assert [order[b] for _, b in rows] == sorted(order[b] for _, b in rows)
+        n = len(rows)
+        counts = {b: sum(1 for _, x in rows if x == b) for b in order}
+        # terciles within slack for threshold ties
+        for b in order:
+            assert abs(counts[b] - n / 3) <= max(3, n * 0.15), (lang, counts)
+    # partitioning invariance
+    out2 = ccnet_buckets(docs.repartition(13), alpha=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
