@@ -332,6 +332,23 @@ def main() -> int:
          [r"Join"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
           r"BroadcastNestedLoop"]),
+        # monitoring reports: result⋈request equi-join, map-side
+        # combinable rollup, top-N via TakeOrderedAndProject (never a
+        # global Sort), no python
+        ("monitoring broken-domains: equi-join + TakeOrdered, no python",
+         "mon_broken_domains",
+         [r"TakeOrderedAndProject", r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        # ccnet buckets: per-language percentile agg broadcast back as
+        # thresholds — no global sort, no window over the corpus. (The
+        # plan's one BroadcastNestedLoop is unigram_nll's 1-row scalar
+        # totals crossJoin — constant-size by construction.)
+        ("ccnet buckets: broadcast thresholds, no global sort/window",
+         "txt_ccnet_buckets",
+         [r"BroadcastHashJoin"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Window",
+          r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
