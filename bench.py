@@ -75,6 +75,8 @@ HEADLINE = [
     "aj_asof_join",
     "iv_interval_join",
     "fs_dataset_ingest",
+    "mon_broken_domains",
+    "txt_ccnet_buckets",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -185,3 +185,42 @@ def daily_throughput(
             F.count_if(F.col("status") == "success").alias("success"),
         )
     )
+
+
+def score_histogram(
+    df: DataFrame,
+    score_col: str,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_buckets: int = 19,
+    scale: float = 100.0,
+    bucket_step: int = 5,
+    status: str | None = "success",
+) -> DataFrame:
+    """Classifier-score histogram (sql/pdftrio_queries.md:42-66): the
+    reference's ``width_bucket(score * 100, 0.0, 100.0, 19) * 5``
+    reports over pdftrio scores. Postgres width_bucket semantics are
+    spelled out as explicit arithmetic (below lo → 0, at/above hi →
+    n+1, else equi-width floor) rather than an engine builtin, so the
+    replaying oracle evaluates the identical float expression.
+
+    One map-side-combinable groupBy over a scan with pushed-down
+    filters — nothing here grows with bucket count."""
+    x = F.col(score_col) * scale
+    bucket = (
+        F.when(F.col(score_col).isNull(), F.lit(None))
+        .when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(n_buckets + 1))
+        .otherwise(
+            F.floor((x - F.lit(lo)) * n_buckets / (F.lit(hi) - F.lit(lo))) + 1
+        )
+    )
+    out = df
+    if status is not None:
+        out = out.filter(F.col("status") == status)
+    return (
+        out.filter(F.col(score_col).isNotNull())
+        .select((bucket * bucket_step).alias("buckets"))
+        .groupBy("buckets")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -195,3 +195,36 @@ ORACLES5 = {
         GROUP BY ingest_type, updated
     """,
 }
+
+
+def mon_score_histogram(spark, sf_dir):
+    """pdftrio ensemble-score histogram, the reference's
+    ``width_bucket(score*100, 0, 100, 19) * 5`` report
+    (sql/pdftrio_queries.md:42-47) — NULL scores and non-success rows
+    excluded, identical bucket arithmetic replayed by the oracle."""
+    from sandcrawler_spark.operators import reporting as rep
+
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    rows = ev.select(
+        F.when(i % 11 != 0, (i % 97) / F.lit(96.0)).alias("ensemble_score"),
+        F.when(i % 5 == 1, F.lit("error")).otherwise(F.lit("success")).alias("status"),
+    )
+    return rep.score_histogram(rows, "ensemble_score")
+
+
+QUERIES5["mon_score_histogram"] = mon_score_histogram
+ORACLES5["mon_score_histogram"] = """
+    WITH t AS (
+      SELECT CASE WHEN event_id % 11 <> 0 THEN (event_id % 97) / 96.0 END AS score,
+             CASE WHEN event_id % 5 = 1 THEN 'error' ELSE 'success' END AS status
+      FROM events)
+    SELECT (CASE WHEN score * 100.0 < 0.0 THEN 0
+                 WHEN score * 100.0 >= 100.0 THEN 20
+                 ELSE CAST(floor(((score * 100.0) - 0.0) * 19 / (100.0 - 0.0)) AS BIGINT) + 1
+            END) * 5 AS buckets,
+           count(*) AS cnt
+    FROM t
+    WHERE status = 'success' AND score IS NOT NULL
+    GROUP BY 1
+"""

@@ -129,3 +129,21 @@ def test_topn_tiebreak_is_total_order(spark):
     ).collect()
     assert [r["domain"] for r in out1] == [f"d{i:02d}.net" for i in range(10)]
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_score_histogram_width_bucket_semantics(spark):
+    from sandcrawler_spark.operators.reporting import score_histogram
+
+    rows = spark.createDataFrame(
+        [
+            (-0.01, "success"),   # below lo -> bucket 0
+            (0.0, "success"),     # first bucket -> 1
+            (0.5, "success"),     # 50 / (100/19) = 9.5 -> bucket 10
+            (1.0, "success"),     # at hi -> n_buckets+1 = 20
+            (None, "success"),    # dropped
+            (0.5, "error"),       # dropped by status gate
+        ],
+        "score double, status string",
+    )
+    out = {r["buckets"]: r["cnt"] for r in score_histogram(rows, "score").collect()}
+    assert out == {0: 1, 5: 1, 50: 1, 100: 1}
