@@ -496,3 +496,73 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+def boilerplate_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 4,
+    sw_high: float = 0.32,
+    sw_low: float = 0.17,
+) -> DataFrame:
+    """jusText-inspired two-pass boilerplate classification (Pomikálek
+    2011, public thesis — simplified as documented below): split each
+    document into paragraphs on blank lines, classify each paragraph
+    context-free by length and stopword density, then let borderline
+    paragraphs inherit from their neighbors — the context-sensitive
+    pass that makes jusText better than per-paragraph thresholds alone.
+
+    Context-free classes (per paragraph):
+    - ``short``    — fewer than ``min_words`` tokens,
+    - ``good``     — stopword density ≥ ``sw_high``,
+    - ``neargood`` — density ≥ ``sw_low``,
+    - ``bad``      — otherwise.
+
+    Context-sensitive resolution (the simplification: jusText walks to
+    the nearest non-short neighbor on each side; here only the DIRECT
+    neighbors vote, which keeps the pass a single lag/lead window —
+    one shuffle on the doc key — instead of a per-doc scan):
+    ``good``/``bad`` stay; ``short``/``neargood`` become ``good`` iff
+    an adjacent paragraph is context-free ``good``, else ``bad``.
+    Stopword density uses the fixed 8-word Gopher stopword set
+    (GOPHER_STOPWORDS) so the measure is deterministic and
+    SQL-replayable; swap in a full language-specific list at
+    deployment.
+
+    Returns ``(id, idx, n_words, ctx_free, cls)`` per paragraph.
+    Shuffle shape: one explode (no shuffle) + one keyed window on
+    ``(id ORDER BY idx)`` — paragraphs of a doc are WIDE not deep, so
+    no skew; everything is codegen'd Catalyst."""
+    from pyspark.sql import Window
+
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\\n{2,}")).alias("idx", "para"),
+    )
+    toks = F.filter(tokens_col("para"), lambda t: F.length(t) > 0)
+    scored = paras.select(
+        "id",
+        "idx",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+    ).withColumn(
+        "ctx_free",
+        F.when(F.col("n_words") < min_words, F.lit("short"))
+        .when(F.col("n_stop") / F.col("n_words") >= sw_high, F.lit("good"))
+        .when(F.col("n_stop") / F.col("n_words") >= sw_low, F.lit("neargood"))
+        .otherwise(F.lit("bad")),
+    )
+    w = Window.partitionBy("id").orderBy("idx")
+    prev_c, next_c = F.lag("ctx_free").over(w), F.lead("ctx_free").over(w)
+    return scored.select(
+        "id",
+        "idx",
+        "n_words",
+        "ctx_free",
+        F.when(F.col("ctx_free").isin("good", "bad"), F.col("ctx_free"))
+        .when((prev_c == "good") | (next_c == "good"), F.lit("good"))
+        .otherwise(F.lit("bad"))
+        .alias("cls"),
+    )

@@ -3160,3 +3160,73 @@ ORACLES2["txt_ccnet_buckets"] = """
                     ELSE 'tail' END AS bucket
         FROM scored s JOIN th t USING (lang)
 """
+
+
+# ========================================= jusText boilerplate removal
+def txt_boilerplate(spark, sf_dir):
+    """jusText-inspired paragraph boilerplate classification: per doc,
+    five paragraphs — two slices of real text (varied density), a
+    short-or-link-spam arm, an all-stopword 'good' paragraph, and a
+    0.25-density neargood one — so every context-free class AND both
+    context-sensitive promotions (short→good, neargood→good) occur."""
+    from sandcrawler_spark.operators.text import boilerplate_classify
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = F.concat_ws(
+        "\n\n",
+        F.substring("text", 1, 200),
+        F.when(i % 3 == 0, F.lit("ok")).otherwise(
+            F.lit("click here menu navigation links copyright page")
+        ),
+        F.lit("the be to of and that have with"),
+        F.lit("the data table scan"),
+        F.substring("text", 201, 160),
+    )
+    return boilerplate_classify(
+        d.select("doc_id", text2.alias("text2")), "doc_id", "text2"
+    )
+
+
+QUERIES2["txt_boilerplate"] = txt_boilerplate
+
+ORACLES2["txt_boilerplate"] = """
+    WITH docs2 AS (
+      SELECT doc_id,
+             substr(text, 1, 200) || chr(10) || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'ok'
+                  ELSE 'click here menu navigation links copyright page' END
+             || chr(10) || chr(10) ||
+             'the be to of and that have with' || chr(10) || chr(10) ||
+             'the data table scan' || chr(10) || chr(10) ||
+             substr(text, 201, 160) AS text2
+      FROM documents),
+    paras AS (
+      SELECT doc_id AS id,
+             unnest(range(len(l))) AS idx,
+             unnest(l) AS para
+      FROM (SELECT doc_id, regexp_split_to_array(text2, '\\n{2,}') AS l
+            FROM docs2)),
+    scored AS (
+      SELECT id, idx, len(toks) AS n_words,
+             len(list_filter(toks,
+                 x -> x IN ('the','be','to','of','and','that','have','with')
+             )) AS n_stop
+      FROM (SELECT id, idx,
+                   list_filter(regexp_split_to_array(lower(trim(para)), '\\s+'),
+                               x -> length(x) > 0) AS toks
+            FROM paras)),
+    cf AS (
+      SELECT id, idx, n_words,
+             CASE WHEN n_words < 4 THEN 'short'
+                  WHEN n_stop / n_words >= 0.32 THEN 'good'
+                  WHEN n_stop / n_words >= 0.17 THEN 'neargood'
+                  ELSE 'bad' END AS ctx_free
+      FROM scored)
+    SELECT id, idx, n_words, ctx_free,
+           CASE WHEN ctx_free IN ('good','bad') THEN ctx_free
+                WHEN lag(ctx_free) OVER w = 'good'
+                     OR lead(ctx_free) OVER w = 'good' THEN 'good'
+                ELSE 'bad' END AS cls
+    FROM cf WINDOW w AS (PARTITION BY id ORDER BY idx)
+"""

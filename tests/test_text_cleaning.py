@@ -72,3 +72,36 @@ def test_line_dedup_min_docs_threshold(spark):
     assert all(r["n_removed"] == 0 for r in strict.values())
     loose = {r["id"]: r for r in X.line_dedup(df, "id", "text", min_docs=3).collect()}
     assert all(r["clean_text"] != "x" and "x" not in r["clean_text"] for r in loose.values())
+
+
+def test_boilerplate_classify_context_rules(spark):
+    from sandcrawler_spark.operators.text import boilerplate_classify
+
+    text = "\n\n".join([
+        "the be to of and that have with",   # good (density 1.0)
+        "ok",                                 # short, prev good -> good
+        "menu copyright login register xyz",  # bad (0 stopwords)
+        "the data table scan",                # neargood (0.25), neighbors bad/short -> bad
+        "ok go",                              # short, next paragraph is neargood not good -> bad
+        "the data table scan",                # neargood, neighbors short/none -> bad
+    ])
+    df = spark.createDataFrame([(1, text)], "id long, body string")
+    rows = {r["idx"]: (r["ctx_free"], r["cls"])
+            for r in boilerplate_classify(df, "id", "body").collect()}
+    assert rows == {
+        0: ("good", "good"),
+        1: ("short", "good"),
+        2: ("bad", "bad"),
+        3: ("neargood", "bad"),
+        4: ("short", "bad"),
+        5: ("neargood", "bad"),
+    }
+
+
+def test_boilerplate_promotion_neargood_next_to_good(spark):
+    from sandcrawler_spark.operators.text import boilerplate_classify
+
+    text = "the data table scan\n\nthe be to of and that have with"
+    df = spark.createDataFrame([(7, text)], "id long, body string")
+    rows = {r["idx"]: r["cls"] for r in boilerplate_classify(df, "id", "body").collect()}
+    assert rows == {0: "good", 1: "good"}  # neargood promoted by good neighbor
