@@ -340,6 +340,13 @@ def main() -> int:
          [r"TakeOrderedAndProject", r"HashAggregate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
           r"BroadcastNestedLoop"]),
+        # boilerplate: explode + density projection + ONE keyed window
+        # — no python, no cartesian, no second shuffle
+        ("boilerplate classify: one keyed window, no python",
+         "txt_boilerplate",
+         [r"Window", r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
         # ccnet buckets: per-language percentile agg broadcast back as
         # thresholds — no global sort, no window over the corpus. (The
         # plan's one BroadcastNestedLoop is unigram_nll's 1-row scalar
