@@ -308,3 +308,53 @@ def tei_body_stats(df: DataFrame, xml_col: str = "tei_xml") -> DataFrame:
     ``body`` struct with (status, word_count) — the word_count that
     feeds html_guess_scope (ingest_html.py:414)."""
     return df.withColumn("body", tei_body_words_udf(F.col(xml_col)))
+
+
+def _tei_affiliations(xml_text: str | None) -> list[str] | None:
+    """Raw affiliation strings from TEI header authors
+    (grobid_affiliations.py:41-52): the reference parses the TEI, takes
+    each author's structured affiliation, and keeps the unique ones
+    (json.dumps set-dedup). Here the per-author <affiliation> element
+    under analytic authors is flattened to its whitespace-normalized
+    text (the "raw affiliation string" the script exists to harvest);
+    uniqueness is preserved, output sorted (the reference's set order
+    is hash-randomized — a sorted list is the deterministic
+    equivalent)."""
+    if not xml_text:
+        return None
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return None
+    affs: set[str] = set()
+    for author in root.findall(
+        f"{_TEI_NS}teiHeader/{_TEI_NS}fileDesc/{_TEI_NS}sourceDesc/"
+        f"{_TEI_NS}biblStruct/{_TEI_NS}analytic/{_TEI_NS}author"
+    ):
+        aff = author.find(f"{_TEI_NS}affiliation")
+        if aff is None:
+            continue
+        text = " ".join(" ".join(aff.itertext()).split())
+        if text:
+            affs.add(text)
+    return sorted(affs) or None
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tei_affiliations_udf(xml_text: pd.Series) -> pd.Series:
+    return xml_text.map(_tei_affiliations)
+
+
+def tei_affiliations(
+    df: DataFrame, xml_col: str = "tei_xml", id_col: str = "sha1hex"
+) -> DataFrame:
+    """grobid_affiliations.py end-to-end over a DataFrame of
+    (sha1hex, tei_xml): one (id, affiliations) row per document that
+    has at least one author affiliation — documents with none are
+    dropped, exactly like the reference's ``if affiliations:`` print
+    gate (:49-53). Arrow-batched single pass, no shuffle."""
+    out = df.select(
+        F.col(id_col).alias("sha1hex"),
+        tei_affiliations_udf(F.col(xml_col)).alias("affiliations"),
+    )
+    return out.where(F.size("affiliations") > 0)

@@ -1,12 +1,13 @@
 from sandcrawler_spark.queries.battery import ORACLES, QUERIES, flagship  # noqa: F401
 from sandcrawler_spark.queries.filesets import ORACLES3, QUERIES3
+from sandcrawler_spark.queries.imports import ORACLES7, QUERIES7
 from sandcrawler_spark.queries.intake import ORACLES6, QUERIES6
 from sandcrawler_spark.queries.refs import ORACLES4, QUERIES4
 from sandcrawler_spark.queries.reporting import ORACLES5, QUERIES5
 from sandcrawler_spark.queries.training import ORACLES2, QUERIES2
 
-QUERIES = {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6}
-ORACLES = {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6}
+QUERIES = {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5, **QUERIES6, **QUERIES7}
+ORACLES = {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5, **ORACLES6, **ORACLES7}
 
 # The driver's correctness gate samples registry entries in dict order
 # (CORRECTNESS_r02 recorded exactly the first 50 of 57). Order the

@@ -1,0 +1,316 @@
+"""Import-preparation battery (operators/imports.py + the TEI
+affiliation harvest): deterministic fixtures synthesized from the
+TPC-H tables, each with a DuckDB oracle that REPLAYS the transform
+semantics (gates, or_none normalization, two-tier join funnel, year
+parse, set-dedup) rather than echoing the fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators import imports as imp
+from sandcrawler_spark.operators import tei
+from sandcrawler_spark.queries.battery import _t
+
+_CITES_T = (
+    "array<struct<id:string,title:string,date:string,volume:string,"
+    "url:string,issue:string,publisher:string,"
+    "authors:array<struct<name:string>>>>"
+)
+
+
+def im_grobid_releases(spark, sf_dir):
+    """import_grobid_metadata.py end-to-end: title gate (empty and
+    null arms), 4096-char abstract cap, contrib flattening, citation
+    refs with the [:4]-year parse (one unparseable arm), per-ref
+    extras with truthiness gates, release_date from a bare year, and
+    the lowercased-DOI / container_name / is_longtail_oa extra."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    title = (
+        F.when(k % 13 == 0, F.lit(""))
+        .when(k % 13 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("  Title "), ks, F.lit("  ")))
+    )
+    abstract = (
+        F.when(k % 5 == 0, F.concat(F.lit("Abs "), ks))
+        .when(k % 5 == 1, F.repeat(F.lit("x"), 5000))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    authors = (
+        F.when(k % 3 == 0, F.array(F.concat(F.lit("A"), ks), F.concat(F.lit("B"), ks)))
+        .when(k % 3 == 1, F.array().cast("array<string>"))
+        .otherwise(F.lit(None).cast("array<string>"))
+    )
+    ref1 = F.struct(
+        F.lit("c1").alias("id"),
+        F.concat(F.lit(" T"), ks, F.lit(" ")).alias("title"),
+        F.lit("2019-05").alias("date"),
+        F.lit("7").alias("volume"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit("").alias("issue"),
+        F.lit(None).cast("string").alias("publisher"),
+        F.array(
+            F.struct(F.lit("N1").alias("name")), F.struct(F.lit("N2").alias("name"))
+        ).alias("authors"),
+    )
+    ref2 = F.struct(
+        F.lit("c2").alias("id"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit("abcd").alias("date"),
+        F.lit(None).cast("string").alias("volume"),
+        F.concat(F.lit("http://r"), ks).alias("url"),
+        F.lit(None).cast("string").alias("issue"),
+        F.lit(None).cast("string").alias("publisher"),
+        F.lit(None).cast("array<struct<name:string>>").alias("authors"),
+    )
+    cites = (
+        F.when(k % 6 == 0, F.array(ref1, ref2))
+        .when(k % 6 == 1, F.array().cast(_CITES_T))
+        .otherwise(F.lit(None).cast(_CITES_T))
+    )
+    journal = F.struct(
+        F.when(k % 7 != 0, F.concat(F.lit("J"), (k % 20).cast("string"))).alias("name"),
+        F.when(k % 2 == 0, F.lit("Pub")).alias("publisher"),
+        F.when(k % 4 == 0, F.lit("9")).alias("volume"),
+        F.lit(None).cast("string").alias("issue"),
+    )
+    src = p.select(
+        title.alias("title"),
+        abstract.alias("abstract"),
+        authors.alias("authors"),
+        F.when(k % 4 == 0, (1990 + k % 30).cast("int")).alias("date"),
+        F.when(k % 2 == 0, F.concat(F.lit("10.5/G"), ks)).alias("doi"),
+        journal.alias("journal"),
+        cites.alias("citations"),
+    )
+    out = imp.grobid_import_releases(src)
+    r1 = F.try_element_at(F.col("refs"), F.lit(1))
+    return out.select(
+        # every surviving row's title is 'Title <k>' — recover the key
+        F.regexp_extract("title", r"Title (\d+)", 1).cast("int").alias("k"),
+        "title",
+        F.try_element_at("contrib_names", F.lit(1)).alias("contrib1"),
+        F.size("contrib_names").alias("n_contribs"),
+        "publisher",
+        "volume",
+        "abstract_content",
+        "release_type",
+        "release_year",
+        "release_date",
+        F.size("refs").alias("n_refs"),
+        r1["key"].alias("ref1_key"),
+        r1["title"].alias("ref1_title"),
+        r1["year"].alias("ref1_year"),
+        r1["extra_volume"].alias("ref1_volume"),
+        r1["extra_issue"].alias("ref1_issue"),
+        r1["extra_authors"].alias("ref1_authors"),
+        "extra_doi",
+        "extra_container_name",
+        "is_longtail_oa",
+    )
+
+
+def im_manifest_matches(spark, sf_dir):
+    """manifest_converter.py end-to-end: ≥1-DOI and ≥1-URL inner
+    gates, or_none('', '\\N', '-') on mimetype/size/md5, bigint size
+    cast, sorted doi list and index-aligned cdx url/dt lists."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 6000)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    files_meta = o.select(
+        F.concat(F.lit("S"), ks).alias("sha1"),
+        F.when(k % 4 == 0, F.lit("application/pdf"))
+        .when(k % 4 == 1, F.lit(""))
+        .when(k % 4 == 2, F.lit("\\N"))
+        .otherwise(F.lit("-"))
+        .alias("mimetype"),
+        F.when(k % 3 == 0, ks).when(k % 3 == 1, F.lit("-")).alias("size_bytes"),
+        F.when(k % 5 == 0, F.md5(ks)).otherwise(F.lit("")).alias("md5"),
+    )
+    d1 = o.where(k % 2 == 0).select(
+        F.concat(F.lit("S"), ks).alias("sha1"),
+        F.concat(F.lit("10.1/b"), ks).alias("doi"),
+    )
+    d2 = o.where((k % 2 == 0) & (k % 6 == 0)).select(
+        F.concat(F.lit("S"), ks).alias("sha1"),
+        F.concat(F.lit("10.1/a"), ks).alias("doi"),
+    )
+    urls1 = o.where(k % 3 != 1).select(
+        F.concat(F.lit("S"), ks).alias("sha1"),
+        F.concat(F.lit("http://u"), ks, F.lit("/x")).alias("url"),
+        F.lit("20170801000000").alias("datetime"),
+    )
+    urls2 = o.where(k % 9 == 0).select(
+        F.concat(F.lit("S"), ks).alias("sha1"),
+        F.concat(F.lit("http://u"), ks, F.lit("/a")).alias("url"),
+        F.lit("20170901000000").alias("datetime"),
+    )
+    return imp.manifest_matches(
+        files_meta, d1.unionByName(d2), urls1.unionByName(urls2)
+    )
+
+
+def im_cdx_sha1hex(spark, sf_dir):
+    """fetch_cdx_sha1hex.py end-to-end: db short-circuit, wayback URL
+    parse (bad-timestamp and non-wayback arms), original-URL dedup,
+    api match on (url, sha1hex), and the 4-status funnel."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    sha = F.md5(ks)
+    wb = F.concat(
+        F.lit("https://web.archive.org/web/20190101000000/http://orig"),
+        ks,
+        F.lit("/p"),
+    )
+    bad_wb = F.lit("https://web.archive.org/web/*/http://star")
+    plain = F.concat(F.lit("http://plain"), ks)
+    urls = F.when(k % 5 == 0, F.array(plain, bad_wb)).otherwise(
+        F.array(wb, bad_wb, plain, wb)  # dup wayback → distinct originals
+    )
+    entities = c.select(sha.alias("sha1hex"), urls.alias("urls"))
+    cdx_db = c.where(k % 7 == 0).select(
+        sha.alias("sha1hex"),
+        F.concat(F.lit("http://db"), ks).alias("url"),
+        F.lit("20180101000000").alias("dt"),
+    )
+    api_match = c.where(k % 3 == 0).select(
+        F.concat(F.lit("http://orig"), ks, F.lit("/p")).alias("url"),
+        sha.alias("sha1hex"),
+        F.lit("20190101000000").alias("dt"),
+    )
+    api_wrong_digest = c.where(k % 3 == 1).select(
+        F.concat(F.lit("http://orig"), ks, F.lit("/p")).alias("url"),
+        F.lit("0000deadbeef").alias("sha1hex"),
+        F.lit("20190101000000").alias("dt"),
+    )
+    return imp.cdx_sha1hex_resolve(
+        entities, cdx_db, api_match.unionByName(api_wrong_digest)
+    )
+
+
+def bib_tei_affiliations(spark, sf_dir):
+    """grobid_affiliations.py end-to-end: per-author <affiliation>
+    harvest with whitespace-normalized raw strings, set-dedup (two
+    authors sharing one affiliation collapse), docs with no
+    affiliation (or unparseable XML) dropped."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    aff1 = F.concat(
+        F.lit("<affiliation><orgName>Org "),
+        (k % 25).cast("string"),
+        F.lit("</orgName> <country>C</country></affiliation>"),
+    )
+    aff2 = F.when(k % 3 == 0, aff1).when(
+        k % 3 == 1,
+        F.concat(F.lit("<affiliation><orgName>Lab "), ks, F.lit("</orgName></affiliation>")),
+    ).otherwise(F.lit(""))
+    author1 = F.when(k % 11 == 0, F.lit("<author><persName><surname>X</surname></persName></author>")).otherwise(
+        F.concat(F.lit("<author><persName><surname>A</surname></persName>"), aff1, F.lit("</author>"))
+    )
+    author2 = F.when(k % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<author><persName><surname>B</surname></persName>"), aff2, F.lit("</author>"))
+    )
+    xml = F.when(k % 19 == 0, F.lit("<TEI><broken")).otherwise(
+        F.concat(
+            F.lit('<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+                  "<sourceDesc><biblStruct><analytic>"),
+            author1,
+            author2,
+            F.lit("</analytic></biblStruct></sourceDesc></fileDesc></teiHeader></TEI>"),
+        )
+    )
+    src = p.select(F.md5(ks).alias("sha1hex"), xml.alias("tei_xml"), k.alias("k"))
+    out = tei.tei_affiliations(src, xml_col="tei_xml", id_col="sha1hex")
+    return src.select("sha1hex", "k").join(out, "sha1hex").select(
+        "k", "sha1hex", "affiliations"
+    )
+
+
+QUERIES7 = {
+    "im_grobid_releases": im_grobid_releases,
+    "im_manifest_matches": im_manifest_matches,
+    "im_cdx_sha1hex": im_cdx_sha1hex,
+    "bib_tei_affiliations": bib_tei_affiliations,
+}
+
+ORACLES7 = {
+    "im_grobid_releases": """
+WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 13 >= 2)
+SELECT k,
+  'Title ' || CAST(k AS VARCHAR) AS title,
+  CASE WHEN k % 3 = 0 THEN 'A' || CAST(k AS VARCHAR) END AS contrib1,
+  CASE WHEN k % 3 = 0 THEN 2 ELSE 0 END AS n_contribs,
+  CASE WHEN k % 2 = 0 THEN 'Pub' END AS publisher,
+  CASE WHEN k % 4 = 0 THEN '9' END AS volume,
+  CASE WHEN k % 5 = 0 THEN 'Abs ' || CAST(k AS VARCHAR) END AS abstract_content,
+  'journal-article' AS release_type,
+  CASE WHEN k % 4 = 0 THEN 1990 + k % 30 END AS release_year,
+  CASE WHEN k % 4 = 0 THEN make_date(1990 + k % 30, 1, 1) END AS release_date,
+  CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END AS n_refs,
+  CASE WHEN k % 6 = 0 THEN 'c1' END AS ref1_key,
+  CASE WHEN k % 6 = 0 THEN 'T' || CAST(k AS VARCHAR) END AS ref1_title,
+  CASE WHEN k % 6 = 0 THEN 2019 END AS ref1_year,
+  CASE WHEN k % 6 = 0 THEN '7' END AS ref1_volume,
+  CAST(NULL AS VARCHAR) AS ref1_issue,
+  CASE WHEN k % 6 = 0 THEN ['N1', 'N2'] END AS ref1_authors,
+  CASE WHEN k % 2 = 0 THEN '10.5/g' || CAST(k AS VARCHAR) END AS extra_doi,
+  CASE WHEN k % 7 != 0 THEN 'J' || CAST(k % 20 AS VARCHAR) END AS extra_container_name,
+  TRUE AS is_longtail_oa
+FROM p
+""",
+    "im_manifest_matches": """
+WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 6000),
+kept AS (SELECT k FROM o WHERE k % 2 = 0 AND k % 3 != 1)
+SELECT 'S' || CAST(k AS VARCHAR) AS sha1,
+  CASE WHEN k % 4 = 0 THEN 'application/pdf' END AS mimetype,
+  CASE WHEN k % 3 = 0 THEN CAST(k AS BIGINT) END AS size,
+  CASE WHEN k % 5 = 0 THEN md5(CAST(k AS VARCHAR)) END AS md5,
+  CASE WHEN k % 6 = 0
+       THEN ['10.1/a' || CAST(k AS VARCHAR), '10.1/b' || CAST(k AS VARCHAR)]
+       ELSE ['10.1/b' || CAST(k AS VARCHAR)] END AS dois,
+  CASE WHEN k % 9 = 0
+       THEN ['http://u' || CAST(k AS VARCHAR) || '/a',
+             'http://u' || CAST(k AS VARCHAR) || '/x']
+       ELSE ['http://u' || CAST(k AS VARCHAR) || '/x'] END AS cdx_urls,
+  CASE WHEN k % 9 = 0
+       THEN ['20170901000000', '20170801000000']
+       ELSE ['20170801000000'] END AS cdx_dts
+FROM kept
+""",
+    "im_cdx_sha1hex": """
+WITH c AS (SELECT c_custkey AS k FROM customer)
+SELECT md5(CAST(k AS VARCHAR)) AS sha1hex,
+  CASE
+    WHEN k % 7 = 0 THEN 'success-db'
+    WHEN k % 5 = 0 THEN 'skip-no-urls'
+    WHEN k % 3 = 0 THEN 'success-api'
+    ELSE 'fail-not-found' END AS status,
+  CAST(CASE
+    WHEN k % 7 = 0 THEN 1
+    WHEN k % 5 != 0 AND k % 3 = 0 THEN 1
+    ELSE 0 END AS BIGINT) AS n_cdx_rows,
+  CASE
+    WHEN k % 7 = 0 THEN ['http://db' || CAST(k AS VARCHAR)]
+    WHEN k % 5 != 0 AND k % 3 = 0
+      THEN ['http://orig' || CAST(k AS VARCHAR) || '/p']
+    ELSE CAST([] AS VARCHAR[]) END AS found_urls
+FROM c
+""",
+    "bib_tei_affiliations": """
+WITH p AS (
+  SELECT p_partkey AS k FROM part
+  WHERE p_partkey % 19 != 0 AND p_partkey % 11 != 0
+)
+SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
+  CASE k % 3
+    WHEN 0 THEN ['Org ' || CAST(k % 25 AS VARCHAR) || ' C']
+    WHEN 1 THEN list_sort(['Org ' || CAST(k % 25 AS VARCHAR) || ' C',
+                           'Lab ' || CAST(k AS VARCHAR)])
+    ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
+FROM p
+""",
+}
