@@ -230,11 +230,58 @@ def bib_tei_affiliations(spark, sf_dir):
     )
 
 
+def cdx_revisit_resolve(spark, sf_dir):
+    """ia.py:531-568 one-hop revisit resolution end-to-end: the
+    refers_to dt normalization (14-digit, ISO-seconds, ISO-Z and
+    nanosecond-Z arms), missing-ref / bad-dt / not-found / loop
+    failure statuses, and the one-hop passthrough for originals.
+    customer keys are dense, so k-1/k-3 targets always exist."""
+    from sandcrawler_spark.sources.cdx import resolve_revisits
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    url_of = lambda col: F.concat(F.lit("http://o.org/"), col.cast("string"))
+    is_rev = k % 3 == 0
+    m = k % 15
+    ref_url = (
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 3, url_of(k - 1))
+        .when(m == 6, F.concat(F.lit("http://nowhere.org/"), ks))
+        .when(m == 9, url_of(k - 3))
+        .when(m == 12, url_of(k - 1))
+    )
+    ref_dt = (
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 3, F.lit("20XX0101000000"))
+        .otherwise(
+            F.when(k % 4 == 0, F.lit("20190101000000"))
+            .when(k % 4 == 1, F.lit("2019-01-01T00:00:00"))
+            .when(k % 4 == 2, F.lit("2019-01-01T00:00:00Z"))
+            .otherwise(F.lit("2019-01-01T00:00:00.173133737Z"))
+        )
+    )
+    captures = c.select(
+        k.alias("k"),
+        url_of(k).alias("url"),
+        F.lit("20190101000000").alias("dt"),
+        F.when(is_rev, F.lit("warc/revisit")).otherwise(F.lit("application/pdf")).alias("mimetype"),
+        F.md5(ks).alias("sha1hex"),
+        F.when(is_rev, ref_url).alias("refers_to_url"),
+        F.when(is_rev, ref_dt).alias("refers_to_dt"),
+    )
+    return resolve_revisits(captures).select(
+        "k", "url", "mimetype", "resolve_status",
+        "resolved_url", "resolved_dt", "resolved_sha1hex",
+    )
+
+
 QUERIES7 = {
     "im_grobid_releases": im_grobid_releases,
     "im_manifest_matches": im_manifest_matches,
     "im_cdx_sha1hex": im_cdx_sha1hex,
     "bib_tei_affiliations": bib_tei_affiliations,
+    "cdx_revisit_resolve": cdx_revisit_resolve,
 }
 
 ORACLES7 = {
@@ -312,5 +359,30 @@ SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
                            'Lab ' || CAST(k AS VARCHAR)])
     ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
 FROM p
+""",
+    "cdx_revisit_resolve": """
+WITH c AS (SELECT c_custkey AS k FROM customer)
+SELECT k,
+  'http://o.org/' || CAST(k AS VARCHAR) AS url,
+  CASE WHEN k % 3 = 0 THEN 'warc/revisit' ELSE 'application/pdf' END AS mimetype,
+  CASE
+    WHEN k % 3 != 0 THEN 'original'
+    WHEN k % 15 = 0 THEN 'revisit-missing-ref'
+    WHEN k % 15 = 3 THEN 'revisit-bad-dt'
+    WHEN k % 15 = 6 THEN 'revisit-not-found'
+    WHEN k % 15 = 9 THEN 'revisit-loop'
+    ELSE 'resolved' END AS resolve_status,
+  CASE
+    WHEN k % 3 != 0 THEN 'http://o.org/' || CAST(k AS VARCHAR)
+    WHEN k % 15 = 12 THEN 'http://o.org/' || CAST(k - 1 AS VARCHAR)
+    END AS resolved_url,
+  CASE
+    WHEN k % 3 != 0 OR k % 15 = 12 THEN '20190101000000'
+    END AS resolved_dt,
+  CASE
+    WHEN k % 3 != 0 THEN md5(CAST(k AS VARCHAR))
+    WHEN k % 15 = 12 THEN md5(CAST(k - 1 AS VARCHAR))
+    END AS resolved_sha1hex
+FROM c
 """,
 }

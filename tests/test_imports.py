@@ -183,3 +183,74 @@ def test_tei_affiliations(spark):
     rows = {r.sha1hex: r for r in tei.tei_affiliations(df).collect()}
     assert set(rows) == {"s1"}
     assert rows["s1"].affiliations == ["ETH", "MIT US"]
+
+
+# ---------------------------------------------------------- revisits
+
+from sandcrawler_spark.sources.cdx import resolve_revisits
+
+CAP_SCHEMA = (
+    "url string, dt string, mimetype string, sha1hex string, "
+    "refers_to_url string, refers_to_dt string"
+)
+
+
+def _caps(spark, rows):
+    df = spark.createDataFrame(rows, CAP_SCHEMA)
+    return {(r.url, r.dt): r for r in resolve_revisits(df).collect()}
+
+
+def test_revisit_resolution_statuses(spark):
+    rows = [
+        ("http://a/1", "20200101000000", "application/pdf", "s1", None, None),
+        # resolved: ISO-Z nanosecond dt normalizes to the original's dt
+        ("http://a/1", "20200202000000", "warc/revisit", "rv1",
+         "http://a/1", "2020-01-01T00:00:00.999999999Z"),
+        # missing ref
+        ("http://a/2", "20200101000000", "warc/revisit", "rv2", None, "20200101000000"),
+        # bad dt (unparseable after strip)
+        ("http://a/3", "20200101000000", "warc/revisit", "rv3", "http://a/1", "junk"),
+        # not found
+        ("http://a/4", "20200101000000", "warc/revisit", "rv4",
+         "http://gone/x", "20200101000000"),
+        # loop: points at another revisit
+        ("http://a/5", "20200101000000", "warc/revisit", "rv5",
+         "http://a/1", "20200202000000"),
+    ]
+    out = _caps(spark, rows)
+    orig = out[("http://a/1", "20200101000000")]
+    assert orig.resolve_status == "original"
+    assert (orig.resolved_url, orig.resolved_sha1hex) == ("http://a/1", "s1")
+    ok = out[("http://a/1", "20200202000000")]
+    assert ok.resolve_status == "resolved"
+    assert ok.resolved_dt == "20200101000000"
+    assert ok.resolved_sha1hex == "s1"
+    assert out[("http://a/2", "20200101000000")].resolve_status == "revisit-missing-ref"
+    assert out[("http://a/3", "20200101000000")].resolve_status == "revisit-bad-dt"
+    assert out[("http://a/4", "20200101000000")].resolve_status == "revisit-not-found"
+    loop = out[("http://a/5", "20200101000000")]
+    assert loop.resolve_status == "revisit-loop"
+    assert loop.resolved_sha1hex is None  # one hop only, never chained
+
+
+def test_revisit_dt_forms(spark):
+    # all four reference-contract forms resolve; 21+-char non-Z does not
+    forms_ok = [
+        "20200101000000",
+        "2020-01-01T00:00:00",
+        "2020-01-01T00:00:00Z",
+        "2020-01-01T00:00:00.173133737Z",
+    ]
+    rows = [("http://t/0", "20200101000000", "application/pdf", "s", None, None)]
+    for i, f in enumerate(forms_ok):
+        rows.append(
+            (f"http://r/{i}", "20200101000000", "warc/revisit", f"r{i}", "http://t/0", f)
+        )
+    rows.append(
+        ("http://r/bad", "20200101000000", "warc/revisit", "rb",
+         "http://t/0", "2020-01-01 00:00:00.173")  # >20 chars, no trailing Z
+    )
+    out = _caps(spark, rows)
+    for i in range(len(forms_ok)):
+        assert out[(f"http://r/{i}", "20200101000000")].resolve_status == "resolved", i
+    assert out[("http://r/bad", "20200101000000")].resolve_status == "revisit-bad-dt"
