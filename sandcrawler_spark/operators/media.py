@@ -559,3 +559,140 @@ def pdftrio_persist_rows(
         .select("sha1hex", "r.*")
     )
     return pdftrio, file_meta
+
+
+PDF_EXTRACT_SCHEMA = (
+    "doc_id string, status string, md5hex string, page_count int, "
+    "has_page0_thumbnail boolean, text_len int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def fake_pdf_pages(blob: bytes) -> list[str]:
+    """Deterministic stub page texts: page count = 1 + len % 4, each
+    page's text derived from the content md5 — the fake twin of
+    poppler's per-page ``page.text()`` loop (pdfextract.py:377-381)."""
+    h = hashlib.md5(blob).hexdigest()
+    n = 1 + len(blob) % 4
+    return [f"page {i} of {n} [{h[:8]}] " for i in range(n)]
+
+
+def pdf_extract_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "blob",
+    bad_pdf_md5: list[str] | None = None,
+    max_text_chars: int = 1_000_000,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """PDF text + page-0 thumbnail extraction → interleaved spans
+    (pdfextract.py:296-444 ``process_pdf``), the PDF modality of the
+    interleaved text+media document model.
+
+    Decision spine mirrored, each gate at its reference line:
+    mimetype sniff != pdf → 'not-pdf' (:309-315, via the JVM-side
+    magic-byte sniff, so non-PDFs never reach Python); content hash in
+    the known-bad denylist → 'bad-pdf' (:317-323, BAD_PDF_SHA1HEX —
+    md5 here, sha1 has no DuckDB twin); unloadable → 'empty-pdf'
+    (:327-334, stubbed as len < 8); page-0 thumbnail is BEST-EFFORT —
+    a render failure nulls the thumbnail but the doc still succeeds
+    (:356-371); concatenated page text > cap → 'text-too-large'
+    (:389-394, default 1,000,000 chars); else 'success'.
+
+    Success rows carry the interleave: span 0 is the page-0 thumbnail
+    (kind='image', media_ref='thumb:<md5[:16]>', offset 0) when
+    rendered, then one kind='text' span per page at its cumulative
+    char offset in the reference's concatenated full_text — exactly
+    the (kind, text, media_ref, offset) span contract, so
+    span-sequence equality checks apply to PDFs like any other doc.
+
+    Codec honesty: ``fake_decode=True`` uses :func:`fake_pdf_pages`
+    (deterministic from content); False raises — poppler isn't in this
+    container, the distributed plumbing is what's real here.
+
+    Scale shape: the three cheap gates are pure Catalyst (sniff +
+    isin + length), so only sniffed-PDF rows cross into the
+    Arrow-batched ``mapInPandas``; one pass, no shuffle, 1→1 rows with
+    bounded span fan-out per row."""
+    bad = [b.lower() for b in (bad_pdf_md5 or [])]
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(binary_col).alias("blob"),
+        sniff_container_col(F.col(binary_col)).alias("_mime"),
+        F.lower(F.md5(F.col(binary_col))).alias("md5hex"),
+    )
+    null_spans = F.lit(None).cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+
+    def reject(cond, status):
+        return src.where(cond).select(
+            "doc_id",
+            F.lit(status).alias("status"),
+            "md5hex",
+            F.lit(None).cast("int").alias("page_count"),
+            F.lit(None).cast("boolean").alias("has_page0_thumbnail"),
+            F.lit(None).cast("int").alias("text_len"),
+            null_spans.alias("spans"),
+        )
+
+    is_pdf = F.col("_mime") == "application/pdf"
+    is_bad = F.col("md5hex").isin(bad) if bad else F.lit(False)
+    is_empty = F.length("blob") < 8
+    not_pdf = reject(~is_pdf, "not-pdf")
+    bad_rows = reject(is_pdf & is_bad, "bad-pdf")
+    empty = reject(is_pdf & ~is_bad & is_empty, "empty-pdf")
+    live = src.where(is_pdf & ~is_bad & ~is_empty)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b, md5hex in zip(pdf["doc_id"], pdf["blob"], pdf["md5hex"]):
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "pdf codecs not available in this environment"
+                    )
+                blob = bytes(b)
+                pages = fake_pdf_pages(blob)
+                text_len = sum(len(p) for p in pages)
+                if text_len > max_text_chars:
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, status="text-too-large", md5hex=md5hex,
+                            page_count=None, has_page0_thumbnail=None,
+                            text_len=text_len, spans=None,
+                        )
+                    )
+                    continue
+                # thumbnail render is best-effort; the fake's failure
+                # arm (len % 7 == 0) models :367-371's None fallback
+                has_thumb = len(blob) % 7 != 0
+                spans = []
+                if has_thumb:
+                    spans.append(
+                        dict(kind="image", text=None,
+                             media_ref=f"thumb:{md5hex[:16]}", offset=0)
+                    )
+                off = 0
+                for p in pages:
+                    spans.append(
+                        dict(kind="text", text=p, media_ref=None, offset=off)
+                    )
+                    off += len(p)
+                rows.append(
+                    dict(
+                        doc_id=doc_id, status="success", md5hex=md5hex,
+                        page_count=len(pages), has_page0_thumbnail=has_thumb,
+                        text_len=text_len, spans=spans,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "md5hex", "page_count",
+                    "has_page0_thumbnail", "text_len", "spans",
+                ],
+            )
+
+    extracted = live.mapInPandas(extract, schema=PDF_EXTRACT_SCHEMA)
+    return extracted.unionByName(not_pdf).unionByName(bad_rows).unionByName(empty)

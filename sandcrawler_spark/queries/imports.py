@@ -276,12 +276,54 @@ def cdx_revisit_resolve(spark, sf_dir):
     )
 
 
+def med_pdf_spans(spark, sf_dir):
+    """pdfextract.py process_pdf end-to-end with the stub codec: the
+    not-pdf / bad-pdf / empty-pdf / text-too-large decision spine plus
+    the success interleave (page-0 thumbnail image span at offset 0,
+    per-page text spans at cumulative char offsets). The fake codec is
+    closed-form in the blob (page_count = 1 + len % 4, thumbnail fails
+    when len % 7 == 0, page text carries md5[:8]), so DuckDB replays
+    the whole span sequence."""
+    import hashlib
+
+    from sandcrawler_spark.operators.media import pdf_extract_spans
+
+    bad_md5 = hashlib.md5(b"%PDF-1.4 BADDOC").hexdigest()
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    blob_s = (
+        F.when(k % 11 == 0, F.concat(F.lit("hello world "), ks))
+        .when(k % 13 == 0, F.lit("%PDF-1.4 BADDOC"))
+        .when(k % 17 == 0, F.lit("%PDF"))
+        .otherwise(F.concat(F.lit("%PDF-1.4 "), F.repeat(F.lit("x"), (k % 29).cast("int"))))
+    )
+    src = c.select(ks.alias("doc_id"), blob_s.cast("binary").alias("blob"))
+    out = pdf_extract_spans(
+        src, bad_pdf_md5=[bad_md5], max_text_chars=70, fake_decode=True
+    )
+    s = F.col("s")
+    return out.select(
+        F.col("doc_id").cast("int").alias("k"),
+        "status",
+        "page_count",
+        "has_page0_thumbnail",
+        "text_len",
+        F.posexplode_outer("spans").alias("seq", "s"),
+    ).select(
+        "k", "status", "page_count", "has_page0_thumbnail", "text_len",
+        "seq", s["kind"].alias("kind"), s["text"].alias("text"),
+        s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+    )
+
+
 QUERIES7 = {
     "im_grobid_releases": im_grobid_releases,
     "im_manifest_matches": im_manifest_matches,
     "im_cdx_sha1hex": im_cdx_sha1hex,
     "bib_tei_affiliations": bib_tei_affiliations,
     "cdx_revisit_resolve": cdx_revisit_resolve,
+    "med_pdf_spans": med_pdf_spans,
 }
 
 ORACLES7 = {
@@ -359,6 +401,65 @@ SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
                            'Lab ' || CAST(k AS VARCHAR)])
     ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
 FROM p
+""",
+    "med_pdf_spans": """
+WITH c AS (SELECT c_custkey AS k FROM customer),
+cls AS (
+  SELECT k,
+    CASE WHEN k % 11 = 0 THEN 'not-pdf'
+         WHEN k % 13 = 0 THEN 'bad-pdf'
+         WHEN k % 17 = 0 THEN 'empty-pdf'
+         ELSE 'live' END AS arm,
+    9 + (k % 29) AS len
+  FROM c
+),
+live AS (
+  SELECT k, len, CAST(1 + len % 4 AS INT) AS n,
+    md5('%PDF-1.4 ' || repeat('x', CAST(k % 29 AS INT))) AS h,
+    (len % 7 != 0) AS thumb
+  FROM cls WHERE arm = 'live'
+),
+succ AS (SELECT * FROM live WHERE 23 * n <= 70),
+rejects AS (
+  SELECT k, arm AS status, CAST(NULL AS INT) AS page_count,
+    CAST(NULL AS BOOLEAN) AS has_page0_thumbnail, CAST(NULL AS INT) AS text_len,
+    CAST(NULL AS INT) AS seq, CAST(NULL AS VARCHAR) AS kind,
+    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+    CAST(NULL AS INT) AS "offset"
+  FROM cls WHERE arm != 'live'
+),
+toolarge AS (
+  SELECT k, 'text-too-large' AS status, CAST(NULL AS INT) AS page_count,
+    CAST(NULL AS BOOLEAN) AS has_page0_thumbnail, CAST(23 * n AS INT) AS text_len,
+    CAST(NULL AS INT) AS seq, CAST(NULL AS VARCHAR) AS kind,
+    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS media_ref,
+    CAST(NULL AS INT) AS "offset"
+  FROM live WHERE 23 * n > 70
+),
+img AS (
+  SELECT k, 'success' AS status, n AS page_count, thumb AS has_page0_thumbnail,
+    CAST(23 * n AS INT) AS text_len, CAST(0 AS INT) AS seq, 'image' AS kind,
+    CAST(NULL AS VARCHAR) AS text,
+    'thumb:' || substr(h, 1, 16) AS media_ref, CAST(0 AS INT) AS "offset"
+  FROM succ WHERE thumb
+),
+page_i AS (
+  SELECT k, n, thumb, h, unnest(range(n)) AS i FROM succ
+),
+pages AS (
+  SELECT k, 'success' AS status, n AS page_count, thumb AS has_page0_thumbnail,
+    CAST(23 * n AS INT) AS text_len,
+    CAST((CASE WHEN thumb THEN 1 ELSE 0 END) + i AS INT) AS seq,
+    'text' AS kind,
+    'page ' || CAST(i AS VARCHAR) || ' of ' || CAST(n AS VARCHAR)
+      || ' [' || substr(h, 1, 8) || '] ' AS text,
+    CAST(NULL AS VARCHAR) AS media_ref, CAST(23 * i AS INT) AS "offset"
+  FROM page_i
+)
+SELECT * FROM rejects
+UNION ALL SELECT * FROM toolarge
+UNION ALL SELECT * FROM img
+UNION ALL SELECT * FROM pages
 """,
     "cdx_revisit_resolve": """
 WITH c AS (SELECT c_custkey AS k FROM customer)

@@ -515,3 +515,63 @@ def test_pdftrio_persist_rows_reference_semantics(spark):
     f = {r["sha1hex"]: r.asDict() for r in fmeta.collect()}
     assert set(f) == {"k3"}
     assert f["k3"]["size_bytes"] == 1234 and f["k3"]["md5hex"] == "c" * 32
+
+
+# ------------------------------------------------------- pdf spans
+
+def test_pdf_extract_spans_spine_and_interleave(spark):
+    import hashlib
+
+    from sandcrawler_spark.operators.media import (
+        fake_pdf_pages,
+        pdf_extract_spans,
+    )
+
+    good = b"%PDF-1.4 " + b"x" * 13  # len 22: pages=1+22%4=3, thumb: 22%7=1 ok
+    nothumb = b"%PDF-1.4 " + b"x" * 12  # len 21 % 7 == 0 → render fails
+    bad = b"%PDF-1.4 BADDOC"
+    rows = [
+        ("g", bytearray(good)),
+        ("t", bytearray(nothumb)),
+        ("n", bytearray(b"plain text here")),
+        ("b", bytearray(bad)),
+        ("e", bytearray(b"%PDF")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, blob binary")
+    out = {
+        r.doc_id: r
+        for r in pdf_extract_spans(
+            df,
+            bad_pdf_md5=[hashlib.md5(bad).hexdigest()],
+            max_text_chars=1000,
+        ).collect()
+    }
+    assert out["n"].status == "not-pdf" and out["n"].spans is None
+    assert out["b"].status == "bad-pdf"
+    assert out["e"].status == "empty-pdf"
+    g = out["g"]
+    assert g.status == "success" and g.page_count == 3
+    assert g.has_page0_thumbnail is True
+    # interleave contract: image span first at offset 0, then text
+    # spans at cumulative char offsets
+    assert [s.kind for s in g.spans] == ["image", "text", "text", "text"]
+    assert g.spans[0].offset == 0 and g.spans[0].media_ref.startswith("thumb:")
+    texts = fake_pdf_pages(good)
+    offs = [0, len(texts[0]), len(texts[0]) + len(texts[1])]
+    assert [s.offset for s in g.spans[1:]] == offs
+    assert [s.text for s in g.spans[1:]] == texts
+    assert g.text_len == sum(len(t) for t in texts)
+    t = out["t"]
+    assert t.status == "success" and t.has_page0_thumbnail is False
+    assert [s.kind for s in t.spans] == ["text"] * t.page_count
+
+
+def test_pdf_extract_spans_text_too_large(spark):
+    from sandcrawler_spark.operators.media import pdf_extract_spans
+
+    df = spark.createDataFrame(
+        [("big", bytearray(b"%PDF-1.4 " + b"y" * 13))], "doc_id string, blob binary"
+    )
+    r = pdf_extract_spans(df, max_text_chars=10).collect()[0]
+    assert r.status == "text-too-large"
+    assert r.spans is None and r.text_len > 10
