@@ -356,6 +356,49 @@ def main() -> int:
          [r"BroadcastHashJoin"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"Window",
           r"CartesianProduct"]),
+        # intake converters: single-pass scan + explode projections;
+        # the only python is the Arrow-batched canonicalizer. groupworks
+        # adds its tiny per-slug contagion groups on ONE slug shuffle.
+        ("doaj intake: one-pass explode + arrow canon, no row-python",
+         "in_doaj_requests",
+         [r"Generate"],
+         [r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoop"]),
+        ("groupworks: slug-grouped contagion, no cartesian",
+         "in_groupworks",
+         [r"FlatMapGroupsInPandas"],
+         [r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoop"]),
+        # import prep: grobid release mapping is a pure projection
+        # (array transform, no shuffle, no python); manifest is two
+        # collect aggs + hash joins; the cdx funnel is equi-joins only
+        ("grobid releases: pure projection, no python, no shuffle",
+         "im_grobid_releases",
+         [r"Scan parquet"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"Exchange",
+          r"CartesianProduct"]),
+        ("manifest matches: collect aggs + hash joins, no python",
+         "im_manifest_matches",
+         [r"HashAggregate", r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        ("cdx sha1 resolve: two-tier equi-join funnel, no python",
+         "im_cdx_sha1hex",
+         [r"Join", r"Generate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        # revisit resolution: dt normalization is codegen'd string
+        # logic; the one-hop lookup is a keyed equi-join
+        ("revisit resolve: catalyst dt-normalize + equi-join, no python",
+         "cdx_revisit_resolve",
+         [r"Join"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop"]),
+        # pdf span producer: cheap gates (sniff/denylist/length) are
+        # catalyst branches unioned with ONE Arrow-batched extraction —
+        # no row-python, no cartesian, no shuffle inside the op
+        ("pdf spans: catalyst gates + arrow extraction, no row-python",
+         "med_pdf_spans",
+         [r"MapInPandas", r"Union"],
+         [r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoop"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
