@@ -610,44 +610,45 @@ def pdf_extract_spans(
     (deterministic from content); False raises — poppler isn't in this
     container, the distributed plumbing is what's real here.
 
-    Scale shape: the three cheap gates are pure Catalyst (sniff +
-    isin + length), so only sniffed-PDF rows cross into the
-    Arrow-batched ``mapInPandas``; one pass, no shuffle, 1→1 rows with
+    Scale shape: ONE scan, one Arrow pass, no shuffle. The three cheap
+    gates (sniff + denylist + length) are Catalyst expressions that
+    precompute a reject status and NULL the blob before the Arrow
+    boundary, so a rejected row ships only (id, status, md5) to Python
+    — never its bytes — and a union-of-filtered-branches (which would
+    re-scan the source once per status) is avoided; 1→1 rows with
     bounded span fan-out per row."""
     bad = [b.lower() for b in (bad_pdf_md5 or [])]
+    md5c = F.lower(F.md5(F.col(binary_col)))
+    is_pdf = sniff_container_col(F.col(binary_col)) == "application/pdf"
+    is_bad = md5c.isin(bad) if bad else F.lit(False)
+    is_empty = F.length(binary_col) < 8
+    gate = (
+        F.when(~is_pdf, F.lit("not-pdf"))
+        .when(is_bad, F.lit("bad-pdf"))
+        .when(is_empty, F.lit("empty-pdf"))
+    )
     src = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(binary_col).alias("blob"),
-        sniff_container_col(F.col(binary_col)).alias("_mime"),
-        F.lower(F.md5(F.col(binary_col))).alias("md5hex"),
+        F.when(gate.isNull(), F.col(binary_col)).alias("blob"),
+        gate.alias("_gate"),
+        md5c.alias("md5hex"),
     )
-    null_spans = F.lit(None).cast(
-        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-    )
-
-    def reject(cond, status):
-        return src.where(cond).select(
-            "doc_id",
-            F.lit(status).alias("status"),
-            "md5hex",
-            F.lit(None).cast("int").alias("page_count"),
-            F.lit(None).cast("boolean").alias("has_page0_thumbnail"),
-            F.lit(None).cast("int").alias("text_len"),
-            null_spans.alias("spans"),
-        )
-
-    is_pdf = F.col("_mime") == "application/pdf"
-    is_bad = F.col("md5hex").isin(bad) if bad else F.lit(False)
-    is_empty = F.length("blob") < 8
-    not_pdf = reject(~is_pdf, "not-pdf")
-    bad_rows = reject(is_pdf & is_bad, "bad-pdf")
-    empty = reject(is_pdf & ~is_bad & is_empty, "empty-pdf")
-    live = src.where(is_pdf & ~is_bad & ~is_empty)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, b, md5hex in zip(pdf["doc_id"], pdf["blob"], pdf["md5hex"]):
+            for doc_id, b, gate_status, md5hex in zip(
+                pdf["doc_id"], pdf["blob"], pdf["_gate"], pdf["md5hex"]
+            ):
+                if gate_status is not None:
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, status=gate_status, md5hex=md5hex,
+                            page_count=None, has_page0_thumbnail=None,
+                            text_len=None, spans=None,
+                        )
+                    )
+                    continue
                 if not fake_decode:
                     raise NotImplementedError(
                         "pdf codecs not available in this environment"
@@ -694,5 +695,4 @@ def pdf_extract_spans(
                 ],
             )
 
-    extracted = live.mapInPandas(extract, schema=PDF_EXTRACT_SCHEMA)
-    return extracted.unionByName(not_pdf).unionByName(bad_rows).unionByName(empty)
+    return src.mapInPandas(extract, schema=PDF_EXTRACT_SCHEMA)

@@ -392,13 +392,15 @@ def main() -> int:
          [r"Join"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct",
           r"BroadcastNestedLoop"]),
-        # pdf span producer: cheap gates (sniff/denylist/length) are
-        # catalyst branches unioned with ONE Arrow-batched extraction —
-        # no row-python, no cartesian, no shuffle inside the op
-        ("pdf spans: catalyst gates + arrow extraction, no row-python",
+        # pdf span producer: the gates (sniff/denylist/length) are
+        # catalyst expressions that null the blob before the Arrow
+        # boundary — ONE scan, ONE MapInPandas, no union-of-branches
+        # (which would re-scan the source once per status), no shuffle
+        ("pdf spans: one scan + one arrow pass, no union re-scan",
          "med_pdf_spans",
-         [r"MapInPandas", r"Union"],
-         [r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoop"]),
+         [r"MapInPandas"],
+         [r"Union", r"BatchEvalPython", r"CartesianProduct",
+          r"BroadcastNestedLoop", r"Exchange"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
