@@ -194,24 +194,21 @@ def resolve_revisits(captures: DataFrame) -> DataFrame:
     base = captures.withColumn(
         "_ref_dt_norm", normalize_revisit_dt(F.col("refers_to_dt"))
     )
-    originals = base.where(~is_rev).select(
-        F.col("url").alias("_t_url"),
-        F.col("dt").alias("_t_dt"),
-        F.col("sha1hex").alias("_t_sha1hex"),
-        (F.col("mimetype") == "warc/revisit").alias("_t_is_rev"),
-    )
-    targets = base.where(is_rev).select(
-        F.col("url").alias("_t_url"),
-        F.col("dt").alias("_t_dt"),
-        F.col("sha1hex").alias("_t_sha1hex"),
-        F.lit(True).alias("_t_is_rev"),
-    )
+    # every capture (original OR revisit) is a potential join target —
+    # revisit targets must be visible so the one-hop rule can flag
+    # them as 'revisit-loop'. One projection of the table, no
+    # filter-and-union double scan.
     # (url, dt) is the CDX capture key; if a malformed table carries
     # both an original and a revisit at one key, the original wins
     # (min on is_rev), then min sha1hex — deterministic, never
     # dropDuplicates' partition-order pick.
     lookup = (
-        originals.unionByName(targets)
+        base.select(
+            F.col("url").alias("_t_url"),
+            F.col("dt").alias("_t_dt"),
+            F.col("sha1hex").alias("_t_sha1hex"),
+            is_rev.alias("_t_is_rev"),
+        )
         .groupBy("_t_url", "_t_dt")
         .agg(
             F.min(
