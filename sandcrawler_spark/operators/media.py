@@ -561,7 +561,7 @@ def pdftrio_persist_rows(
     return pdftrio, file_meta
 
 
-PDF_EXTRACT_SCHEMA = (
+PDF_SPANS_SCHEMA = (
     "doc_id string, status string, md5hex string, page_count int, "
     "has_page0_thumbnail boolean, text_len int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
@@ -587,7 +587,13 @@ def pdf_extract_spans(
 ) -> DataFrame:
     """PDF text + page-0 thumbnail extraction → interleaved spans
     (pdfextract.py:296-444 ``process_pdf``), the PDF modality of the
-    interleaved text+media document model.
+    interleaved text+media document model. Complements
+    :func:`process_pdfs` (the flat one-row-per-doc result with full
+    file_meta, the persist/Kafka shape): this one emits the PER-PAGE
+    interleave — (kind, text, media_ref, offset) spans with cumulative
+    char offsets — plus the bad-pdf denylist arm (:317-323) and the
+    best-effort thumbnail failure arm (:367-371) that the flat twin
+    doesn't model.
 
     Decision spine mirrored, each gate at its reference line:
     mimetype sniff != pdf → 'not-pdf' (:309-315, via the JVM-side
@@ -695,4 +701,4 @@ def pdf_extract_spans(
                 ],
             )
 
-    return src.mapInPandas(extract, schema=PDF_EXTRACT_SCHEMA)
+    return src.mapInPandas(extract, schema=PDF_SPANS_SCHEMA)
