@@ -256,6 +256,25 @@ def in_groupworks(spark, sf_dir):
     return intake.groupworks_filter(src)
 
 
+def in_covid_requests(spark, sf_dir):
+    """covid2ingestrequest.py end-to-end: wanfang rows emit one
+    request from url; cnki rows fan out info_url + optional read_url;
+    rows with neither id fall through."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    src = s.select(
+        F.when(k % 3 == 0, F.concat(F.lit("W"), ks)).alias("wanfang_id"),
+        F.when(k % 3 == 1, F.concat(F.lit("C"), ks)).alias("cnki_id"),
+        F.concat(F.lit("http://wf.example.org/"), ks, F.lit(".pdf")).alias("url"),
+        F.concat(F.lit("http://cnki.example.org/i"), ks).alias("info_url"),
+        F.when(k % 2 == 0, F.concat(F.lit("http://cnki.example.org/r"), ks)).alias(
+            "read_url"
+        ),
+    )
+    return intake.covid_requests(src)
+
+
 QUERIES6 = {
     "in_doaj_requests": in_doaj_requests,
     "in_unpaywall_requests": in_unpaywall_requests,
@@ -263,6 +282,7 @@ QUERIES6 = {
     "in_arabesque_requests": in_arabesque_requests,
     "in_enrich_matches": in_enrich_matches,
     "in_groupworks": in_groupworks,
+    "in_covid_requests": in_covid_requests,
 }
 
 ORACLES6 = {
@@ -407,5 +427,21 @@ SELECT DISTINCT slug, fatcat_release FROM (
   UNION ALL
   SELECT slug, seed_r AS fatcat_release FROM seed WHERE NOT seed_stray
 )
+""",
+    "in_covid_requests": """
+WITH s AS (SELECT s_suppkey AS k FROM supplier)
+SELECT 'http://wf.example.org/' || CAST(k AS VARCHAR) || '.pdf' AS base_url,
+  'pdf' AS ingest_type, 'wanfang_covid19' AS link_source,
+  'W' || CAST(k AS VARCHAR) AS link_source_id,
+  'scrape-covid19' AS ingest_request_source
+FROM s WHERE k % 3 = 0
+UNION ALL
+SELECT 'http://cnki.example.org/i' || CAST(k AS VARCHAR) AS base_url,
+  'pdf', 'cnki_covid19', 'C' || CAST(k AS VARCHAR), 'scrape-covid19'
+FROM s WHERE k % 3 = 1
+UNION ALL
+SELECT 'http://cnki.example.org/r' || CAST(k AS VARCHAR) AS base_url,
+  'pdf', 'cnki_covid19', 'C' || CAST(k AS VARCHAR), 'scrape-covid19'
+FROM s WHERE k % 3 = 1 AND k % 2 = 0
 """,
 }
