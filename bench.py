@@ -77,6 +77,8 @@ HEADLINE = [
     "fs_dataset_ingest",
     "mon_broken_domains",
     "txt_ccnet_buckets",
+    "cdx_revisit_resolve",
+    "med_pdf_spans",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))
