@@ -225,10 +225,18 @@ def resolve_revisits(captures: DataFrame) -> DataFrame:
             F.col("_m.s").alias("_t_sha1hex"),
         )
     )
+    # Null-key skew guard: ~70% of rows (originals, plus revisits with
+    # missing/bad refs) carry NULL join keys, and a left join ships
+    # every null-keyed row to ONE partition at 10^11 scale. Coalescing
+    # to the row's own (url, dt) keeps the keys non-null and
+    # distributed; the resulting self-match is inert — the status
+    # when-chain decides original/missing-ref/bad-dt BEFORE it ever
+    # reads the joined columns, and resolved_* reads them only on
+    # status == 'resolved'.
     joined = base.join(
         lookup,
-        (F.col("refers_to_url") == F.col("_t_url"))
-        & (F.col("_ref_dt_norm") == F.col("_t_dt")),
+        (F.coalesce(F.col("refers_to_url"), F.col("url")) == F.col("_t_url"))
+        & (F.coalesce(F.col("_ref_dt_norm"), F.col("dt")) == F.col("_t_dt")),
         "left",
     )
     missing_ref = (
