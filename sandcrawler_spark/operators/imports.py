@@ -188,9 +188,17 @@ def cdx_sha1hex_resolve(
     explode bounded by the per-entity URL-list length; statuses are
     derived set-wise, never sequentially. The reference's 403
     short-circuit is transport-level (requests), N/A here."""
-    db_hits = cdx_db.groupBy("sha1hex").agg(
-        F.count("*").alias("n_db"),
-        F.sort_array(F.collect_set("url")).alias("db_urls"),
+    keys = file_entities.select("sha1hex").distinct()
+    # restrict the big CDX table to wanted digests BEFORE aggregating —
+    # the semi-join prunes 10^11 cdx rows down to the entity set's
+    # matches instead of shuffling the whole table through the groupBy
+    db_hits = (
+        cdx_db.join(keys, "sha1hex", "left_semi")
+        .groupBy("sha1hex")
+        .agg(
+            F.count("*").alias("n_db"),
+            F.sort_array(F.collect_set("url")).alias("db_urls"),
+        )
     )
     seg = F.split(F.col("raw_url"), "/")
     originals = (
@@ -224,8 +232,7 @@ def cdx_sha1hex_resolve(
         F.count("*").alias("n_orig")
     )
     return (
-        file_entities.select("sha1hex")
-        .distinct()
+        keys
         .join(db_hits, "sha1hex", "left")
         .join(api_hits, "sha1hex", "left")
         .join(has_originals, "sha1hex", "left")
