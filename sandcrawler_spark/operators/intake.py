@@ -509,6 +509,11 @@ def groupworks_filter(
     Arrow projection; only the tiny contagion loop runs per slug group
     (≤``max_slug_lines`` rows each) inside ``applyInPandas`` — one
     shuffle on slug, skew bounded by the line cap itself."""
+    # slug-size cap via partial-agg count + join-back, deliberately NOT
+    # a count-over-window: the whole point of this gate is that some
+    # slugs are huge, and a window would materialize the hottest slug
+    # in one task BEFORE the cap can discard it, while the groupBy
+    # count map-side-combines to one tiny row per slug.
     sizes = df.groupBy("slug").agg(F.count("*").alias("_n"))
     capped = df.join(sizes, "slug").where(F.col("_n") <= max_slug_lines).drop("_n")
     filtered = (
