@@ -76,3 +76,38 @@ def test_persistence_roundtrip(spark, tmp_path):
         .count()
     )
     assert n == 1000
+
+
+def test_corrupt_state_falls_back_to_rebuild(spark, tmp_path):
+    """Crash-recovery contract (ADVICE r2): corrupt meta JSON or a
+    meta pointing at a missing version dir must NOT raise on reopen —
+    the store discards state and reports not-ready, and one rebuild
+    restores exact membership."""
+    import json
+    import os
+    import shutil
+
+    root = str(tmp_path / "c")
+    st = BloomStore(root, num_shards=4)
+    st.update(_hashes(spark, 0, 1000), n_delta=1000, round_id=0)
+    assert st.ready_for(1)
+
+    # corrupt meta: truncated JSON (crash mid-write of a non-atomic file)
+    with open(os.path.join(root, "bloom_meta.json"), "w") as f:
+        f.write('{"num_shards": 4, "m_shard')
+    st2 = BloomStore(root, num_shards=4)
+    assert st2.version == -1 and not st2.ready_for(1)
+    st2.rebuild(_hashes(spark, 0, 1000), n_keys=1000, round_id=0)
+    probe = st2.might_contain_udf(spark)
+    assert (
+        _hashes(spark, 0, 1000).select(probe(F.col("h")).alias("m")).filter("m").count()
+        == 1000
+    )
+
+    # valid meta, missing version dir (partial delete)
+    meta = json.load(open(os.path.join(root, "bloom_meta.json")))
+    shutil.rmtree(os.path.join(root, "shards"))
+    with open(os.path.join(root, "bloom_meta.json"), "w") as f:
+        json.dump(meta, f)
+    st3 = BloomStore(root, num_shards=4)
+    assert st3.version == -1 and not st3.ready_for(1)
