@@ -224,3 +224,81 @@ def score_histogram(
         .groupBy("buckets")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# dump_reingest_quarterly.sql:19-26 (weekly/bulk/old share the shape;
+# the source allowlist and windows are the knobs that differ)
+REINGEST_SOURCES = (
+    "fatcat-changelog",
+    "fatcat-ingest",
+    "fatcat-ingest-container",
+    "unpaywall",
+    "arxiv",
+    "pmc",
+    "doaj",
+    "dblp",
+)
+REINGEST_TYPES = ("pdf", "html", "xml", "component")
+# dump_reingest_quarterly.sql:28-35
+REINGEST_RETRY_STATUSES = (
+    "cdx-error",
+    "wayback-error",
+    "petabox-error",
+    "gateway-timeout",
+    "no-capture",
+)
+# dump_reingest_quarterly.sql:36-43 — spn2-% matches, minus these
+REINGEST_SPN2_EXCLUDE = (
+    "spn2-error:invalid-url-syntax",
+    "spn2-error:filesize-limit",
+    "spn2-error:not-found",
+    "spn2-error:blocked-url",
+    "spn2-error:too-many-redirects",
+    "spn2-error:network-authentication-required",
+    "spn2-error:unknown",
+)
+
+
+def reingest_candidates(
+    requests: DataFrame,
+    results: DataFrame,
+    now: str,
+    min_age_hours: int = 8,
+    window_days: int = 91,
+    sources: tuple[str, ...] = REINGEST_SOURCES,
+) -> DataFrame:
+    """The reingest-dump selection (sql/dump_reingest_quarterly.sql —
+    weekly/bulk/old are the same query with different windows/source
+    allowlists): requests of the four retryable ingest types, created
+    inside (now - window_days, now - min_age_hours), from an allowlisted
+    source, whose result is a MISS (hit = false) with a transient
+    status — 'spn2-%' by prefix minus seven permanent spn2 errors, or
+    one of the five named transient statuses. Emits the request rows
+    (the reference COPYs row_to_json of ingest_request) plus the
+    triggering result status.
+
+    The reference writes LEFT JOIN but every predicate reads the
+    result side, which collapses it to inner — mirrored as an explicit
+    inner join. Scale shape: both sides filter before ONE equi-join on
+    (ingest_type, base_url); the status logic is a codegen'd
+    when-chain, no Python."""
+    now_ts = F.lit(now).cast("timestamp")
+    req = requests.where(
+        F.col("ingest_type").isin(list(REINGEST_TYPES))
+        & (F.col("created") < now_ts - F.expr(f"INTERVAL {min_age_hours} HOURS"))
+        & (F.col("created") > now_ts - F.expr(f"INTERVAL {window_days} DAYS"))
+        & F.col("ingest_request_source").isin(list(sources))
+    )
+    retryable = (
+        F.col("status").startswith("spn2-")
+        | F.col("status").isin(list(REINGEST_RETRY_STATUSES))
+    ) & ~F.col("status").isin(list(REINGEST_SPN2_EXCLUDE))
+    res = results.where((~F.col("hit")) & retryable).select(
+        F.col("ingest_type").alias("_r_type"),
+        F.col("base_url").alias("_r_url"),
+        F.col("status").alias("result_status"),
+    )
+    return req.join(
+        res,
+        (req["ingest_type"] == res["_r_type"]) & (req["base_url"] == res["_r_url"]),
+    ).drop("_r_type", "_r_url")

@@ -139,14 +139,103 @@ def mon_daily_throughput(spark, sf_dir):
     )
 
 
+def mon_reingest_candidates(spark, sf_dir):
+    """sql/dump_reingest_quarterly.sql end-to-end: ingest-type gate
+    (dataset arm dropped), (now-91d, now-8h) created window, source
+    allowlist, hit=false, and the transient-status selection (spn2-%
+    prefix minus the permanent exclusions, plus the five named
+    statuses)."""
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    itype = (
+        F.when(i % 6 == 0, F.lit("html"))
+        .when(i % 6 == 1, F.lit("dataset"))
+        .otherwise(F.lit("pdf"))
+    )
+    base_url = F.concat(
+        F.lit("https://r"), (i % 41).cast("string"), F.lit(".org/d/"), i.cast("string")
+    )
+    created = (
+        F.lit("2024-01-01").cast("timestamp")
+        + F.make_interval(days=(i % 105).cast("int"), hours=(i % 13).cast("int"))
+    )
+    requests = ev.select(
+        itype.alias("ingest_type"),
+        base_url.alias("base_url"),
+        created.alias("created"),
+        F.when(i % 4 == 0, F.lit("unpaywall"))
+        .when(i % 4 == 1, F.lit("fatcat-changelog"))
+        .when(i % 4 == 2, F.lit("savepapernow-web"))
+        .otherwise(F.lit("doaj"))
+        .alias("ingest_request_source"),
+    )
+    results = ev.filter(i % 10 != 7).select(
+        itype.alias("ingest_type"),
+        base_url.alias("base_url"),
+        (i % 5 == 0).alias("hit"),
+        F.when(i % 7 == 0, F.lit("success"))
+        .when(i % 7 == 1, F.lit("spn2-error:unknown"))
+        .when(i % 7 == 2, F.lit("spn2-cdx-lookup-failure"))
+        .when(i % 7 == 3, F.lit("no-capture"))
+        .when(i % 7 == 4, F.lit("cdx-error"))
+        .when(i % 7 == 5, F.lit("terminal-bad-status"))
+        .otherwise(F.lit("gateway-timeout"))
+        .alias("status"),
+    )
+    return reporting.reingest_candidates(requests, results, now="2024-04-10")
+
+
 QUERIES5 = {
     "mon_status_rollup": mon_status_rollup,
     "mon_broken_domains": mon_broken_domains,
     "mon_doi_prefix_cube": mon_doi_prefix_cube,
     "mon_daily_throughput": mon_daily_throughput,
+    "mon_reingest_candidates": mon_reingest_candidates,
 }
 
 ORACLES5 = {
+    "mon_reingest_candidates": """
+WITH ev AS (SELECT event_id AS i FROM events),
+req AS (
+  SELECT
+    CASE WHEN i % 6 = 0 THEN 'html'
+         WHEN i % 6 = 1 THEN 'dataset' ELSE 'pdf' END AS ingest_type,
+    'https://r' || (i % 41) || '.org/d/' || i AS base_url,
+    TIMESTAMP '2024-01-01'
+      + to_days(CAST(i % 105 AS INT)) + to_hours(CAST(i % 13 AS INT)) AS created,
+    CASE i % 4 WHEN 0 THEN 'unpaywall' WHEN 1 THEN 'fatcat-changelog'
+               WHEN 2 THEN 'savepapernow-web' ELSE 'doaj' END
+      AS ingest_request_source,
+    i
+  FROM ev
+),
+res AS (
+  SELECT
+    CASE WHEN i % 6 = 0 THEN 'html'
+         WHEN i % 6 = 1 THEN 'dataset' ELSE 'pdf' END AS ingest_type,
+    'https://r' || (i % 41) || '.org/d/' || i AS base_url,
+    (i % 5 = 0) AS hit,
+    CASE i % 7 WHEN 0 THEN 'success' WHEN 1 THEN 'spn2-error:unknown'
+               WHEN 2 THEN 'spn2-cdx-lookup-failure' WHEN 3 THEN 'no-capture'
+               WHEN 4 THEN 'cdx-error' WHEN 5 THEN 'terminal-bad-status'
+               ELSE 'gateway-timeout' END AS status
+  FROM ev WHERE i % 10 != 7
+)
+SELECT r.ingest_type, r.base_url, r.created, r.ingest_request_source,
+       s.status AS result_status
+FROM req r JOIN res s USING (ingest_type, base_url)
+WHERE r.ingest_type IN ('pdf', 'html', 'xml', 'component')
+  AND r.created < TIMESTAMP '2024-04-10' - INTERVAL 8 HOUR
+  AND r.created > TIMESTAMP '2024-04-10' - INTERVAL 91 DAY
+  AND r.ingest_request_source IN ('fatcat-changelog','fatcat-ingest',
+        'fatcat-ingest-container','unpaywall','arxiv','pmc','doaj','dblp')
+  AND NOT s.hit
+  AND (s.status LIKE 'spn2-%' OR s.status IN
+        ('cdx-error','wayback-error','petabox-error','gateway-timeout','no-capture'))
+  AND s.status NOT IN ('spn2-error:invalid-url-syntax','spn2-error:filesize-limit',
+        'spn2-error:not-found','spn2-error:blocked-url','spn2-error:too-many-redirects',
+        'spn2-error:network-authentication-required','spn2-error:unknown')
+""",
     "mon_status_rollup": _FIXTURE_SQL + """
         SELECT ingest_type, status, count(*) AS cnt
         FROM joined

@@ -147,3 +147,51 @@ def test_score_histogram_width_bucket_semantics(spark):
     )
     out = {r["buckets"]: r["cnt"] for r in score_histogram(rows, "score").collect()}
     assert out == {0: 1, 5: 1, 50: 1, 100: 1}
+
+
+def test_reingest_candidates_rules(spark):
+    """dump_reingest_quarterly.sql per-rule goldens: window edges,
+    type/source gates, hit gate, spn2 prefix vs exclusion list."""
+    from sandcrawler_spark.operators.reporting import reingest_candidates
+
+    NOW = "2024-04-10"
+
+    from datetime import datetime
+
+    def req(u, t="pdf", created="2024-03-01 00:00:00", src="unpaywall"):
+        return (t, u, datetime.fromisoformat(created), src)
+
+    def res(u, status, t="pdf", hit=False):
+        return (t, u, hit, status)
+
+    requests = spark.createDataFrame(
+        [
+            req("u1"),                                        # candidate
+            req("u2", t="dataset"),                           # type gate
+            req("u3", src="savepapernow-web"),                # source gate
+            req("u4", created="2024-04-09 20:00:00"),         # < 8h old
+            req("u5", created="2024-01-01 00:00:00"),         # > 91d old
+            req("u6"), req("u7"), req("u8"), req("u9"),
+        ],
+        "ingest_type string, base_url string, created timestamp, "
+        "ingest_request_source string",
+    )
+    results = spark.createDataFrame(
+        [
+            res("u1", "no-capture"),
+            res("u2", "no-capture"),
+            res("u3", "no-capture"),
+            res("u4", "no-capture"),
+            res("u5", "no-capture"),
+            res("u6", "spn2-cdx-lookup-failure"),   # spn2-% retryable
+            res("u7", "spn2-error:not-found"),      # excluded spn2
+            res("u8", "no-capture", hit=True),      # hit gate
+            res("u9", "terminal-bad-status"),       # not retryable
+        ],
+        "ingest_type string, base_url string, hit boolean, status string",
+    )
+    got = {
+        r.base_url: r.result_status
+        for r in reingest_candidates(requests, results, now=NOW).collect()
+    }
+    assert got == {"u1": "no-capture", "u6": "spn2-cdx-lookup-failure"}
