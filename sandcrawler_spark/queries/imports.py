@@ -317,6 +317,58 @@ def med_pdf_spans(spark, sf_dir):
     )
 
 
+def src_warc_scan(spark, sf_dir):
+    """WARC source end-to-end: the fixture WRITES real member-gzip
+    .warc.gz files (8 records per file, statuses/mimetypes/payloads
+    closed-form in the record index), then reads them back through the
+    distributed scan. The oracle states the expected parse without
+    touching WARC bytes. Offsets/csize are gzip-dependent, so the
+    projection checks them only via the reader's own invariants
+    (pytest covers byte-exact random access)."""
+    import hashlib as _h
+    import os
+
+    from sandcrawler_spark.sources.warc import build_warc_record_bytes
+
+    n, per_file = 200, 8
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/sandcrawler_warc_fixture_{tag}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        for f_idx in range(n // per_file):
+            path = os.path.join(root, f"f{f_idx:03d}.warc.gz")
+            with open(path + ".tmp", "wb") as f:
+                for j in range(per_file):
+                    k = f_idx * per_file + j + 1
+                    f.write(
+                        build_warc_record_bytes(
+                            target_uri=f"http://warc.example.org/{k}",
+                            warc_date="2020-06-01T00:00:00Z",
+                            payload=f"%PDF-1.4 doc{k}".encode(),
+                            http_status=200 if k % 3 != 0 else 503,
+                            mimetype="application/pdf" if k % 2 == 1 else "text/html",
+                            record_type="response" if k % 11 != 0 else "revisit",
+                        )
+                    )
+            os.replace(path + ".tmp", path)
+        with open(done, "w") as f:
+            f.write("ok")
+    from sandcrawler_spark.sources.warc import read_warc_records
+
+    df = read_warc_records(spark, root + "/*.warc.gz")
+    return df.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("int").alias("k"),
+        "record_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "mimetype",
+        F.col("payload").cast("string").alias("payload_text"),
+        "payload_len",
+    )
+
+
 QUERIES7 = {
     "im_grobid_releases": im_grobid_releases,
     "im_manifest_matches": im_manifest_matches,
@@ -324,6 +376,7 @@ QUERIES7 = {
     "bib_tei_affiliations": bib_tei_affiliations,
     "cdx_revisit_resolve": cdx_revisit_resolve,
     "med_pdf_spans": med_pdf_spans,
+    "src_warc_scan": src_warc_scan,
 }
 
 ORACLES7 = {
@@ -401,6 +454,22 @@ SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
                            'Lab ' || CAST(k AS VARCHAR)])
     ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
 FROM p
+""",
+    "src_warc_scan": """
+WITH ks AS (SELECT unnest(range(1, 201)) AS k)
+SELECT CAST(k AS INT) AS k,
+  CASE WHEN k % 11 = 0 THEN 'revisit' ELSE 'response' END AS record_type,
+  'http://warc.example.org/' || CAST(k AS VARCHAR) AS target_uri,
+  '2020-06-01T00:00:00Z' AS warc_date,
+  CASE WHEN k % 11 = 0 THEN NULL
+       WHEN k % 3 != 0 THEN 200 ELSE 503 END AS http_status,
+  CASE WHEN k % 11 = 0 THEN NULL
+       WHEN k % 2 = 1 THEN 'application/pdf' ELSE 'text/html' END AS mimetype,
+  CASE WHEN k % 11 = 0 THEN ''
+       ELSE '%PDF-1.4 doc' || CAST(k AS VARCHAR) END AS payload_text,
+  CAST(CASE WHEN k % 11 = 0 THEN 0
+       ELSE 12 + length(CAST(k AS VARCHAR)) END AS BIGINT) AS payload_len
+FROM ks
 """,
     "med_pdf_spans": """
 WITH c AS (SELECT c_custkey AS k FROM customer),
