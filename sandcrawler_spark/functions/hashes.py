@@ -127,3 +127,14 @@ def b32_hex_udf(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def sniff_mimetype_udf(blobs: pd.Series) -> pd.Series:
     return blobs.map(lambda b: sniff_mimetype(bytes(b)), na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def hex_b32_udf(s: pd.Series) -> pd.Series:
+    def safe(v: str) -> str | None:
+        try:
+            return hex_b32(v)
+        except (ValueError, binascii.Error):
+            return None
+
+    return s.map(safe, na_action="ignore")

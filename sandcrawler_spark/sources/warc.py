@@ -197,3 +197,61 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_to_captures(records: "DataFrame") -> "DataFrame":
+    """Adapter: WARC record scan → the capture-history shape the
+    frontier fetch simulation joins (url, dt, mimetype, status_code,
+    sha1hex + the petabox fetch triple). WARC-Date is ISO
+    (2020-06-01T00:00:00Z); CDX wants the 14-digit form — same
+    separator strip as the revisit normalization (ia.py:542-556).
+    Pure Catalyst over the scan output."""
+    from pyspark.sql import functions as F
+
+    return records.where(F.col("record_type") == "response").select(
+        F.col("target_uri").alias("url"),
+        F.substring(F.translate("warc_date", "-:TZ", ""), 1, 14).alias("dt"),
+        F.coalesce("mimetype", F.lit("application/octet-stream")).alias("mimetype"),
+        F.col("http_status").alias("status_code"),
+        "sha1hex",
+        F.col("payload_len").alias("size_bytes"),
+        "warc_path",
+        F.col("offset").alias("warc_offset"),
+        F.col("csize").alias("warc_csize"),
+    )
+
+
+def warc_to_cdx_lines(records: "DataFrame") -> "DataFrame":
+    """The CDX-11 indexing job — the batch job that PRODUCES the
+    reference's CDX inputs from raw WARCs (wayback's cdx-indexer;
+    field layout per misc.py:190-242 / our parse_cdx_lines): urlkey
+    (SURT), 14-digit timestamp, original URL, mimetype, status, base32
+    SHA-1 digest, '-' redirect, '-' meta, compressed member size,
+    member offset, WARC filename — one space-joined line per response
+    record. Round-trips: parse_cdx_lines(warc_to_cdx_lines(scan))
+    recovers the capture rows exactly (pytest-pinned).
+
+    Scale shape: one projection over the scan; SURT and hex→b32 are the
+    only Python (Arrow-batched)."""
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.hashes import hex_b32_udf
+    from sandcrawler_spark.functions.urlkeys import surt_udf
+
+    caps = warc_to_captures(records)
+    return caps.select(
+        F.concat_ws(
+            " ",
+            surt_udf(F.col("url")),
+            "dt",
+            "url",
+            "mimetype",
+            F.col("status_code").cast("string"),
+            F.upper(hex_b32_udf(F.col("sha1hex"))),
+            F.lit("-"),
+            F.lit("-"),
+            F.col("warc_csize").cast("string"),
+            F.col("warc_offset").cast("string"),
+            F.element_at(F.split("warc_path", "/"), -1),
+        ).alias("value")
+    )

@@ -108,3 +108,37 @@ def test_iter_warc_members_streaming():
     assert sum(m[1] for m in members) == len(blob)
     for _, _, raw in members:
         assert raw.startswith(b"WARC/1.0")
+
+
+def test_warc_cdx_indexing_roundtrip(spark, tmp_path):
+    """warc_to_cdx_lines output must parse back through the repo's own
+    CDX parser (S1) to exactly the capture rows warc_to_captures
+    emits — the WARC → CDX → frontier chain is closed."""
+    from sandcrawler_spark.sources.cdx import parse_cdx_lines
+    from sandcrawler_spark.sources.warc import (
+        warc_to_captures,
+        warc_to_cdx_lines,
+    )
+
+    payloads = [b"%PDF-1.4 one", b"<html>two</html>", b"%PDF-1.4 three"]
+    p1 = str(tmp_path / "x.warc.gz")
+    _write_warc_gz(p1, payloads)
+    records = read_warc_records(spark, p1)
+
+    caps = {r.url: r for r in warc_to_captures(records).collect()}
+    assert len(caps) == 3
+    assert caps["http://w.org/0"].dt == "20200101000000"
+    assert caps["http://w.org/1"].status_code == 404
+
+    lines = warc_to_cdx_lines(records)
+    parsed = {r.url: r for r in parse_cdx_lines(lines).collect()}
+    assert set(parsed) == set(caps)
+    for url, c in caps.items():
+        p = parsed[url]
+        assert p.datetime == c.dt
+        assert p.http_status == c.status_code
+        assert p.sha1hex == c.sha1hex
+        assert p.mimetype == c.mimetype
+        assert p.warc_csize == c.warc_csize
+        assert p.warc_offset == c.warc_offset
+        assert p.warc_path == "x.warc.gz"
