@@ -255,3 +255,73 @@ def warc_to_cdx_lines(records: "DataFrame") -> "DataFrame":
             F.element_at(F.split("warc_path", "/"), -1),
         ).alias("value")
     )
+
+
+def write_warc_fanout(
+    df: DataFrame, out_dir: str, num_shards: int = 16
+) -> DataFrame:
+    """Archive-side sink: crawl results → member-gzip ``.warc.gz``
+    shard files, written executor-side (the WARC twin of the S13 blob
+    fan-out; the reference archives fetched bodies back into petabox
+    WARCs). Input columns: url, dt (14-digit CDX), payload binary,
+    http_status int, mimetype string.
+
+    Determinism: shard = xxhash64(url) mod num_shards, records sorted
+    by (url, dt) inside each shard, gzip mtime pinned — reruns produce
+    byte-identical files. Writes are tmp + os.replace (atomic per
+    shard). Returns a manifest DataFrame (shard, path, records,
+    bytes); the actual record keys are recoverable by scanning the
+    output with :func:`read_warc_records`."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    iso = F.concat(
+        F.substring("dt", 1, 4), F.lit("-"), F.substring("dt", 5, 2),
+        F.lit("-"), F.substring("dt", 7, 2), F.lit("T"),
+        F.substring("dt", 9, 2), F.lit(":"), F.substring("dt", 11, 2),
+        F.lit(":"), F.substring("dt", 13, 2), F.lit("Z"),
+    )
+    src = (
+        df.select(
+            "url", "dt", iso.alias("warc_date"), "payload",
+            "http_status", "mimetype",
+            F.pmod(F.xxhash64("url"), F.lit(num_shards)).alias("__shard"),
+        )
+        .repartition(num_shards, "__shard")
+        .sortWithinPartitions("__shard", "url", "dt")
+    )
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            for url, wd, payload, status, mime, shard in zip(
+                pdf["url"], pdf["warc_date"], pdf["payload"],
+                pdf["http_status"], pdf["mimetype"], pdf["__shard"],
+            ):
+                buf.setdefault(int(shard), []).append(
+                    build_warc_record_bytes(
+                        target_uri=url, warc_date=wd,
+                        payload=bytes(payload),
+                        http_status=int(status), mimetype=mime,
+                    )
+                )
+        rows = []
+        for shard, members in sorted(buf.items()):
+            path = os.path.join(out_dir, f"shard-{shard:05d}.warc.gz")
+            blob = b"".join(members)
+            with open(path + ".tmp", "wb") as f:
+                f.write(blob)
+            os.replace(path + ".tmp", path)
+            rows.append(
+                {"shard": shard, "path": path,
+                 "records": len(members), "bytes": len(blob)}
+            )
+        yield pd.DataFrame(
+            rows, columns=["shard", "path", "records", "bytes"]
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return src.mapInPandas(
+        write, schema="shard int, path string, records long, bytes long"
+    )
