@@ -331,7 +331,9 @@ def src_warc_scan(spark, sf_dir):
     from sandcrawler_spark.sources.warc import build_warc_record_bytes
 
     n, per_file = 200, 8
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    # v1 in the tag: bump when the record layout changes so a stale
+    # /tmp fixture from an older code version can never be reused
+    tag = _h.md5(f"v1:{sf_dir}".encode()).hexdigest()[:8]
     root = f"/tmp/sandcrawler_warc_fixture_{tag}"
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):

@@ -401,6 +401,12 @@ def main() -> int:
          [r"MapInPandas"],
          [r"Union", r"BatchEvalPython", r"CartesianProduct",
           r"BroadcastNestedLoop", r"Exchange"]),
+        # WARC scan: binaryFile listing → one Arrow parse per file —
+        # no shuffle, no row-python, no join anywhere in the scan
+        ("warc scan: per-file arrow parse, no shuffle",
+         "src_warc_scan",
+         [r"MapInPandas"],
+         [r"Exchange", r"BatchEvalPython", r"Join", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
