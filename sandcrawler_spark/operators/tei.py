@@ -358,3 +358,224 @@ def tei_affiliations(
         tei_affiliations_udf(F.col(xml_col)).alias("affiliations"),
     )
     return out.where(F.size("affiliations") > 0)
+
+
+_S = T.StringType()
+_GROBID_PERSON = T.StructType(
+    [T.StructField(n, _S) for n in ("name", "given_name", "surname")]
+)
+GROBID_DOC_TYPE = T.StructType(
+    [
+        T.StructField("status", _S),
+        T.StructField("grobid_version", _S),
+        T.StructField("grobid_timestamp", _S),
+        T.StructField("title", _S),
+        T.StructField("authors", T.ArrayType(_GROBID_PERSON)),
+        T.StructField(
+            "journal",
+            T.StructType(
+                [
+                    T.StructField(n, _S)
+                    for n in ("name", "publisher", "issn", "eissn", "volume", "issue")
+                ]
+            ),
+        ),
+        T.StructField("date", _S),
+        T.StructField("fatcat_release", _S),
+        T.StructField("doi", _S),
+        T.StructField(
+            "citations",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("index", T.IntegerType())]
+                    + [T.StructField(n, _S) for n in ("id", "title", "journal")]
+                    + [T.StructField("authors", T.ArrayType(_GROBID_PERSON))]
+                    + [
+                        T.StructField(n, _S)
+                        for n in ("publisher", "date", "volume", "issue", "url")
+                    ]
+                )
+            ),
+        ),
+        T.StructField("abstract", _S),
+        T.StructField("body", _S),
+        T.StructField("acknowledgement", _S),
+        T.StructField("annex", _S),
+    ]
+)
+
+_NS = "http://www.tei-c.org/ns/1.0"
+
+
+def _g2j_authors(elem) -> list[dict]:
+    """grobid2json.py:33-40."""
+    names = []
+    for e in elem.findall(f".//{{{_NS}}}author/{{{_NS}}}persName"):
+        given = e.findtext(f"./{{{_NS}}}forename") or None
+        surname = e.findtext(f"./{{{_NS}}}surname") or None
+        full = f"{given or ''} {surname or ''}".strip()
+        names.append({"name": full, "given_name": given, "surname": surname})
+    return names
+
+
+def _g2j_text_or_none(root, xpath: str) -> str | None:
+    """The reference's ``(el or None) and " ".join(el.itertext())``
+    (grobid2json.py:124-132) — a CHILDLESS element is falsy in
+    ElementTree, so text directly inside it is dropped; mirrored."""
+    el = root.find(xpath)
+    if el is None or len(el) == 0:
+        return None
+    return " ".join(el.itertext()).strip()
+
+
+def _teixml2json(xml_text: str | None, encumbered: bool = True) -> dict:
+    """grobid2json.py:87-134 (``teixml2json``) — the full-TEI dump →
+    grobid-JSON document, the producer whose output
+    ``import_grobid_metadata.py`` consumes. The reference raises on
+    malformed TEI; here that's a 'bad-tei' status row. One deliberate
+    typed-column divergence, documented: the reference assigns
+    ``ref['date'] = (date != None) and date.attrib.get('when')`` which
+    serializes a literal JSON ``false`` when the date element is
+    absent; a string column has no false, so absent → null."""
+    bad = {f.name: None for f in GROBID_DOC_TYPE.fields}
+    bad["status"] = "bad-tei"
+    if not xml_text:
+        return bad
+    try:
+        tei = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return bad
+    header = tei.find(f".//{{{_NS}}}teiHeader")
+    if header is None:
+        return bad
+    apps = header.findall(f".//{{{_NS}}}appInfo/{{{_NS}}}application")
+    if not apps:  # reference: findall(...)[0] IndexError (:104)
+        return bad
+    info: dict = {"status": "ok"}
+    info["grobid_version"] = apps[0].attrib.get("version")
+    info["grobid_timestamp"] = apps[0].attrib.get("when")
+    info["title"] = header.findtext(f".//{{{_NS}}}analytic/{{{_NS}}}title")
+    bibl = header.find(f".//{{{_NS}}}sourceDesc/{{{_NS}}}biblStruct")
+    info["authors"] = _g2j_authors(bibl) if bibl is not None else []
+    journal = {  # grobid2json.py:43-53
+        "name": header.findtext(f".//{{{_NS}}}monogr/{{{_NS}}}title"),
+        "publisher": header.findtext(
+            f".//{{{_NS}}}publicationStmt/{{{_NS}}}publisher"
+        )
+        or None,
+        "issn": header.findtext(f'.//{{{_NS}}}idno[@type="ISSN"]'),
+        "eissn": header.findtext(f'.//{{{_NS}}}idno[@type="eISSN"]'),
+        "volume": header.findtext(f'.//{{{_NS}}}biblScope[@unit="volume"]'),
+        "issue": header.findtext(f'.//{{{_NS}}}biblScope[@unit="issue"]'),
+    }
+    info["journal"] = journal
+    date = header.find(f'.//{{{_NS}}}date[@type="published"]')
+    info["date"] = date.attrib.get("when") if date is not None else None
+    info["fatcat_release"] = header.findtext(f'.//{{{_NS}}}idno[@type="fatcat"]')
+    doi = header.findtext(f'.//{{{_NS}}}idno[@type="DOI"]')
+    info["doi"] = doi.lower() if doi else doi
+    refs = []
+    for i, bs in enumerate(
+        tei.findall(f".//{{{_NS}}}listBibl/{{{_NS}}}biblStruct")
+    ):
+        # grobid2json.py:56-84 (biblio_info) incl. the title/journal
+        # swap and the '.Lastaccessed' URL hand-correction
+        ref: dict = {"index": i}
+        ref["id"] = bs.attrib.get("{http://www.w3.org/XML/1998/namespace}id")
+        ref["title"] = bs.findtext(f".//{{{_NS}}}analytic/{{{_NS}}}title")
+        other_title = bs.findtext(f".//{{{_NS}}}monogr/{{{_NS}}}title")
+        ref["journal"] = None
+        if other_title:
+            if ref["title"]:
+                ref["journal"] = other_title
+            else:
+                ref["title"] = other_title
+        ref["authors"] = _g2j_authors(bs)
+        ref["publisher"] = (
+            bs.findtext(f".//{{{_NS}}}publicationStmt/{{{_NS}}}publisher") or None
+        )
+        rdate = bs.find(f'.//{{{_NS}}}date[@type="published"]')
+        ref["date"] = rdate.attrib.get("when") if rdate is not None else None
+        ref["volume"] = bs.findtext(f'.//{{{_NS}}}biblScope[@unit="volume"]')
+        ref["issue"] = bs.findtext(f'.//{{{_NS}}}biblScope[@unit="issue"]')
+        ptr = bs.find(f".//{{{_NS}}}ptr[@target]")
+        url = ptr.attrib["target"] if ptr is not None else None
+        if url and url.endswith(".Lastaccessed"):
+            url = url.replace(".Lastaccessed", "")
+        ref["url"] = url
+        refs.append(ref)
+    info["citations"] = refs
+    if encumbered:  # grobid2json.py:124-132, remove_encumbered's gate
+        info["abstract"] = _g2j_text_or_none(
+            tei, f".//{{{_NS}}}profileDesc/{{{_NS}}}abstract"
+        )
+        info["body"] = _g2j_text_or_none(tei, f".//{{{_NS}}}text/{{{_NS}}}body")
+        info["acknowledgement"] = _g2j_text_or_none(
+            tei, f'.//{{{_NS}}}back/{{{_NS}}}div[@type="acknowledgement"]'
+        )
+        info["annex"] = _g2j_text_or_none(
+            tei, f'.//{{{_NS}}}back/{{{_NS}}}div[@type="annex"]'
+        )
+    else:
+        info["abstract"] = info["body"] = None
+        info["acknowledgement"] = info["annex"] = None
+    return info
+
+
+def tei_to_grobid_doc(
+    df: DataFrame, xml_col: str = "tei_xml", encumbered: bool = True
+) -> DataFrame:
+    """Full TEI → grobid-JSON document column (grobid2json.py's
+    teixml2json as an Arrow-batched pass): adds ``doc`` struct with
+    header metadata, journal info, the indexed citation list, and —
+    unless ``encumbered=False`` (the --no-encumbered flag /
+    remove_encumbered) — abstract/body/acknowledgement/annex. The
+    output struct is exactly the shape
+    ``imports.grobid_import_releases`` consumes (after the
+    ``grobid_doc_to_import_input`` projection)."""
+
+    @F.pandas_udf(GROBID_DOC_TYPE)
+    def parse(xml_text: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_teixml2json(x, encumbered=encumbered) for x in xml_text]
+        )
+
+    return df.withColumn("doc", parse(F.col(xml_col)))
+
+
+def grobid_doc_to_import_input(df: DataFrame) -> DataFrame:
+    """Pure-Catalyst projection from the grobid-JSON ``doc`` struct to
+    the flat input contract of ``imports.grobid_import_releases``
+    (title/abstract/authors/date/doi/journal/citations): author
+    structs flatten to their full names, the bare-year release date
+    takes the leading 4 digits of the TEI 'when' attribute (the
+    reference's date is already a year int in the dumps it imports)."""
+    d = F.col("doc")
+    return df.where(d["status"] == "ok").select(
+        d["title"].alias("title"),
+        d["abstract"].alias("abstract"),
+        F.transform(d["authors"], lambda a: a["name"]).alias("authors"),
+        F.substring(d["date"], 1, 4).try_cast("int").alias("date"),
+        d["doi"].alias("doi"),
+        F.struct(
+            d["journal"]["name"].alias("name"),
+            d["journal"]["publisher"].alias("publisher"),
+            d["journal"]["volume"].alias("volume"),
+            d["journal"]["issue"].alias("issue"),
+        ).alias("journal"),
+        F.transform(
+            d["citations"],
+            lambda c: F.struct(
+                c["id"].alias("id"),
+                c["title"].alias("title"),
+                c["date"].alias("date"),
+                c["volume"].alias("volume"),
+                c["url"].alias("url"),
+                c["issue"].alias("issue"),
+                c["publisher"].alias("publisher"),
+                F.transform(
+                    c["authors"], lambda a: F.struct(a["name"].alias("name"))
+                ).alias("authors"),
+            ),
+        ).alias("citations"),
+    )

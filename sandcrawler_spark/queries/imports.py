@@ -371,6 +371,88 @@ def src_warc_scan(spark, sf_dir):
     )
 
 
+def bib_tei2release(spark, sf_dir):
+    """grobid2json → import_grobid_metadata as ONE plan: synthesized
+    TEI (broken-XML arm, DOI/publisher/abstract arms incl. the
+    childless-abstract ElementTree-truthiness quirk, a citation with
+    the '.Lastaccessed' URL correction) → teixml2json doc → import
+    projection → release rows."""
+    from sandcrawler_spark.operators.imports import grobid_import_releases
+    from sandcrawler_spark.operators.tei import (
+        grobid_doc_to_import_input,
+        tei_to_grobid_doc,
+    )
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 1200)
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    year = (2000 + k % 8).cast("string")
+    abstract = (
+        F.when(k % 5 == 0, F.concat(F.lit("<abstract><p>Abs "), ks, F.lit("</p></abstract>")))
+        .when(k % 5 == 1, F.lit("<abstract>orphan text</abstract>"))  # childless → None
+        .otherwise(F.lit(""))
+    )
+    cite = F.when(
+        k % 4 == 0,
+        F.concat(
+            F.lit('<div><listBibl><biblStruct xml:id="b0"><analytic><title>C '),
+            ks,
+            F.lit("</title><author><persName><forename>Q</forename><surname>R"),
+            F.lit('</surname></persName></author></analytic><monogr><imprint>'),
+            F.lit('<date type="published" when="2011-05"/></imprint>'),
+            F.lit('<biblScope unit="volume">3</biblScope></monogr>'),
+            F.lit('<ptr target="http://u.org/'),
+            ks,
+            F.lit('.Lastaccessed"/></biblStruct></listBibl></div>'),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.when(k % 19 == 0, F.lit("<TEI><broken")).otherwise(
+        F.concat(
+            F.lit('<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>'),
+            F.lit('<encodingDesc><appInfo><application version="0.7" when="2024-01-01"/></appInfo></encodingDesc>'),
+            F.lit("<fileDesc><publicationStmt>"),
+            F.when(k % 3 == 0, F.lit("<publisher>PubCo</publisher>")).otherwise(F.lit("")),
+            F.lit("</publicationStmt><sourceDesc><biblStruct><analytic><title>Paper "),
+            ks,
+            F.lit("</title><author><persName><forename>F</forename><surname>S"),
+            ks,
+            F.lit("</surname></persName></author>"),
+            F.when(k % 2 == 0, F.concat(F.lit('<idno type="DOI">10.6/T'), ks, F.lit("</idno>"))).otherwise(F.lit("")),
+            F.lit("</analytic><monogr><title>J"),
+            (k % 15).cast("string"),
+            F.lit('</title><imprint><date type="published" when="'),
+            year,
+            F.lit('-03-01"/></imprint></monogr></biblStruct></sourceDesc></fileDesc>'),
+            F.lit("<profileDesc>"),
+            abstract,
+            F.lit("</profileDesc></teiHeader><text><back>"),
+            cite,
+            F.lit("</back></text></TEI>"),
+        )
+    )
+    doc = tei_to_grobid_doc(p.select(xml.alias("tei_xml")))
+    out = grobid_import_releases(grobid_doc_to_import_input(doc))
+    r1 = F.try_element_at(F.col("refs"), F.lit(1))
+    return out.select(
+        F.regexp_extract("title", r"Paper (\d+)", 1).cast("int").alias("k"),
+        "title",
+        F.try_element_at("contrib_names", F.lit(1)).alias("contrib1"),
+        "publisher",
+        "abstract_content",
+        "release_year",
+        "release_date",
+        "extra_doi",
+        "extra_container_name",
+        F.size("refs").alias("n_refs"),
+        r1["key"].alias("ref1_key"),
+        r1["title"].alias("ref1_title"),
+        r1["year"].alias("ref1_year"),
+        r1["extra_volume"].alias("ref1_volume"),
+        r1["extra_url"].alias("ref1_url"),
+        r1["extra_authors"].alias("ref1_authors"),
+    )
+
+
 QUERIES7 = {
     "im_grobid_releases": im_grobid_releases,
     "im_manifest_matches": im_manifest_matches,
@@ -379,6 +461,7 @@ QUERIES7 = {
     "cdx_revisit_resolve": cdx_revisit_resolve,
     "med_pdf_spans": med_pdf_spans,
     "src_warc_scan": src_warc_scan,
+    "bib_tei2release": bib_tei2release,
 }
 
 ORACLES7 = {
@@ -455,6 +538,29 @@ SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
     WHEN 1 THEN list_sort(['Org ' || CAST(k % 25 AS VARCHAR) || ' C',
                            'Lab ' || CAST(k AS VARCHAR)])
     ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
+FROM p
+""",
+    "bib_tei2release": """
+WITH p AS (
+  SELECT p_partkey AS k FROM part
+  WHERE p_partkey < 1200 AND p_partkey % 19 != 0
+)
+SELECT k,
+  'Paper ' || CAST(k AS VARCHAR) AS title,
+  'F S' || CAST(k AS VARCHAR) AS contrib1,
+  CASE WHEN k % 3 = 0 THEN 'PubCo' END AS publisher,
+  CASE WHEN k % 5 = 0 THEN 'Abs ' || CAST(k AS VARCHAR) END AS abstract_content,
+  CAST(2000 + k % 8 AS INT) AS release_year,
+  make_date(2000 + k % 8, 1, 1) AS release_date,
+  CASE WHEN k % 2 = 0 THEN '10.6/t' || CAST(k AS VARCHAR) END AS extra_doi,
+  'J' || CAST(k % 15 AS VARCHAR) AS extra_container_name,
+  CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS n_refs,
+  CASE WHEN k % 4 = 0 THEN 'b0' END AS ref1_key,
+  CASE WHEN k % 4 = 0 THEN 'C ' || CAST(k AS VARCHAR) END AS ref1_title,
+  CASE WHEN k % 4 = 0 THEN 2011 END AS ref1_year,
+  CASE WHEN k % 4 = 0 THEN '3' END AS ref1_volume,
+  CASE WHEN k % 4 = 0 THEN 'http://u.org/' || CAST(k AS VARCHAR) END AS ref1_url,
+  CASE WHEN k % 4 = 0 THEN ['Q R'] END AS ref1_authors
 FROM p
 """,
     "src_warc_scan": """

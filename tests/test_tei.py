@@ -183,3 +183,98 @@ def test_tei_body_words(spark):
     for k, _, status, wc in vectors:
         assert rows[k]["status"] == status, k
         assert rows[k]["word_count"] == wc, k
+
+
+def test_teixml2json_golden_fixture(spark):
+    """tei_to_grobid_doc vs the reference's real GROBID fixture —
+    goldens pinned from running the reference's own grobid2json.py on
+    the same file (differential run: zero field diffs on both
+    reference fixtures, modulo the documented date-False → null
+    divergence)."""
+    with open(FIXTURE) as f:
+        xml_text = f.read()
+    df = spark.createDataFrame(
+        [("good", xml_text), ("bad", "<TEI><unclosed")], ["k", "tei_xml"]
+    )
+    rows = {r["k"]: r["doc"] for r in tei.tei_to_grobid_doc(df).collect()}
+    assert rows["bad"]["status"] == "bad-tei"
+    doc = rows["good"]
+    assert doc["status"] == "ok"
+    assert doc["title"] == "DYNAMICS OF RAILWAY FREIGHT VEHICLES"
+    assert doc["date"] == "2015"
+    assert doc["grobid_version"].startswith("0.")
+    assert len(doc["authors"]) == 4
+    assert doc["authors"][0]["surname"] == "Original Citation Iwnicki"
+    assert doc["authors"][0]["given_name"] == "S"
+    assert len(doc["citations"]) == 100
+    c0 = doc["citations"][0]
+    assert c0["index"] == 0 and c0["id"] == "b0"
+    assert c0["title"].startswith("European freight vehicle running gear")
+    assert c0["journal"] == "PartF, Journal of Rail and Rapid Transit"
+    assert c0["authors"][0]["name"] == "M Hecht"
+    assert c0["date"] == "2001" and c0["volume"] == "215"
+    assert doc["abstract"].startswith(
+        "This paper summarises the historical development"
+    )
+    assert doc["body"]  # encumbered fields present by default
+    # --no-encumbered twin (remove_encumbered)
+    clean = {
+        r["k"]: r["doc"]
+        for r in tei.tei_to_grobid_doc(df, encumbered=False).collect()
+    }
+    assert clean["good"]["abstract"] is None and clean["good"]["body"] is None
+    assert clean["good"]["title"] == doc["title"]
+
+
+def test_tei_to_release_chain(spark):
+    """End-to-end: TEI XML → teixml2json doc → import-input projection
+    → grobid_import_releases rows (the grobid2json →
+    import_grobid_metadata pipeline as one plan)."""
+    from sandcrawler_spark.operators.imports import grobid_import_releases
+
+    xml = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>'
+        "<encodingDesc><appInfo>"
+        '<application version="0.9" when="2021-01-01T00:00:00Z"/>'
+        "</appInfo></encodingDesc>"
+        "<fileDesc><publicationStmt><publisher>PubCo</publisher>"
+        "</publicationStmt><sourceDesc><biblStruct><analytic>"
+        "<title>Chained Paper</title>"
+        "<author><persName><forename>Ada</forename>"
+        "<surname>Byron</surname></persName></author>"
+        '<idno type="DOI">10.7/CHAIN</idno>'
+        "</analytic><monogr><title>J Chain</title>"
+        "<imprint>"
+        '<date type="published" when="1999-12-31"/>'
+        "</imprint></monogr></biblStruct></sourceDesc></fileDesc>"
+        "<profileDesc><abstract><p>An abstract.</p></abstract></profileDesc>"
+        "</teiHeader><text><back>"
+        '<div type="references"><listBibl>'
+        '<biblStruct xml:id="b0"><analytic><title>Cited One</title>'
+        "<author><persName><forename>C</forename><surname>One</surname>"
+        "</persName></author></analytic><monogr>"
+        '<imprint><date type="published" when="2010-06" /></imprint>'
+        '<biblScope unit="volume">7</biblScope></monogr>'
+        '<ptr target="http://x.org/ref.Lastaccessed"/></biblStruct>'
+        "</listBibl></div></back></text></TEI>"
+    )
+    df = spark.createDataFrame([(xml,)], ["tei_xml"])
+    doc = tei.tei_to_grobid_doc(df)
+    inp = tei.grobid_doc_to_import_input(doc)
+    rows = grobid_import_releases(inp).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.title == "Chained Paper"
+    assert r.contrib_names == ["Ada Byron"]
+    assert r.extra_doi == "10.7/chain"
+    assert r.extra_container_name == "J Chain"
+    assert r.publisher == "PubCo"
+    assert r.release_year == 1999
+    assert str(r.release_date) == "1999-01-01"
+    assert r.abstract_content == "An abstract."
+    assert len(r.refs) == 1
+    ref = r.refs[0]
+    assert ref["key"] == "b0" and ref["title"] == "Cited One"
+    assert ref["year"] == 2010 and ref["extra_volume"] == "7"
+    assert ref["extra_url"] == "http://x.org/ref"  # .Lastaccessed corrected
+    assert ref["extra_authors"] == ["C One"]
