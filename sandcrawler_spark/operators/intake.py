@@ -9,6 +9,7 @@ DataFrame transforms:
 - ``covid_requests``      — python/scripts/covid2ingestrequest.py:18-74
 - ``enrich_matches``      — python/scripts/enrich_scored_matches.py:25-44
 - ``groupworks_filter``   — python/scripts/filter_groupworks.py:82-146
+- ``archiveorg_filesets`` — python/scripts/archiveorg_fileset.py:47-113
 
 The reference scripts stream JSON lines through per-row Python; here
 every gate/explode/projection is pure Catalyst, with exactly two Python
@@ -607,4 +608,149 @@ def ingest_request_json(
     )
     return df.withColumn(
         "json", F.to_json(payload, {"ignoreNullFields": "false"})
+    )
+
+
+# ------------------------------------------------- archive.org filesets
+
+# archiveorg_fileset.py:18-44 — IA file ``format`` → mimetype. "Unknown"
+# maps to None (no mimetype emitted) in the reference too.
+ARCHIVEORG_FORMAT_TO_MIMETYPE = {
+    "BZIP": "application/x-bzip",
+    "BZIP2": "application/x-bzip2",
+    "ZIP": "application/zip",
+    "GZIP": "application/gzip",
+    "RAR": "application/vnd.rar",
+    "TAR": "application/x-tar",
+    "7z": "application/x-7z-compressed",
+    "HTML": "text/html",
+    "Text": "text/plain",
+    "PDF": "application/pdf",
+    "CSV": "text/csv",
+    "XML": "application/xml",
+    "JSON": "application/json",
+    "MP3": "audio/mpeg",
+    "MP4": "video/mp4",
+    "MPEG": "video/mpeg",
+    "JPEG": "image/jpeg",
+    "GIF": "image/gif",
+    "PNG": "image/png",
+    "TIFF": "image/tiff",
+}
+
+# archiveorg_fileset.py:51-60 — per-item metadata sidecars excluded from
+# the manifest (matched against both item_name and item_name.lower()).
+_ARCHIVEORG_META_SUFFIXES = (
+    "_meta.sqlite",
+    "_archive.torrent",
+    "_itemimage.jpg",
+    "_meta.xml",
+    "_thumb.png",
+    "_files.xml",
+)
+# archiveorg_fileset.py:65-68 — extra exclusions for academictorrents_*
+# items (these three are matched against item_name only).
+_ARCHIVEORG_AT_SUFFIXES = (
+    "_academictorrents.torrent",
+    "_academictorrents_torrent.txt",
+    ".bib",
+)
+
+
+def archiveorg_filesets(df: DataFrame) -> DataFrame:
+    """archive.org item metadata → fatcat fileset objects
+    (``python/scripts/archiveorg_fileset.py:47-113``), minus the live
+    IA metadata-API fetch: the caller lands the per-item file listings
+    in a table and this turns each row into the fileset the script
+    prints.
+
+    Input columns: ``item_name`` string, ``release_id`` string,
+    ``mediatype`` string, ``files array<struct<name:string,
+    source:string, format:string, size:string, sha1:string,
+    md5:string>>`` (IA's API returns ``size`` as a decimal string; the
+    manifest casts it to int, parse_file:81).
+
+    Semantics mirrored exactly:
+
+    - ``release_id`` handling (item_to_fileset:94-96): a ``release_``
+      prefix is stripped as ``[9:]`` — the reference's off-by-one (the
+      prefix is 8 chars), reproduced verbatim — then ``len == 26`` is
+      asserted; asserts are modeled as row filters here, like the other
+      converters' fall-throughs.
+    - mediatype gate (:99): ``collection`` / ``web`` items dropped.
+    - ``want_file`` (:47-69): source must be ``original``; the six
+      ``_meta.*``-style sidecars are excluded matching either the item
+      name or its lowercase; leading-underscore names are excluded;
+      ``academictorrents_*`` items additionally exclude the torrent/
+      bib sidecars.
+    - ``parse_file`` (:72-89): manifest entries carry (path, size:int,
+      sha1, md5) and a mimetype from :data:`ARCHIVEORG_FORMAT_TO_MIMETYPE`.
+      The reference currently hard-KeyErrors on an unmapped format but
+      its inline TODO (:84-85) says the intended behavior is ``.get``;
+      we implement the ``.get`` form (unmapped → null mimetype), and
+      model the ``assert f.name and f.sha1 and f.md5`` (:77) as a file
+      filter. The reference nests a non-null mimetype under
+      ``extra.mimetype``; the flat-column convention here (module
+      docstring) makes it a nullable ``mimetype`` field.
+    - fileset assembly (:101-110): ordered manifest, one ``archive``
+      URL ``https://archive.org/download/{item}/``, ``release_ids``.
+
+    Pure Catalyst (array filter/transform + map literal): a single-pass
+    scan, no shuffle, no Python.
+    """
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in ARCHIVEORG_FORMAT_TO_MIMETYPE.items() for x in kv]
+    )
+    item = F.col("item_name")
+
+    def _want(f: Column) -> Column:
+        cond = f["source"] == "original"
+        for suf in _ARCHIVEORG_META_SUFFIXES:
+            cond = cond & (f["name"] != F.concat(item, F.lit(suf)))
+            cond = cond & (f["name"] != F.concat(F.lower(item), F.lit(suf)))
+        cond = cond & ~f["name"].startswith("_")
+        at_cond = F.lit(True)
+        for suf in _ARCHIVEORG_AT_SUFFIXES:
+            at_cond = at_cond & (f["name"] != F.concat(item, F.lit(suf)))
+        cond = cond & (~item.startswith("academictorrents_") | at_cond)
+        # parse_file:77 assert — name/sha1/md5 must be present.
+        return (
+            cond
+            & f["name"].isNotNull()
+            & f["sha1"].isNotNull()
+            & f["md5"].isNotNull()
+        )
+
+    def _parse(f: Column) -> Column:
+        return F.struct(
+            f["name"].alias("path"),
+            f["size"].cast("bigint").alias("size"),
+            f["sha1"].alias("sha1"),
+            f["md5"].alias("md5"),
+            F.element_at(mime_map, f["format"]).alias("mimetype"),
+        )
+
+    release_id = F.when(
+        F.col("release_id").startswith("release_"),
+        F.col("release_id").substr(F.lit(10), F.length("release_id")),
+    ).otherwise(F.col("release_id"))
+    return (
+        df.withColumn("release_id", release_id)
+        .where(F.length("release_id") == 26)
+        .where(~F.col("mediatype").isin("collection", "web"))
+        .select(
+            "item_name",
+            F.transform(F.filter("files", _want), _parse).alias("manifest"),
+            F.array(
+                F.struct(
+                    F.lit("archive").alias("rel"),
+                    F.concat(
+                        F.lit("https://archive.org/download/"),
+                        item,
+                        F.lit("/"),
+                    ).alias("url"),
+                )
+            ).alias("urls"),
+            F.array("release_id").alias("release_ids"),
+        )
     )

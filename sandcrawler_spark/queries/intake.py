@@ -275,6 +275,89 @@ def in_covid_requests(spark, sf_dir):
     return intake.covid_requests(src)
 
 
+def in_archiveorg_fileset(spark, sf_dir):
+    """archiveorg_fileset.py end-to-end: mediatype gate, the release_
+    prefix strip (the reference's verbatim [9:] off-by-one — the
+    fixture pads one junk char so a real 26-char ident survives),
+    length-26 assert-as-filter, want_file (source gate, sidecar
+    suffixes incl. a lowercase-item match, leading underscore,
+    academictorrents extras), parse_file (size cast, format→mimetype
+    with an unmapped arm), and fileset assembly. Manifest exploded to
+    flat rows for the hash compare; the nested shape is pytest-golden
+    tested."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    item = F.when(k % 7 == 0, F.concat(F.lit("academictorrents_it"), ks)).otherwise(
+        F.concat(F.lit("Item"), ks)
+    )
+    core = F.substring(F.md5(F.concat(F.lit("r"), ks)), 1, 26)
+    rel_in = (
+        F.when(k % 3 == 0, F.concat(F.lit("release_q"), core))
+        .when(k % 3 == 1, core)
+        .otherwise(F.lit("short"))
+    )
+    media = (
+        F.when(k % 5 == 0, F.lit("collection"))
+        .when(k % 5 == 1, F.lit("web"))
+        .otherwise(F.lit("texts"))
+    )
+
+    def _file(path, source, fmt, size, tag):
+        return F.struct(
+            path.alias("name"),
+            F.lit(source).alias("source"),
+            fmt,
+            (size).cast("string").alias("size"),
+            F.md5(F.concat(F.lit("s" + tag + "-"), ks)).alias("sha1"),
+            F.md5(F.concat(F.lit("m" + tag + "-"), ks)).alias("md5"),
+        ).alias("f")
+
+    f1 = _file(F.concat(F.lit("paper"), ks, F.lit(".pdf")), "original", F.lit("PDF").alias("format"), k + 1000, "1")
+    f2 = _file(F.concat(item, F.lit("_meta.xml")), "original", F.lit("XML").alias("format"), k + 1, "2")
+    f3 = _file(F.concat(F.lit("data"), ks, F.lit(".csv")), "derivative", F.lit("CSV").alias("format"), k + 2, "3")
+    f4 = _file(F.concat(F.lit("_u"), ks), "original", F.lit("Text").alias("format"), k + 3, "4")
+    f5 = _file(
+        F.concat(F.lit("blob"), ks, F.lit(".bin")),
+        "original",
+        F.when(k % 2 == 0, F.lit("DAT")).otherwise(F.lit("JSON")).alias("format"),
+        k + 2000,
+        "5",
+    )
+    f6 = _file(F.concat(item, F.lit(".bib")), "original", F.lit("Text").alias("format"), k + 3000, "6")
+    f8 = _file(F.concat(F.lower(item), F.lit("_thumb.png")), "original", F.lit("PNG").alias("format"), k + 4, "8")
+    # f7: md5 missing -> excluded by the parse_file assert gate
+    f7 = F.struct(
+        F.concat(F.lit("nohash"), ks).alias("name"),
+        F.lit("original").alias("source"),
+        F.lit("Text").alias("format"),
+        F.lit("9").alias("size"),
+        F.md5(ks).alias("sha1"),
+        F.lit(None).cast("string").alias("md5"),
+    )
+    src = s.select(
+        item.alias("item_name"),
+        rel_in.alias("release_id"),
+        media.alias("mediatype"),
+        F.array(f1, f2, f3, f4, f5, f6, f7, f8).alias("files"),
+    )
+    out = intake.archiveorg_filesets(src)
+    m = F.explode("manifest").alias("m")
+    return out.select(
+        "item_name",
+        F.col("release_ids")[0].alias("release_id"),
+        F.col("urls")[0]["url"].alias("url"),
+        m,
+    ).select(
+        "item_name", "release_id", "url",
+        F.col("m.path").alias("path"),
+        F.col("m.size").alias("size"),
+        F.col("m.sha1").alias("sha1"),
+        F.col("m.md5").alias("md5"),
+        F.col("m.mimetype").alias("mimetype"),
+    )
+
+
 QUERIES6 = {
     "in_doaj_requests": in_doaj_requests,
     "in_unpaywall_requests": in_unpaywall_requests,
@@ -283,6 +366,7 @@ QUERIES6 = {
     "in_enrich_matches": in_enrich_matches,
     "in_groupworks": in_groupworks,
     "in_covid_requests": in_covid_requests,
+    "in_archiveorg_fileset": in_archiveorg_fileset,
 }
 
 ORACLES6 = {
@@ -443,5 +527,40 @@ UNION ALL
 SELECT 'http://cnki.example.org/r' || CAST(k AS VARCHAR) AS base_url,
   'pdf', 'cnki_covid19', 'C' || CAST(k AS VARCHAR), 'scrape-covid19'
 FROM s WHERE k % 3 = 1 AND k % 2 = 0
+""",
+    "in_archiveorg_fileset": """
+WITH s AS (
+  SELECT s_suppkey AS k FROM supplier
+  WHERE s_suppkey % 5 NOT IN (0, 1) AND s_suppkey % 3 IN (0, 1)
+),
+base AS (
+  SELECT k,
+    CASE WHEN k % 7 = 0 THEN 'academictorrents_it' || CAST(k AS VARCHAR)
+         ELSE 'Item' || CAST(k AS VARCHAR) END AS item_name,
+    substr(md5('r' || CAST(k AS VARCHAR)), 1, 26) AS release_id
+  FROM s
+),
+u AS (
+  SELECT *, 'https://archive.org/download/' || item_name || '/' AS url FROM base
+)
+SELECT item_name, release_id, url,
+  'paper' || CAST(k AS VARCHAR) || '.pdf' AS path,
+  CAST(k + 1000 AS BIGINT) AS size,
+  md5('s1-' || CAST(k AS VARCHAR)) AS sha1,
+  md5('m1-' || CAST(k AS VARCHAR)) AS md5,
+  'application/pdf' AS mimetype
+FROM u
+UNION ALL
+SELECT item_name, release_id, url,
+  'blob' || CAST(k AS VARCHAR) || '.bin', CAST(k + 2000 AS BIGINT),
+  md5('s5-' || CAST(k AS VARCHAR)), md5('m5-' || CAST(k AS VARCHAR)),
+  CASE WHEN k % 2 = 0 THEN NULL ELSE 'application/json' END
+FROM u
+UNION ALL
+SELECT item_name, release_id, url,
+  item_name || '.bib', CAST(k + 3000 AS BIGINT),
+  md5('s6-' || CAST(k AS VARCHAR)), md5('m6-' || CAST(k AS VARCHAR)),
+  'text/plain'
+FROM u WHERE k % 7 != 0
 """,
 }

@@ -317,3 +317,71 @@ def test_ingest_request_json_reference_shape(spark):
     }
     assert rows["http://y/2.pdf"]["ext_ids"] == {"doi": "10.1/b"}
     assert rows["http://y/2.pdf"]["edit_extra"] == {}
+
+
+def test_archiveorg_filesets(spark):
+    """archiveorg_fileset.py:47-113 arm by arm: mediatype gate, the
+    verbatim [9:] release_ prefix strip, len-26 filter, want_file
+    exclusions (source, sidecar suffixes vs item and lowercased item,
+    leading underscore, academictorrents extras), parse_file (size
+    cast, .get-style format->mimetype, hash-presence gate), and the
+    urls/release_ids assembly."""
+    ident = "a" * 26
+
+    def f(name, source="original", fmt="PDF", size="10", sha1="S", md5="M"):
+        return (name, source, fmt, size, sha1, md5)
+
+    rows = [
+        # normal item: one kept pdf, one unmapped format, sidecars dropped
+        (
+            "Item1",
+            ident,
+            "texts",
+            [
+                f("paper.pdf", size="123"),
+                f("Item1_meta.xml", fmt="XML"),
+                f("item1_thumb.png", fmt="PNG"),  # lowercase-item match
+                f("_hidden", fmt="Text"),
+                f("deriv.csv", source="derivative", fmt="CSV"),
+                f("weird.dat", fmt="DAT"),  # unmapped -> null mimetype
+                f("nohash.txt", fmt="Text", md5=None),
+                f("Item1.bib", fmt="Text"),  # kept: NOT academictorrents
+            ],
+        ),
+        # academictorrents: .bib and torrent sidecars additionally dropped
+        (
+            "academictorrents_x",
+            "release_q" + ident,  # [9:] strips 'release_q'
+            "texts",
+            [
+                f("academictorrents_x.bib", fmt="Text"),
+                f("academictorrents_x_academictorrents.torrent", fmt="Text"),
+                f("keep.pdf"),
+            ],
+        ),
+        ("Item3", ident, "collection", [f("x.pdf")]),  # mediatype gate
+        ("Item4", ident, "web", [f("x.pdf")]),  # mediatype gate
+        ("Item5", "tooshort", "texts", [f("x.pdf")]),  # len != 26
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "item_name string, release_id string, mediatype string, "
+        "files array<struct<name:string,source:string,format:string,"
+        "size:string,sha1:string,md5:string>>",
+    )
+    out = {r.item_name: r for r in intake.archiveorg_filesets(src).collect()}
+    assert set(out) == {"Item1", "academictorrents_x"}
+
+    r1 = out["Item1"]
+    assert r1.release_ids == [ident]
+    assert [(u.rel, u.url) for u in r1.urls] == [
+        ("archive", "https://archive.org/download/Item1/")
+    ]
+    assert [(m.path, m.size, m.mimetype) for m in r1.manifest] == [
+        ("paper.pdf", 123, "application/pdf"),
+        ("weird.dat", 10, None),
+        ("Item1.bib", 10, "text/plain"),
+    ]
+    r2 = out["academictorrents_x"]
+    assert r2.release_ids == [ident]
+    assert [m.path for m in r2.manifest] == ["keep.pdf"]
