@@ -302,3 +302,114 @@ def reingest_candidates(
         res,
         (req["ingest_type"] == res["_r_type"]) & (req["base_url"] == res["_r_url"]),
     ).drop("_r_type", "_r_url")
+
+
+# ---------------------------------------------------------- backfill dumps
+#
+# The reference's extraction-backfill selections (sql/dump_unextracted_
+# pdf[_petabox].sql, dump_ungrobid_pdf[_petabox].sql, dump_regrobid_
+# pdf[_petabox].sql): "which captured files still need (re-)processing"
+# — the feeder jobs for GROBID / pdf_meta batch runs. Each is a semi/
+# anti-join funnel on sha1hex over a capture table (cdx or petabox —
+# the variants are the SAME funnel over a different capture table, so
+# these take the capture DataFrame as an argument) ending in one
+# emitted capture row per sha1.
+#
+# The reference ends in Postgres ``DISTINCT ON (sha1hex)`` with no
+# ORDER BY (dump_regrobid does it in the shell: ``sort | uniq -w 40``),
+# i.e. an ARBITRARY representative. Arbitrary picks don't survive
+# distributed reruns, so the port pins a canonical one — the row
+# minimizing ``order_cols`` — via one sort-free min_by aggregate (the
+# same idiom as the frontier's dedup; no window, no global sort, one
+# shuffle on sha1hex).
+#
+# Scale shape: every gate table is reduced to a distinct-key column
+# BEFORE its join (semi/anti joins shuffle only sha1hex keys); at
+# 10^10 captures the funnel is scan → 2-3 key joins → one partial-agg
+# min_by — no row ever carries more than the capture columns.
+
+
+def _one_per_key(captures: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    row = F.struct(*[F.col(c) for c in captures.columns])
+    agg = captures.groupBy(key).agg(F.min_by(row, ordk).alias("_row"))
+    return agg.select(*[F.col(f"_row.{c}").alias(c) for c in captures.columns])
+
+
+def backfill_unextracted(
+    grobid: DataFrame,
+    captures: DataFrame,
+    pdf_meta: DataFrame,
+    ingest_results: DataFrame | None = None,
+    key: str = "sha1hex",
+    order_cols: tuple[str, ...] = ("dt", "url"),
+) -> DataFrame:
+    """dump_unextracted_pdf.sql: capture rows whose sha1 has a GROBID
+    row and (cdx variant) a terminal ingest result, but no pdf_meta row
+    yet — the pdf_meta backfill feed. The reference's LEFT JOINs +
+    IS-NOT-NULL gates are semi-joins and the pdf_meta IS NULL gate an
+    anti-join; pass ``ingest_results=None`` for the petabox variant
+    (dump_unextracted_pdf_petabox.sql drops that gate)."""
+    out = captures.join(
+        grobid.select(key).distinct(), key, "left_semi"
+    )
+    if ingest_results is not None:
+        out = out.join(
+            ingest_results.select(
+                F.col("terminal_sha1hex").alias(key)
+            ).distinct(),
+            key,
+            "left_semi",
+        )
+    out = out.join(pdf_meta.select(key).distinct(), key, "left_anti")
+    return _one_per_key(out, key, order_cols)
+
+
+def backfill_ungrobid(
+    captures: DataFrame,
+    grobid: DataFrame,
+    fatcat_file: DataFrame | None = None,
+    mimetype: str | None = "application/pdf",
+    key: str = "sha1hex",
+    order_cols: tuple[str, ...] = ("dt", "url"),
+) -> DataFrame:
+    """dump_ungrobid_pdf.sql: captures never successfully GROBIDed —
+    NOT EXISTS a grobid row WITH a status (status-less rows don't
+    count as attempts). The cdx variant gates on pdf mimetype and
+    leaves the fatcat_file EXISTS commented out; the petabox variant
+    (dump_ungrobid_pdf_petabox.sql) has no mimetype column and gates
+    on fatcat_file — both knobs are arguments here."""
+    out = captures
+    if mimetype is not None:
+        out = out.where(F.col("mimetype") == mimetype)
+    out = out.join(
+        grobid.where(F.col("status").isNotNull()).select(key).distinct(),
+        key,
+        "left_anti",
+    )
+    if fatcat_file is not None:
+        out = out.join(fatcat_file.select(key).distinct(), key, "left_semi")
+    return _one_per_key(out, key, order_cols)
+
+
+def backfill_regrobid(
+    captures: DataFrame,
+    grobid: DataFrame,
+    mimetype: str | None = "application/pdf",
+    key: str = "sha1hex",
+    order_cols: tuple[str, ...] = ("dt", "url"),
+) -> DataFrame:
+    """dump_regrobid_pdf.sql: pdf captures whose grobid row predates
+    version tracking (grobid_version IS NULL) — the re-extraction
+    feed. The reference's pipeline dedups in the shell afterwards
+    (``sort -S 4G | uniq -w 40`` = one line per sha1, 40 hex chars);
+    here that is the same min_by pick as the other dumps."""
+    out = captures
+    if mimetype is not None:
+        out = out.where(F.col("mimetype") == mimetype)
+    out = out.join(
+        grobid.where(F.col("grobid_version").isNull()).select(key).distinct(),
+        key,
+        "left_semi",
+    )
+    return _one_per_key(out, key, order_cols)

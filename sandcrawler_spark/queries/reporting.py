@@ -317,3 +317,88 @@ ORACLES5["mon_score_histogram"] = """
     WHERE status = 'success' AND score IS NOT NULL
     GROUP BY 1
 """
+
+
+def _backfill_fixture(spark, sf_dir):
+    """(captures, grobid, pdf_meta, ingest_results) with the backfill
+    dumps' schema subset, keyed on a derived sha1hex. k%3==0 keys get
+    TWO capture rows (the DISTINCT ON pressure case — the canonical
+    min-(dt,url) pick must survive); grobid exists for even keys with
+    a status-less row every 5th and a version-less row every 7th;
+    pdf_meta every 6th; a terminal ingest result for k%3!=1."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    sha1 = F.md5(F.concat(F.lit("h"), ks))
+    mime = F.when(k % 4 == 0, F.lit("text/html")).otherwise(
+        F.lit("application/pdf")
+    )
+    reps = F.when(k % 3 == 0, F.array(F.lit(1), F.lit(2))).otherwise(
+        F.array(F.lit(1))
+    )
+    caps = p.select(
+        sha1.alias("sha1hex"), mime.alias("mimetype"), ks.alias("ks"),
+        F.explode(reps).alias("r"),
+    )
+    captures = caps.select(
+        "sha1hex",
+        F.concat(
+            F.lit("http://cap.example.org/"), F.col("ks"), F.lit("/"),
+            F.col("r").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("2020010100000"), F.col("r").cast("string")).alias("dt"),
+        "mimetype",
+    )
+    grobid = p.where(k % 2 == 0).select(
+        sha1.alias("sha1hex"),
+        F.when(k % 5 != 0, F.lit("success")).alias("status"),
+        F.when(k % 7 != 0, F.lit("0.5.5-fatcat")).alias("grobid_version"),
+    )
+    pdf_meta = p.where(k % 6 == 0).select(sha1.alias("sha1hex"))
+    ingest = p.where(k % 3 != 1).select(sha1.alias("terminal_sha1hex"))
+    return captures, grobid, pdf_meta, ingest
+
+
+def bf_unextracted(spark, sf_dir):
+    """dump_unextracted_pdf.sql: has grobid + terminal ingest, missing
+    pdf_meta; one canonical capture row per sha1."""
+    captures, grobid, pdf_meta, ingest = _backfill_fixture(spark, sf_dir)
+    return reporting.backfill_unextracted(grobid, captures, pdf_meta, ingest)
+
+
+def bf_ungrobid(spark, sf_dir):
+    """dump_ungrobid_pdf.sql: pdf captures with no status-bearing
+    grobid attempt."""
+    captures, grobid, _, _ = _backfill_fixture(spark, sf_dir)
+    return reporting.backfill_ungrobid(captures, grobid)
+
+
+def bf_regrobid(spark, sf_dir):
+    """dump_regrobid_pdf.sql: pdf captures whose grobid row predates
+    version tracking."""
+    captures, grobid, _, _ = _backfill_fixture(spark, sf_dir)
+    return reporting.backfill_regrobid(captures, grobid)
+
+
+QUERIES5["bf_unextracted"] = bf_unextracted
+QUERIES5["bf_ungrobid"] = bf_ungrobid
+QUERIES5["bf_regrobid"] = bf_regrobid
+
+_BF_ORACLE = """
+WITH p AS (SELECT p_partkey AS k FROM part)
+SELECT md5('h' || CAST(k AS VARCHAR)) AS sha1hex,
+  'http://cap.example.org/' || CAST(k AS VARCHAR) || '/1' AS url,
+  '20200101000001' AS dt,
+  CASE WHEN k %% 4 = 0 THEN 'text/html' ELSE 'application/pdf' END AS mimetype
+FROM p WHERE {gates}
+"""
+
+ORACLES5["bf_unextracted"] = _BF_ORACLE.replace("%%", "%").format(
+    gates="k % 2 = 0 AND k % 3 != 1 AND k % 6 != 0"
+)
+ORACLES5["bf_ungrobid"] = _BF_ORACLE.replace("%%", "%").format(
+    gates="k % 4 != 0 AND NOT (k % 2 = 0 AND k % 5 != 0)"
+)
+ORACLES5["bf_regrobid"] = _BF_ORACLE.replace("%%", "%").format(
+    gates="k % 4 != 0 AND k % 2 = 0 AND k % 7 = 0"
+)

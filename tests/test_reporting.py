@@ -195,3 +195,52 @@ def test_reingest_candidates_rules(spark):
         for r in reingest_candidates(requests, results, now=NOW).collect()
     }
     assert got == {"u1": "no-capture", "u6": "spn2-cdx-lookup-failure"}
+
+
+def test_backfill_dumps_petabox_variants(spark):
+    """The petabox twins of the backfill dumps (dump_unextracted_pdf_
+    petabox.sql / dump_ungrobid_pdf_petabox.sql): no ingest gate, no
+    mimetype column, fatcat_file EXISTS active — plus the canonical
+    one-per-sha1 pick under duplicate captures."""
+    from sandcrawler_spark.operators.reporting import (
+        backfill_ungrobid,
+        backfill_unextracted,
+    )
+
+    captures = spark.createDataFrame(
+        [
+            ("s1", "http://x/1", "20200101000002"),
+            ("s1", "http://x/0", "20200101000001"),  # canonical (min dt)
+            ("s2", "http://y/1", "20200101000001"),
+            ("s3", "http://z/1", "20200101000001"),
+            ("s4", "http://w/1", "20200101000001"),
+        ],
+        "sha1hex string, url string, dt string",
+    )
+    grobid = spark.createDataFrame(
+        [("s1", None, None), ("s2", "success", "0.5.5"), ("s3", "success", None)],
+        "sha1hex string, status string, grobid_version string",
+    )
+    pdf_meta = spark.createDataFrame([("s2",)], "sha1hex string")
+    fatcat = spark.createDataFrame([("s1",), ("s2",), ("s4",)], "sha1hex string")
+
+    # unextracted petabox: grobid'd (s1,s2,s3), no ingest gate, minus
+    # pdf_meta (s2) -> s1 (canonical row) + s3
+    rows = sorted(
+        (r.sha1hex, r.url)
+        for r in backfill_unextracted(
+            grobid, captures, pdf_meta, ingest_results=None
+        ).collect()
+    )
+    assert rows == [("s1", "http://x/0"), ("s3", "http://z/1")]
+
+    # ungrobid petabox: no mimetype, fatcat gate (s1,s2,s4); grobid
+    # attempts WITH status exclude s2,s3; s1's status-less row does
+    # not count as an attempt -> s1 + s4
+    rows = sorted(
+        (r.sha1hex, r.url)
+        for r in backfill_ungrobid(
+            captures, grobid, fatcat_file=fatcat, mimetype=None
+        ).collect()
+    )
+    assert rows == [("s1", "http://x/0"), ("s4", "http://w/1")]
