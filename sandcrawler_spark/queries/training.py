@@ -3230,3 +3230,108 @@ ORACLES2["txt_boilerplate"] = """
                 ELSE 'bad' END AS cls
     FROM cf WINDOW w AS (PARTITION BY id ORDER BY idx)
 """
+
+
+def sp_fulltext_tricks(spark, sf_dir):
+    """Publisher-specific fulltext-URL tricks (operators/fulltext.py =
+    html.py:17-343): 14 deterministic (url, html) shapes per doc_id,
+    one per representative publisher arm (body-regex extract, JSON-in-
+    script, URL rewrite, body-substring gate, href extraction, the
+    generic url+'.pdf' guess, and a no-match arm). The Spark side runs
+    the real coalesce-of-whens ladder; the oracle re-derives the
+    expected (pdf_url, next_url, release_stage, technique) from the
+    case id, so the comparison checks the regex extraction and arm
+    priority, not the fixture."""
+    from sandcrawler_spark.operators.fulltext import fulltext_url_tricks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    m = k % 14
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.researchsquare.com/article/rs-"), ks, F.lit("/v1")))
+        .when(m == 1, F.concat(F.lit("https://arxiv.org/abs/2001.0"), ks))
+        .when(m == 2, F.concat(F.lit("https://osf.io/a"), ks))
+        .when(m == 3, F.concat(F.lit("https://onlinelibrary.wiley.com/doi/pdf/10.1111/x"), ks))
+        .when(m == 4, F.concat(F.lit("https://ieeexplore.ieee.org/document/"), ks))
+        .when(m == 5, F.concat(F.lit("https://insights.ovid.com/crossref?an="), ks))
+        .when(m == 6, F.concat(F.lit("https://www.protocols.io/view/p-"), ks))
+        .when(m == 7, F.concat(F.lit("https://www.degruyter.com/view/books/"), ks, F.lit("/"), ks, F.lit(".xml")))
+        .when(m == 8, F.concat(F.lit("https://www.ahajournals.org/doi/10.1161/c."), ks))
+        .when(m == 9, F.concat(F.lit("https://www.cogentoa.com/article/10.1080/"), ks))
+        .when(m == 10, F.concat(F.lit("https://mhealth.jmir.org/2020/"), ks, F.lit("/")))
+        .when(m == 11, F.concat(F.lit("https://drive.google.com/file/d/FILEID00000"), ks, F.lit("/view")))
+        .when(m == 12, F.concat(F.lit("https://repo.example.org/d/"), ks))
+        .otherwise(F.concat(F.lit("https://none.example.org/"), ks))
+    )
+    html = (
+        F.when(m == 0, F.concat(F.lit('x "url":"https://assets.researchsquare.com/files/f'), ks, F.lit('/v2/Manuscript.pdf)" wrong'), F.lit(' "url":"https://assets.researchsquare.com/files/f'), ks, F.lit('/v2/Manuscript.pdf"')))
+        .when(m == 3, F.lit('<a href="/doi/pdfdirect/x">direct</a>'))
+        .when(m == 4, F.concat(F.lit('{"pdfPath":"/iel7/'), ks, F.lit('/0.pdf",')))
+        .when(m == 5, F.concat(F.lit('var journalURL = "https://j.example.org/ft/'), ks, F.lit('";')))
+        .when(m == 8, F.lit('<a href="/doi/pdf/10.1161/x">PDF</a>'))
+        .when(m == 12, F.concat(F.lit("get https://repo.example.org/d/"), ks, F.lit(".pdf here")))
+        .otherwise(F.lit("<html><body>page</body></html>"))
+    )
+    src = docs.select("doc_id", url.alias("url"), html.alias("html"))
+    return fulltext_url_tricks(src).select(
+        "doc_id", "url", "pdf_url", "next_url", "release_stage", "technique"
+    )
+
+
+QUERIES2.update({"sp_fulltext_tricks": sp_fulltext_tricks})
+ORACLES2.update(
+    {
+        "sp_fulltext_tricks": """
+WITH d AS (SELECT doc_id AS k, CAST(doc_id AS VARCHAR) AS ks, doc_id % 14 AS m
+           FROM documents),
+base AS (
+  SELECT k, m, ks,
+    CASE m
+      WHEN 0 THEN 'https://www.researchsquare.com/article/rs-' || ks || '/v1'
+      WHEN 1 THEN 'https://arxiv.org/abs/2001.0' || ks
+      WHEN 2 THEN 'https://osf.io/a' || ks
+      WHEN 3 THEN 'https://onlinelibrary.wiley.com/doi/pdf/10.1111/x' || ks
+      WHEN 4 THEN 'https://ieeexplore.ieee.org/document/' || ks
+      WHEN 5 THEN 'https://insights.ovid.com/crossref?an=' || ks
+      WHEN 6 THEN 'https://www.protocols.io/view/p-' || ks
+      WHEN 7 THEN 'https://www.degruyter.com/view/books/' || ks || '/' || ks || '.xml'
+      WHEN 8 THEN 'https://www.ahajournals.org/doi/10.1161/c.' || ks
+      WHEN 9 THEN 'https://www.cogentoa.com/article/10.1080/' || ks
+      WHEN 10 THEN 'https://mhealth.jmir.org/2020/' || ks || '/'
+      WHEN 11 THEN 'https://drive.google.com/file/d/FILEID00000' || ks || '/view'
+      WHEN 12 THEN 'https://repo.example.org/d/' || ks
+      ELSE 'https://none.example.org/' || ks END AS url
+  FROM d
+)
+SELECT k AS doc_id, url,
+  CASE m
+    WHEN 0 THEN 'https://assets.researchsquare.com/files/f' || ks || '/v2/Manuscript.pdf'
+    WHEN 1 THEN 'https://arxiv.org/pdf/2001.0' || ks
+    WHEN 4 THEN 'https://ieeexplore.ieee.org/iel7/' || ks || '/0.pdf'
+    WHEN 6 THEN url || '.pdf'
+    WHEN 7 THEN 'https://www.degruyter.com/downloadpdf/books/' || ks || '/' || ks || '.pdf'
+    WHEN 8 THEN 'https://www.ahajournals.org/doi/pdf/10.1161/c.' || ks || '?download=true'
+    WHEN 9 THEN url || '.pdf'
+    WHEN 10 THEN url || 'pdf'
+    WHEN 11 THEN 'https://drive.google.com/uc?export=download&id=FILEID00000' || ks
+    WHEN 12 THEN url || '.pdf'
+    END AS pdf_url,
+  CASE m
+    WHEN 2 THEN url || '/download'
+    WHEN 3 THEN 'https://onlinelibrary.wiley.com/doi/pdfdirect/10.1111/x' || ks
+    WHEN 5 THEN 'https://j.example.org/ft/' || ks
+    END AS next_url,
+  CASE m WHEN 0 THEN 'manuscript' WHEN 4 THEN 'published' END AS release_stage,
+  CASE m
+    WHEN 0 THEN 'publisher' WHEN 1 THEN 'arxiv-url' WHEN 2 THEN 'osf-by-url'
+    WHEN 3 THEN 'wiley-pdfdirect' WHEN 4 THEN 'ieeexplore' WHEN 5 THEN 'ovid'
+    WHEN 6 THEN 'protocolsio-url' WHEN 7 THEN 'degruyter-url'
+    WHEN 8 THEN 'ahajournals-url' WHEN 9 THEN 'cogentoa-url'
+    WHEN 10 THEN 'jmir-url' WHEN 11 THEN 'google-drive'
+    WHEN 12 THEN 'guess-url-plus-pdf'
+    END AS technique
+FROM base
+"""
+    }
+)
