@@ -361,3 +361,78 @@ def fulltext_url_tricks(
     for f in _RESULT_FIELDS:
         out = out.withColumn(f, F.col(f"_ft.{f}"))
     return out.drop("_ft")
+
+
+# ingest_file.py:166-180 — loginwall/paywall URL substrings; hitting one
+# with no extractable fulltext link is 'blocked-wall', not 'no-pdf-link'
+WALL_BLOCKLIST = [
+    "://profile.thieme.de/HTML/sso/ejournals/login.htm",
+    "://login.bepress.com/",
+    "?SAMLRequest=",
+    "://osapublishing.org/captcha/",
+    "/password-login",
+    "://gateway.isiknowledge.com/",
+    "/login?TARGET=",
+    "jstage.jst.go.jp/sblogin",
+    "://acw.elsevier.com/SSOCore",
+    "://acw.sciencedirect.com/SSOCore",
+    "/login?source=",
+]
+
+
+def pdf_hop_decision(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    hops_col: str = "hops",
+    biblio_pdf_col: str | None = None,
+    wall_blocklist: list[str] = WALL_BLOCKLIST,
+) -> DataFrame:
+    """The pdf-ingest next-hop decision on an HTML-ish resource
+    (``ingest_file.py:772-809``): html_biblio's pdf_fulltext_url wins
+    when present (technique ``html_biblio``, :775-779), else the
+    :func:`fulltext_url_tricks` ladder; nothing found → ``blocked-wall``
+    if the terminal URL carries a wall substring (:786-789), else
+    ``no-pdf-link`` (:791-792); a found link is cleaned
+    (misc.py clean_url → the repo's ``canonical_url_udf``, the same
+    kernel the frontier uses) and checked against the hop chain
+    (``link-loop``, :804-806); otherwise status ``next-hop`` with the
+    link appended to ``hops`` (:808) — ready to join back into the
+    frontier as the next round's fetch.
+
+    Adds: ``hop_status``, ``hop_next_url`` (cleaned; null unless a link
+    was found), ``hop_technique``, ``hops_out`` (appended only on
+    next-hop). One scan; the only Python is the URL-clean pandas UDF.
+    """
+    from sandcrawler_spark.functions.urlkeys import canonical_url_udf
+
+    out = fulltext_url_tricks(df, url_col, html_col)
+    found = F.coalesce(F.col("pdf_url"), F.col("next_url"))
+    technique = F.col("technique")
+    if biblio_pdf_col is not None:
+        bp = F.col(biblio_pdf_col)
+        use_bp = bp.isNotNull() & (bp != "")
+        found = F.when(use_bp, bp).otherwise(found)
+        technique = F.when(use_bp, F.lit("html_biblio")).otherwise(technique)
+    wall = F.lit(False)
+    for b in wall_blocklist:
+        wall = wall | F.col(url_col).contains(b)
+    nxt = canonical_url_udf(found)
+    status = (
+        F.when(found.isNull() & wall, F.lit("blocked-wall"))
+        .when(found.isNull(), F.lit("no-pdf-link"))
+        .when(F.array_contains(F.col(hops_col), nxt), F.lit("link-loop"))
+        .otherwise(F.lit("next-hop"))
+    )
+    return (
+        out.withColumn("hop_status", status)
+        .withColumn("hop_next_url", nxt)
+        .withColumn("hop_technique", technique)
+        .withColumn(
+            "hops_out",
+            F.when(
+                status == "next-hop", F.array_append(F.col(hops_col), nxt)
+            ).otherwise(F.col(hops_col)),
+        )
+        .drop("pdf_url", "next_url", "release_stage", "technique")
+    )

@@ -3335,3 +3335,74 @@ FROM base
 """
     }
 )
+
+
+def sp_pdf_hop(spark, sf_dir):
+    """The pdf-ingest next-hop decision (operators/fulltext.py::
+    pdf_hop_decision = ingest_file.py:772-809): six outcome shapes per
+    doc_id — biblio-preferred link, tricks-pdf link, link-loop against
+    the hop chain, blocked-wall, no-pdf-link, and a tricks next_url
+    (ovid). The oracle re-derives status/link/technique/hops from the
+    case id; the Spark side runs the real extraction + decision."""
+    from sandcrawler_spark.operators.fulltext import pdf_hop_decision
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    m = k % 6
+    arxiv_abs = F.concat(F.lit("https://arxiv.org/abs/2001."), ks)
+    arxiv_pdf = F.concat(F.lit("https://arxiv.org/pdf/2001."), ks)
+    url = (
+        F.when(m.isin(0, 1, 2), arxiv_abs)
+        .when(m == 3, F.concat(F.lit("https://x.example.org/login?TARGET=p"), ks))
+        .when(m == 4, F.concat(F.lit("https://x.example.org/p"), ks))
+        .otherwise(F.concat(F.lit("https://insights.ovid.com/crossref?an="), ks))
+    )
+    html = F.when(
+        m == 5,
+        F.concat(F.lit('var journalURL = "https://j.example.org/ft/'), ks, F.lit('";')),
+    ).otherwise(F.lit("x"))
+    biblio = F.when(m == 0, F.concat(F.lit("https://pub.example.org/"), ks, F.lit(".pdf")))
+    hops = (
+        F.when(m.isin(0, 1), F.array(arxiv_abs))
+        .when(m == 2, F.array(arxiv_pdf))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    src = docs.select(
+        "doc_id", url.alias("url"), html.alias("html"),
+        biblio.alias("biblio_pdf"), hops.alias("hops"),
+    )
+    return pdf_hop_decision(src, biblio_pdf_col="biblio_pdf").select(
+        "doc_id", "hop_status", "hop_next_url", "hop_technique", "hops_out"
+    )
+
+
+QUERIES2.update({"sp_pdf_hop": sp_pdf_hop})
+ORACLES2.update(
+    {
+        "sp_pdf_hop": """
+WITH d AS (SELECT doc_id AS k, CAST(doc_id AS VARCHAR) AS ks, doc_id % 6 AS m
+           FROM documents),
+b AS (
+  SELECT k, m,
+    'https://arxiv.org/abs/2001.' || ks AS abs_url,
+    'https://arxiv.org/pdf/2001.' || ks AS pdf_url,
+    'https://pub.example.org/' || ks || '.pdf' AS bib_url,
+    'https://j.example.org/ft/' || ks AS ovid_url
+  FROM d
+)
+SELECT k AS doc_id,
+  CASE m WHEN 0 THEN 'next-hop' WHEN 1 THEN 'next-hop' WHEN 2 THEN 'link-loop'
+         WHEN 3 THEN 'blocked-wall' WHEN 4 THEN 'no-pdf-link'
+         ELSE 'next-hop' END AS hop_status,
+  CASE m WHEN 0 THEN bib_url WHEN 1 THEN pdf_url WHEN 2 THEN pdf_url
+         WHEN 5 THEN ovid_url END AS hop_next_url,
+  CASE m WHEN 0 THEN 'html_biblio' WHEN 1 THEN 'arxiv-url'
+         WHEN 2 THEN 'arxiv-url' WHEN 5 THEN 'ovid' END AS hop_technique,
+  CASE m WHEN 0 THEN [abs_url, bib_url] WHEN 1 THEN [abs_url, pdf_url]
+         WHEN 2 THEN [pdf_url] WHEN 5 THEN [ovid_url]
+         ELSE CAST([] AS VARCHAR[]) END AS hops_out
+FROM b
+"""
+    }
+)

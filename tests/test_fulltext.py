@@ -239,3 +239,44 @@ def test_fulltext_url_tricks_goldens(spark):
     }
     for name, _u, _h, pdf, nxt, stage, tech in CASES:
         assert got[name] == (pdf, nxt, stage, tech), name
+
+
+def test_pdf_hop_decision(spark):
+    """ingest_file.py:772-809 outcomes: biblio-preferred link, tricks
+    link, blocked-wall vs no-pdf-link on empty extraction, link-loop
+    against the hop chain, and the hops append on next-hop."""
+    from sandcrawler_spark.operators.fulltext import pdf_hop_decision
+
+    rows = [
+        # biblio pdf wins over the arxiv trick arm
+        ("biblio", "https://arxiv.org/abs/2001.1", "", "https://pub.example.org/1.pdf", []),
+        # tricks arm fires (arxiv), not yet in hops -> next-hop
+        ("trick", "https://arxiv.org/abs/2001.2", "", None, ["https://arxiv.org/abs/2001.2"]),
+        # tricks link already in hops -> link-loop
+        ("loop", "https://arxiv.org/abs/2001.3", "", None, ["https://arxiv.org/pdf/2001.3"]),
+        # nothing found, wall substring in terminal URL -> blocked-wall
+        ("wall", "https://x.org/login?TARGET=abc", "nope", None, []),
+        # nothing found, no wall -> no-pdf-link
+        ("nolink", "https://x.org/page", "nope", None, []),
+    ]
+    src = spark.createDataFrame(
+        rows, "name string, url string, html string, biblio_pdf string, hops array<string>"
+    )
+    got = {
+        r["name"]: (r.hop_status, r.hop_next_url, r.hop_technique, r.hops_out)
+        for r in pdf_hop_decision(src, biblio_pdf_col="biblio_pdf").collect()
+    }
+    assert got["biblio"] == (
+        "next-hop", "https://pub.example.org/1.pdf", "html_biblio",
+        ["https://pub.example.org/1.pdf"],
+    )
+    assert got["trick"] == (
+        "next-hop", "https://arxiv.org/pdf/2001.2", "arxiv-url",
+        ["https://arxiv.org/abs/2001.2", "https://arxiv.org/pdf/2001.2"],
+    )
+    assert got["loop"] == (
+        "link-loop", "https://arxiv.org/pdf/2001.3", "arxiv-url",
+        ["https://arxiv.org/pdf/2001.3"],
+    )
+    assert got["wall"] == ("blocked-wall", None, None, [])
+    assert got["nolink"] == ("no-pdf-link", None, None, [])
