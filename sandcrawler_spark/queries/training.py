@@ -3406,3 +3406,70 @@ FROM b
 """
     }
 )
+
+
+def pack_ffd_twoclass(spark, sf_dir):
+    """The FFD packing kernel under an EXACT oracle: a two-size-class
+    fixture (sizes 60/30, budget 100, shard = doc_id % 4) where
+    first-fit-decreasing has a closed form — every 60 opens its own
+    bin (120 > 100), the first min(n30, n60) thirties first-fit one
+    per 60-bin in creation order (fill 90), and leftover thirties pack
+    three per new bin. The Spark side runs the real sequential
+    applyInPandas packer; the oracle states the closed form, so the
+    driver gets an exact value-hash row for the FFD kernel (the
+    realistic-sizes twin pack_ffd_bins stays rows-only: arbitrary
+    sizes are not SQL-expressible)."""
+    from sandcrawler_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(60)).otherwise(F.lit(30))
+        .cast("long").alias("sz"),
+    )
+    packed = curation.pack_ffd(d, "sz", "doc_id", budget=100)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.max("bin_fill").alias("bin_fill")
+    )
+
+
+QUERIES2.update({"pack_ffd_twoclass": pack_ffd_twoclass})
+ORACLES2.update(
+    {
+        "pack_ffd_twoclass": """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         CASE WHEN doc_id % 3 = 0 THEN 60 ELSE 30 END AS sz
+  FROM documents
+),
+c AS (
+  SELECT shard,
+         SUM(CASE WHEN sz = 60 THEN 1 ELSE 0 END) AS n60,
+         SUM(CASE WHEN sz = 30 THEN 1 ELSE 0 END) AS n30
+  FROM d GROUP BY 1
+),
+r AS (
+  SELECT shard, sz,
+         row_number() OVER (PARTITION BY shard, sz ORDER BY doc_id) - 1 AS rk
+  FROM d
+),
+sixty AS (
+  SELECT r.shard, r.rk AS bin,
+    CASE WHEN r.rk < LEAST(c.n30, c.n60) THEN 2 ELSE 1 END AS n_docs,
+    CASE WHEN r.rk < LEAST(c.n30, c.n60) THEN 90 ELSE 60 END AS bin_fill
+  FROM r JOIN c USING (shard) WHERE r.sz = 60
+),
+extra AS (
+  SELECT r.shard, c.n60 + (r.rk - c.n60) // 3 AS bin, COUNT(*) AS n_docs
+  FROM r JOIN c USING (shard)
+  WHERE r.sz = 30 AND r.rk >= c.n60
+  GROUP BY 1, 2
+)
+SELECT shard, CAST(bin AS INT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(bin_fill AS BIGINT) AS bin_fill FROM sixty
+UNION ALL
+SELECT shard, CAST(bin AS INT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 30 AS BIGINT) AS bin_fill FROM extra
+"""
+    }
+)
