@@ -406,6 +406,7 @@ def seen_anti_join(
     scratch: list | None = None,
     probe_udf=None,
     probe_fn=None,
+    confirm_parts: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """candidates ∖ url_seen on ``keys`` (J3 left_anti), with the bloom
     short-circuit for definitely-new rows.
@@ -417,15 +418,35 @@ def seen_anti_join(
     (:meth:`BloomStore.probe_cogrouped`-style, df → df + ``__maybe``)
     for blooms too large to sideload. Without either, falls back to a
     one-shot build (standalone use).
+
+    ``confirm_parts``: optional (base, delta) split of the SAME seen
+    set for the exact-confirm phase — anti-join vs (base ∪ delta) ≡
+    anti-join vs base then vs delta, and when ``base`` is a
+    catalog-bucketed table (``sources/bucketed.py``) its side of the
+    join plans WITHOUT an Exchange (only the small maybe-side
+    shuffles). ``url_seen`` must still be the full set (it feeds the
+    one-shot bloom fallback).
     """
-    seen_keys = url_seen.select(*[F.col(k).alias(f"__s_{k}") for k in keys])
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        return df.select(*[F.col(k).alias(f"__s_{k}") for k in keys])
+
     cond = None
     for k in keys:
         c = F.col(k) == F.col(f"__s_{k}")
         cond = c if cond is None else (cond & c)
 
+    def _confirm(df: DataFrame) -> DataFrame:
+        if confirm_parts is None:
+            return df.join(_keyed(url_seen), cond, "left_anti")
+        base, delta = confirm_parts
+        out = df.join(_keyed(base), cond, "left_anti")
+        if delta is not None:
+            out = out.join(_keyed(delta), cond, "left_anti")
+        return out
+
     if not use_bloom:
-        return candidates.join(seen_keys, cond, "left_anti")
+        return _confirm(candidates)
 
     if probe_fn is not None:
         tagged = probe_fn(candidates)
@@ -441,5 +462,5 @@ def seen_anti_join(
         scratch.append(tagged)
     definitely_new = tagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = tagged.filter(F.col("__maybe")).drop("__maybe")
-    confirmed_new = maybe.join(seen_keys, cond, "left_anti")
+    confirmed_new = _confirm(maybe)
     return definitely_new.unionByName(confirmed_new)

@@ -29,6 +29,7 @@ matches the single-threaded oracle byte-for-byte.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import time
@@ -357,6 +358,7 @@ def _new_candidates(
     scratch: list | None = None,
     probe_udf=None,
     probe_fn=None,
+    confirm_parts: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """Drop candidates already processed: the URL-seen anti-join with
     bloom prefilter (J3/J8; SURVEY §7.0) for unforced rows, the
@@ -391,6 +393,7 @@ def _new_candidates(
         scratch=scratch,
         probe_udf=probe_udf,  # incrementally-maintained sharded bloom
         probe_fn=probe_fn,  # cogrouped probe once past sideload size
+        confirm_parts=confirm_parts,  # bucketed base + plain deltas
     )
     if not has_forced:
         return new_unforced
@@ -440,6 +443,7 @@ def run_round(
     prepared_rules: DataFrame | None = None,
     rules_broadcastable: bool = True,
     max_retries: int = 0,
+    seen_confirm_parts: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> RoundResult:
     scratch = scratch if scratch is not None else []
     candidates = _dedup_candidates(frontier)
@@ -462,6 +466,7 @@ def run_round(
             scratch=scratch,
             probe_udf=probe_udf,
             probe_fn=probe_fn,
+            confirm_parts=seen_confirm_parts,
         )
 
     # --- robots / blocklist / budget (F6/J1). Small rules side →
@@ -780,8 +785,22 @@ def run_crawl(
     compact_factor: float | None = 2.0,
     compact_min_rows: int = 50_000,
     max_retries: int = 0,
+    bucketed_seen: bool = False,
 ) -> SnapshotStore:
     """Multi-round crawl driver with snapshot commit + exact resume.
+
+    ``bucketed_seen=True`` periodically folds the accumulated url_seen
+    deltas into ONE catalog-bucketed base table (bucketed+sorted by the
+    anti-join keys, ``sources/bucketed.py``), and the per-round exact
+    confirm then anti-joins candidates against (bucketed base, plain
+    deltas-since) separately — set-equivalent to the union, but the
+    base side of the join plans with NO Exchange: at the 10^10 design
+    point only the (bloom-surviving) candidates shuffle, never the
+    accumulated seen set. Digest-neutral (anti ∘ union ≡ anti ∘ anti;
+    the base is the raw delta multiset, no resolution baked in).
+    Iceberg analogue: bucket(N, key) partition transform +
+    storage-partitioned joins. Trigger/cadence shares
+    ``compact_factor`` / ``compact_min_rows`` with frontier compaction.
 
     Each round reads committed state, runs the round job, and commits
     (url_seen delta, next frontier, ranked fetch order, counters)
@@ -890,7 +909,29 @@ def run_crawl(
                     spark, store, upto_round=round_id - 1
                 )
                 _trace(f"round {round_id} assemble frontier", t_prep)
-            url_seen = store.read_table("url_seen", upto_round=round_id - 1)
+            seen_parts = None
+            sc = store.seen_compaction if bucketed_seen else None
+            if sc is not None and sc["round"] <= round_id - 1:
+                from sandcrawler_spark.sources.bucketed import read_bucketed
+
+                seen_base = read_bucketed(
+                    spark, store.aux_path(sc["table"]), sc["catalog"]
+                )
+                seen_delta = store.read_table(
+                    "url_seen", upto_round=round_id - 1, from_round=sc["round"] + 1
+                )
+                url_seen = (
+                    seen_base
+                    if seen_delta is None
+                    else seen_base.unionByName(seen_delta)
+                )
+                # confirm anti-joins run per part: the bucketed base
+                # side plans shuffle-free; resolution below (forced
+                # path) touches only the unioned payload view — the
+                # anti-join is key-presence-only, resolution-neutral
+                seen_parts = (seen_base, seen_delta)
+            else:
+                url_seen = store.read_table("url_seen", upto_round=round_id - 1)
             any_forced = any(_c(r, "forced", 0) for r in range(round_id))
             if url_seen is not None and any_forced:
                 url_seen = resolve_url_seen(url_seen)
@@ -955,6 +996,7 @@ def run_crawl(
                 prepared_rules=rules_tbl,
                 rules_broadcastable=rules_broadcastable,
                 max_retries=max_retries,
+                seen_confirm_parts=seen_parts,
             )
             _trace(f"round {round_id} run_round (rank job)", t0)
 
@@ -1124,6 +1166,52 @@ def run_crawl(
                         ) or None,
                     )
                     _trace(f"round {round_id} frontier compaction", t0)
+
+            # --- url_seen bucketed compaction: fold deltas into a
+            # catalog-bucketed base when they outgrow it (same knobs as
+            # frontier compaction). The base is the raw delta multiset —
+            # union-equivalent forever, nothing resolved away.
+            if bucketed_seen and compact_factor is not None:
+                sc = store.seen_compaction
+                sc_round = sc["round"] if sc else -1
+                sc_rows = sc["rows"] if sc else 0
+                seen_since = sum(
+                    _c(r, "deduped", 0) for r in range(sc_round + 1, round_id + 1)
+                )
+                if seen_since >= compact_min_rows and seen_since > compact_factor * max(
+                    sc_rows, 1
+                ):
+                    from sandcrawler_spark.sources.bucketed import (
+                        read_bucketed,
+                        write_bucketed,
+                    )
+
+                    t0 = time.perf_counter()
+                    delta = store.read_table(
+                        "url_seen", upto_round=round_id, from_round=sc_round + 1
+                    )
+                    full = (
+                        delta
+                        if sc is None
+                        else read_bucketed(
+                            spark, store.aux_path(sc["table"]), sc["catalog"]
+                        ).unionByName(delta)
+                    )
+                    name = f"seen_base_r{round_id:05d}"
+                    cat = "seen_base_{}_r{}".format(
+                        hashlib.md5(state_dir.encode()).hexdigest()[:8], round_id
+                    )
+                    write_bucketed(
+                        full,
+                        store.aux_path(name),
+                        cat,
+                        ["ingest_type", "canonical_url"],
+                        n_buckets=parallelism,
+                    )
+                    store.set_seen_compaction(
+                        round_id, name, cat, rows=sc_rows + seen_since
+                    )
+                    _trace(f"round {round_id} url_seen bucketed compaction", t0)
             for df in scratch:  # free this round's caches before the next
                 df.unpersist()
         return store

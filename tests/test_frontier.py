@@ -145,3 +145,40 @@ def test_politeness_keeps_unselected(spark):
     assert len(out) == 40  # nothing dropped
     sel = sorted(r["canonical_url"] for r in out if r["selected"])
     assert sel == ["http://hot.example.org/p000", "http://hot.example.org/p001"]
+
+
+def test_bucketed_seen_digest_neutral_and_resume(spark, fixture_dir, tmp_path):
+    """bucketed_seen=True (url_seen folded into a catalog-bucketed base,
+    exact confirm anti-joins base and deltas separately) must not change
+    ANY observable result, and must resume across the compaction point
+    (re-registration of the bucketed table from its sidecar spec)."""
+    rounds = 6
+    plain = run_crawl(
+        spark, fixture_dir, str(tmp_path / "pb"), max_rounds=rounds,
+        compact_factor=None,
+    )
+    bucketed = run_crawl(
+        spark, fixture_dir, str(tmp_path / "bb"), max_rounds=rounds,
+        compact_factor=0.0, compact_min_rows=1, bucketed_seen=True,
+    )
+    assert bucketed.seen_compaction is not None  # it actually ran
+    assert _spark_orders(plain) == _spark_orders(bucketed)
+    assert _spark_seen(plain) == _spark_seen(bucketed)
+
+    # resume path: continue a bucketed crawl past its compaction point
+    # in a fresh catalog state (drop the table to simulate a restart —
+    # read_bucketed must re-register from the sidecar spec)
+    part = run_crawl(
+        spark, fixture_dir, str(tmp_path / "rb"), max_rounds=3,
+        compact_factor=0.0, compact_min_rows=1, bucketed_seen=True,
+    )
+    sc = part.seen_compaction
+    assert sc is not None
+    spark.sql(f"DROP TABLE IF EXISTS {sc['catalog']}")
+    part = run_crawl(
+        spark, fixture_dir, str(tmp_path / "rb"), max_rounds=rounds,
+        compact_factor=0.0, compact_min_rows=1, bucketed_seen=True,
+        resume=True,
+    )
+    assert _spark_orders(part) == _spark_orders(plain)
+    assert _spark_seen(part) == _spark_seen(plain)
