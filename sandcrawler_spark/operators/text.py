@@ -415,6 +415,66 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def duplicate_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher repetition RULES, line/paragraph half (Rae et al. 2021
+    §A1.2, public paper) — the within-document duplicate-structure
+    signals that complement :func:`repetition_stats`'s n-gram char
+    fractions and :func:`gopher_rules`'s §A1.1 document rules:
+
+    - ``dup_line_frac``:  lines that repeat an earlier identical line /
+      total non-blank lines (threshold 0.30),
+    - ``dup_line_char_frac``:  chars of those repeated lines /
+      ``length(text)`` (threshold 0.20),
+    - ``dup_para_frac`` / ``dup_para_char_frac``:  same over
+      ``\\n\\n``-separated paragraphs (0.30 / 0.20).
+
+    "Repeats an earlier occurrence" is exactly
+    ``size(arr) - size(array_distinct(arr))`` (array_distinct keeps
+    first occurrences), and the char numerator is the joined-length
+    difference — so the whole operator is ONE zero-shuffle projection
+    of array expressions inside whole-stage codegen: no explode, no
+    groupBy, no Python. Blank (whitespace-only) lines/paragraphs are
+    excluded from both numerator and denominator, else empty-line runs
+    dominate the fractions. Fractions are rounded to 4 before the
+    threshold comparisons (flags are functions of the printed values,
+    like :func:`gopher_rules`). A doc passes a rule when the fraction
+    is <= its threshold; ``pass_dup`` ANDs all four."""
+
+    text_len = F.length(text_col)
+
+    def _dup(arr: Column) -> tuple[Column, Column]:
+        kept = F.filter(arr, lambda x: F.length(F.trim(x)) > 0)
+        dedup = F.array_distinct(kept)
+        n_dup = F.size(kept) - F.size(dedup)
+        c_dup = F.length(F.array_join(kept, "")) - F.length(F.array_join(dedup, ""))
+        frac = F.coalesce(F.round(n_dup / F.nullif(F.size(kept), F.lit(0)), 4), F.lit(0.0))
+        cfrac = F.coalesce(F.round(c_dup / F.nullif(text_len, F.lit(0)), 4), F.lit(0.0))
+        return frac, cfrac
+
+    line_frac, line_cfrac = _dup(F.split(text_col, "\n"))
+    para_frac, para_cfrac = _dup(F.split(text_col, "\n\n"))
+    stats = df.select(
+        F.col(id_col).alias("id"),
+        line_frac.alias("dup_line_frac"),
+        line_cfrac.alias("dup_line_char_frac"),
+        para_frac.alias("dup_para_frac"),
+        para_cfrac.alias("dup_para_char_frac"),
+    )
+    return stats.select(
+        "*",
+        (F.col("dup_line_frac") <= 0.30).alias("ok_dup_line"),
+        (F.col("dup_line_char_frac") <= 0.20).alias("ok_dup_line_char"),
+        (F.col("dup_para_frac") <= 0.30).alias("ok_dup_para"),
+        (F.col("dup_para_char_frac") <= 0.20).alias("ok_dup_para_char"),
+        (
+            (F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_line_char_frac") <= 0.20)
+            & (F.col("dup_para_frac") <= 0.30)
+            & (F.col("dup_para_char_frac") <= 0.20)
+        ).alias("pass_dup"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

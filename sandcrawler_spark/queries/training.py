@@ -1137,6 +1137,47 @@ def txt_line_dedup(spark, sf_dir):
     )
 
 
+def txt_dup_lines(spark, sf_dir):
+    """Gopher §A1.2 duplicate line/paragraph rules end-to-end:
+    8-line / 4-paragraph docs are synthesized from three 40-char
+    fragments in the repeating pattern (a b / c a / b c / a b), so
+    every doc has 5 duplicate lines of 8 and 1 duplicate paragraph of
+    4 by construction; the operator's array-native duplicate fractions
+    and pass flags must match the oracle's list-function replay."""
+    docs = _t(spark, sf_dir, "documents")
+    frag = docs.where(
+        (F.col("doc_id") < 400) & (F.length(F.trim("text")) > 0)
+    ).select(
+        F.col("doc_id").alias("sid"),
+        F.substring(F.trim("text"), 1, 40).alias("f"),
+    )
+    ids = docs.where(F.col("doc_id") < 300).select(
+        "doc_id",
+        ((F.col("doc_id") * 11) % 400).alias("a"),
+        ((F.col("doc_id") * 11 + 17) % 400).alias("b"),
+        ((F.col("doc_id") * 11 + 34) % 400).alias("c"),
+    )
+    fa, fb, fc = (frag.alias(n) for n in ("fa", "fb", "fc"))
+    nl, pp = F.lit("\n"), F.lit("\n\n")
+    asm = (
+        ids.join(F.broadcast(fa), F.col("a") == F.col("fa.sid"))
+        .join(F.broadcast(fb), F.col("b") == F.col("fb.sid"))
+        .join(F.broadcast(fc), F.col("c") == F.col("fc.sid"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("fa.f"), nl, F.col("fb.f"), pp,
+                F.col("fc.f"), nl, F.col("fa.f"), pp,
+                F.col("fb.f"), nl, F.col("fc.f"), pp,
+                F.col("fa.f"), nl, F.col("fb.f"),
+            ).alias("text"),
+        )
+    )
+    return text.duplicate_line_stats(asm, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def txt_pii_redact(spark, sf_dir):
     """PII scrub: every doc gets one email, one IPv4, and one
     +international phone appended deterministically; the operator must
@@ -1160,6 +1201,7 @@ def txt_pii_redact(spark, sf_dir):
 QUERIES2.update(
     {
         "txt_gopher_rules": txt_gopher_rules,
+        "txt_dup_lines": txt_dup_lines,
         "txt_line_dedup": txt_line_dedup,
         "txt_pii_redact": txt_pii_redact,
     }
@@ -1199,6 +1241,63 @@ ORACLES2.update(
                 AND (alpha_frac >= 0.8)
                 AND (n_stop >= 2)) AS pass_gopher
         FROM feats
+    """,
+        "txt_dup_lines": """
+        WITH frag AS (
+            SELECT doc_id AS sid, substr(trim(text), 1, 40) AS f
+            FROM documents
+            WHERE doc_id < 400 AND length(trim(text)) > 0),
+        asm AS (
+            SELECT i.doc_id,
+                   fa.f || chr(10) || fb.f || chr(10) || chr(10) ||
+                   fc.f || chr(10) || fa.f || chr(10) || chr(10) ||
+                   fb.f || chr(10) || fc.f || chr(10) || chr(10) ||
+                   fa.f || chr(10) || fb.f AS text
+            FROM (SELECT doc_id,
+                         (doc_id * 11) % 400 AS a,
+                         (doc_id * 11 + 17) % 400 AS b,
+                         (doc_id * 11 + 34) % 400 AS c
+                  FROM documents WHERE doc_id < 300) i
+            JOIN frag fa ON fa.sid = i.a
+            JOIN frag fb ON fb.sid = i.b
+            JOIN frag fc ON fc.sid = i.c),
+        arrs AS (
+            SELECT doc_id, length(text) AS tl,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(trim(x)) > 0) AS ls,
+                   list_filter(string_split(text, chr(10) || chr(10)),
+                               x -> length(trim(x)) > 0) AS ps
+            FROM asm),
+        fr AS (
+            SELECT doc_id,
+                   CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(
+                       (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4)
+                   END AS dup_line_frac,
+                   CASE WHEN tl = 0 THEN 0.0 ELSE round(
+                       (coalesce(length(list_aggregate(ls, 'string_agg', '')), 0)
+                        - coalesce(length(list_aggregate(list_distinct(ls),
+                                                         'string_agg', '')), 0))
+                       * 1.0 / tl, 4)
+                   END AS dup_line_char_frac,
+                   CASE WHEN len(ps) = 0 THEN 0.0 ELSE round(
+                       (len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 4)
+                   END AS dup_para_frac,
+                   CASE WHEN tl = 0 THEN 0.0 ELSE round(
+                       (coalesce(length(list_aggregate(ps, 'string_agg', '')), 0)
+                        - coalesce(length(list_aggregate(list_distinct(ps),
+                                                         'string_agg', '')), 0))
+                       * 1.0 / tl, 4)
+                   END AS dup_para_char_frac
+            FROM arrs)
+        SELECT *,
+               (dup_line_frac <= 0.30) AS ok_dup_line,
+               (dup_line_char_frac <= 0.20) AS ok_dup_line_char,
+               (dup_para_frac <= 0.30) AS ok_dup_para,
+               (dup_para_char_frac <= 0.20) AS ok_dup_para_char,
+               ((dup_line_frac <= 0.30) AND (dup_line_char_frac <= 0.20)
+                AND (dup_para_frac <= 0.30) AND (dup_para_char_frac <= 0.20))
+               AS pass_dup
+        FROM fr
     """,
         "txt_line_dedup": """
         WITH src AS (

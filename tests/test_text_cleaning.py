@@ -44,6 +44,41 @@ def test_line_dedup_removal_and_order(spark):
     assert out[5]["n_removed"] == 0
 
 
+def test_duplicate_line_stats_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            # lines a,b,a,c,a,b -> 3/6 dup; paragraphs all distinct
+            (1, "a\nb\na\n\nc\n\na\nb"),
+            (2, "x\nx\nx\nx"),          # 3/4 dup lines, one paragraph
+            (3, ""),                      # empty doc: all zero, passes
+            (4, "p q r"),                 # single line, no dups
+            (5, "dup\n\ndup\n\ndup"),    # 2/3 dup lines AND paragraphs
+            (6, "  \nkeep\n  \nkeep"),   # blank lines excluded, 1/2 dup
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in X.duplicate_line_stats(df, "id", "text").collect()}
+    assert out[1]["dup_line_frac"] == 0.5
+    assert out[1]["dup_line_char_frac"] == 0.2308  # 3 dup chars / 13
+    assert out[1]["dup_para_frac"] == 0.0 and out[1]["pass_dup"] is False
+    assert out[2]["dup_line_frac"] == 0.75
+    assert out[3]["pass_dup"] is True and out[3]["dup_line_frac"] == 0.0
+    assert out[4]["pass_dup"] is True
+    assert out[5]["dup_para_frac"] == 0.6667
+    assert out[5]["dup_para_char_frac"] == 0.4615  # 6 dup chars / 13
+    assert out[6]["dup_line_frac"] == 0.5  # blanks out of num and denom
+
+
+def test_duplicate_line_stats_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = (
+        X.duplicate_line_stats(df, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pii_redact_goldens(spark):
     df = spark.createDataFrame(
         [
