@@ -682,3 +682,79 @@ def mirror_hosts(
         .filter(F.col("jacc") >= tau)
         .select("host1", "host2", "inter", "jacc")
     )
+
+
+def trap_host_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    digest_col: str = "digest",
+    *,
+    min_urls: int = 100,
+    diversity_max: float = 0.10,
+    query_ratio_min: float = 0.90,
+) -> DataFrame:
+    """Crawler-trap detection over a (host, url, digest) capture table —
+    the host-level hygiene twin of :func:`mirror_hosts`.  Traps
+    (calendar pages, session-id URLs, faceted search) are the classic
+    frontier pathology at 10^10 URLs: a host that mints unbounded
+    DISTINCT URLs over a tiny set of DISTINCT contents.  The public
+    Heritrix-style signals, per host:
+
+    - ``content_diversity`` = distinct digests / distinct URLs (traps
+      are low: many URLs, few contents),
+    - ``query_ratio``        = fraction of captured URLs carrying a
+      querystring (session-id mints are ~1.0),
+    - ``avg_path_depth``     = mean '/'-segment count of the path
+      (recursive path traps grow without bound),
+    - ``trap_suspect``       = n_urls >= ``min_urls`` AND
+      (diversity <= ``diversity_max`` OR query_ratio >= ``query_ratio_min``).
+
+    A flagged host feeds the frontier's blocklist gate (F6) so the
+    scheduler stops paying politeness budget for content it already
+    has.  Scale shape: ONE map-side-combinable groupBy(host); the two
+    exact count-distincts plan as a single Expand + partial aggregates
+    (no second shuffle); at 10^10 swap them for approx_count_distinct —
+    same plan shape, and HLL sketches sidestep the very hot-host skew
+    this operator exists to find.  Path depth and querystring flags are
+    pure codegen string expressions on the scan."""
+    noq = F.substring_index(F.col(url_col), "?", 1)
+    path = F.regexp_replace(noq, "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    depth = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+    has_q = F.col(url_col).contains("?").cast("int")
+    stats = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.col(digest_col).alias("digest"),
+            depth.alias("depth"),
+            has_q.alias("has_q"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("digest").alias("n_digests"),
+            F.round(F.avg("has_q"), 4).alias("query_ratio"),
+            F.round(F.avg("depth"), 4).alias("avg_path_depth"),
+        )
+        .withColumn(
+            "content_diversity", F.round(F.col("n_digests") / F.col("n_urls"), 4)
+        )
+    )
+    return stats.select(
+        "host",
+        "n_captures",
+        "n_urls",
+        "n_digests",
+        "content_diversity",
+        "query_ratio",
+        "avg_path_depth",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (
+                (F.col("content_diversity") <= diversity_max)
+                | (F.col("query_ratio") >= query_ratio_min)
+            )
+        ).alias("trap_suspect"),
+    )

@@ -3572,3 +3572,80 @@ SELECT shard, CAST(bin AS INT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
 """
     }
 )
+
+
+# ================================================ crawler-trap detection
+def crawl_trap_hosts(spark, sf_dir):
+    """Trap-host detection over a synthesized capture table: 40 hosts
+    from the events stream; every 5th host is a session-id trap (each
+    capture mints a unique ?sid= URL over only 8 distinct contents),
+    the rest serve stable content (digest = md5(url), diversity 1.0).
+    The flags must reproduce the oracle's exact-distinct replay."""
+    from sandcrawler_spark.operators.dedup import trap_host_stats
+
+    ev = _t(spark, sf_dir, "events")
+    hid = F.col("user_id") % 40
+    is_trap = (hid % 5) == 0
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    base = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".example.org"),
+        F.expr("repeat('/d', cast(1 + event_id % 3 as int))"),
+        F.lit("/p"),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    url = F.when(
+        is_trap, F.concat(base, F.lit("?sid="), F.col("event_id").cast("string"))
+    ).otherwise(base)
+    digest = F.when(
+        is_trap, F.md5(F.concat(host, (F.col("event_id") % 8).cast("string")))
+    ).otherwise(F.md5(url))
+    cap = ev.select(host.alias("host"), url.alias("url"), digest.alias("digest"))
+    return trap_host_stats(cap, min_urls=120)
+
+
+QUERIES2["crawl_trap_hosts"] = crawl_trap_hosts
+
+ORACLES2["crawl_trap_hosts"] = """
+        WITH ev AS (
+            SELECT event_id, user_id % 40 AS hid,
+                   (user_id % 40) % 5 = 0 AS is_trap
+            FROM events),
+        cap0 AS (
+            SELECT 'h' || CAST(hid AS VARCHAR) AS host, is_trap, event_id,
+                   'https://h' || CAST(hid AS VARCHAR) || '.example.org' ||
+                   repeat('/d', CAST(1 + event_id % 3 AS INT)) ||
+                   '/p' || CAST(event_id % 50 AS VARCHAR) AS base
+            FROM ev),
+        cap AS (
+            SELECT host,
+                   CASE WHEN is_trap
+                        THEN base || '?sid=' || CAST(event_id AS VARCHAR)
+                        ELSE base END AS url,
+                   CASE WHEN is_trap
+                        THEN md5(host || CAST(event_id % 8 AS VARCHAR))
+                        ELSE md5(base) END AS digest
+            FROM cap0),
+        feats AS (
+            SELECT host, url, digest,
+                   length(p) - length(replace(p, '/', '')) AS depth,
+                   CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS has_q
+            FROM (SELECT *, regexp_replace(split_part(url, '?', 1),
+                        '^[a-z][a-z0-9+.-]*://[^/]*', '') AS p FROM cap)),
+        stats AS (
+            SELECT host,
+                   count(*) AS n_captures,
+                   count(DISTINCT url) AS n_urls,
+                   count(DISTINCT digest) AS n_digests,
+                   round(avg(has_q), 4) AS query_ratio,
+                   round(avg(depth), 4) AS avg_path_depth
+            FROM feats GROUP BY host)
+        SELECT host, n_captures, n_urls, n_digests,
+               round(n_digests * 1.0 / n_urls, 4) AS content_diversity,
+               query_ratio, avg_path_depth,
+               (n_urls >= 120 AND
+                (round(n_digests * 1.0 / n_urls, 4) <= 0.10
+                 OR query_ratio >= 0.90)) AS trap_suspect
+        FROM stats
+"""

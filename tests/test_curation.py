@@ -209,6 +209,44 @@ def test_mirror_hosts(spark):
     assert not any("d.org" in k for k in got)
 
 
+def test_trap_host_stats(spark):
+    from sandcrawler_spark.operators.dedup import trap_host_stats
+
+    rows = (
+        # session-id trap: 6 unique urls, 2 contents, all querystringed
+        [("trap.org", f"https://trap.org/cal?sid={i}", f"d{i % 2}") for i in range(6)]
+        # healthy host: 6 urls, 6 contents, no querystrings, depth 2
+        + [("ok.org", f"https://ok.org/a/p{i}", f"c{i}") for i in range(6)]
+        # small host: trap-shaped but under min_urls
+        + [("tiny.org", f"https://tiny.org/x?s={i}", "same") for i in range(3)]
+        # re-captures of one url must not inflate n_urls
+        + [("ok.org", "https://ok.org/a/p0", "c0")] * 4
+    )
+    df = spark.createDataFrame(rows, "host string, url string, digest string")
+    got = {
+        r["host"]: r
+        for r in trap_host_stats(
+            df, min_urls=5, diversity_max=0.5, query_ratio_min=0.9
+        ).collect()
+    }
+    t = got["trap.org"]
+    assert (t["n_urls"], t["n_digests"]) == (6, 2)
+    assert t["content_diversity"] == pytest.approx(2 / 6, abs=1e-4)
+    assert t["query_ratio"] == 1.0 and t["trap_suspect"] is True
+    ok = got["ok.org"]
+    assert (ok["n_captures"], ok["n_urls"]) == (10, 6)
+    assert ok["content_diversity"] == 1.0
+    assert ok["avg_path_depth"] == 2.0
+    assert ok["trap_suspect"] is False
+    assert got["tiny.org"]["trap_suspect"] is False  # below min_urls
+
+    plan = (
+        trap_host_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # one Expand-agg exchange pair, no more
+
+
 def test_mixture_sample_budget_application(spark):
     from sandcrawler_spark.operators.curation import mixture_sample
 
