@@ -472,3 +472,114 @@ def dsir_scores(
             F.round(F.sum("__lr"), 6).alias("dsir_score"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    epoch: int = 0,
+    salt: str = "epoch",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch.
+
+    Pretraining loaders need every epoch to visit the corpus in a
+    different pseudo-random order, and that order must be REPRODUCIBLE:
+    a preempted job that restarts (or a second consumer of the same
+    epoch) has to see the identical sequence. ``df.orderBy(rand())``
+    fails both ways — nondeterministic across retries and dependent on
+    partition layout. Here the sort key is a salted md5 of
+    ``(salt, epoch, id)``, so the permutation is a pure function of the
+    epoch number, and ``epoch_pos`` (0-based) is the global position in
+    that permutation. With ``n_shards``, ``shard = epoch_pos mod
+    n_shards`` deals the shuffled stream round-robin — each shard is
+    both balanced (±1 row) and itself a uniform random sample, so
+    data-parallel ranks can each read one shard.
+
+    Scale shape: ONE range shuffle (the two-phase global rank of
+    :func:`~sandcrawler_spark.operators.ranking.with_global_rank` — no
+    single-task window); the hash key is a pure codegen projection.
+    """
+    h = _hash60(F.col(id_col), f"{salt}:{epoch}:").alias("__h")
+    ranked = with_global_rank(
+        df.withColumn("__h", h), ["__h", id_col], rank_col="epoch_pos"
+    ).drop("__h")
+    if n_shards is not None:
+        ranked = ranked.withColumn(
+            "shard", (F.col("epoch_pos") % n_shards).cast("int")
+        )
+    return ranked
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict | DataFrame,
+    *,
+    epoch: int = 0,
+    salt: str = "il",
+) -> DataFrame:
+    """Weighted deterministic interleave of multiple corpus sources into
+    ONE global training stream (stride scheduling / weighted fair
+    queuing — the "data mixing" step after :func:`mixture_weights`
+    decides the rates).
+
+    Each source's rows are first shuffled deterministically within the
+    source (salted md5 of ``(salt, epoch, id)``), giving ``src_rank``
+    (0-based within source). Row r of source s is then released at
+    virtual time ``(r + 1) / weight(s)``; the global stream orders by
+    ``(vtime, source, src_rank)`` — a total order — so in any prefix of
+    the output each source appears in proportion to its weight (a
+    weight-3 source emits 3 rows for every 1 of a weight-1 source),
+    while within-source order stays the epoch permutation. The whole
+    schedule is a pure function of (weights, epoch, ids): reruns,
+    resumes, and re-partitionings produce the identical stream.
+
+    ``weights``: ``{source_value: weight}`` dict (broadcast as a map
+    literal) or a 2-column DataFrame ``(source_col, weight)`` — e.g.
+    :func:`mixture_weights` output — broadcast-joined. Sources with no
+    weight are dropped (weight 0).
+
+    Scale shape: two range shuffles (per-source rank rides ONE global
+    rank over (source, hash, id) plus a broadcast per-source offset map
+    — never a per-source single-task window — and the final ordering is
+    the same two-phase rank); everything else is codegen projections.
+    """
+    h = _hash60(F.col(id_col), f"{salt}:{epoch}:").alias("__h")
+    scratch: list[DataFrame] = []
+    ranked = with_global_rank(
+        df.withColumn("__h", h),
+        [source_col, "__h", id_col],
+        rank_col="__grank",
+        scratch=scratch,
+    )
+    offs = ranked.groupBy(source_col).agg(F.min("__grank").alias("__off"))
+    per_src = (
+        ranked.join(F.broadcast(offs), source_col)
+        .withColumn("src_rank", F.col("__grank") - F.col("__off"))
+        .drop("__grank", "__off", "__h")
+    )
+    if isinstance(weights, DataFrame):
+        wdf = weights.select(
+            F.col(weights.columns[0]).alias(source_col),
+            F.col(weights.columns[1]).cast("double").alias("__w"),
+        )
+        per_src = per_src.join(F.broadcast(wdf), source_col)
+    else:
+        pairs: list[Column] = []
+        for k, v in weights.items():
+            pairs.extend([F.lit(k), F.lit(float(v))])
+        per_src = per_src.withColumn(
+            "__w", F.create_map(*pairs)[F.col(source_col)]
+        ).filter(F.col("__w").isNotNull())
+    per_src = per_src.filter(F.col("__w") > 0).withColumn(
+        "__vt", (F.col("src_rank") + 1).cast("double") / F.col("__w")
+    )
+    out = with_global_rank(
+        per_src,
+        ["__vt", source_col, "src_rank"],
+        rank_col="interleave_pos",
+    )
+    return out.drop("__vt", "__w")

@@ -3649,3 +3649,79 @@ ORACLES2["crawl_trap_hosts"] = """
                  OR query_ratio >= 0.90)) AS trap_suspect
         FROM stats
 """
+
+
+# --- epoch ordering: deterministic shuffle + weighted source interleave
+
+
+def cu_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 training order over `documents` with 8
+    round-robin shards: epoch_pos is the global position in the salted-
+    md5 permutation (two-phase rank, no single-task window), shard =
+    epoch_pos mod 8."""
+    from sandcrawler_spark.operators import curation
+
+    return curation.epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        epoch=1,
+        n_shards=8,
+    ).select("doc_id", "source", "epoch_pos", "shard")
+
+
+def cu_interleave_sources(spark, sf_dir):
+    """Weighted deterministic interleave of the 20 `documents` sources
+    into one training stream: weight(srcN) = 1 + N mod 3, stride
+    scheduling on virtual time (src_rank+1)/weight with a
+    (vtime, source, src_rank) total order."""
+    from sandcrawler_spark.operators import curation
+
+    weights = {f"src{i}": float(1 + i % 3) for i in range(20)}
+    return curation.interleave_sources(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        weights,
+        epoch=1,
+    ).select("doc_id", "source", "src_rank", "interleave_pos")
+
+
+QUERIES2.update(
+    {
+        "cu_epoch_shuffle": cu_epoch_shuffle,
+        "cu_interleave_sources": cu_interleave_sources,
+    }
+)
+
+ORACLES2.update(
+    {
+        "cu_epoch_shuffle": f"""
+        WITH h AS (SELECT doc_id, source,
+                          {_H60.format(salt='epoch:1:')} AS hh
+                   FROM documents),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (ORDER BY hh, doc_id) - 1 AS epoch_pos
+              FROM h)
+        SELECT doc_id, source, epoch_pos,
+               CAST(epoch_pos % 8 AS INTEGER) AS shard
+        FROM r
+    """,
+        "cu_interleave_sources": f"""
+        WITH h AS (SELECT doc_id, source,
+                          {_H60.format(salt='il:1:')} AS hh,
+                          1.0 + (CAST(substr(source, 4) AS INTEGER) % 3) AS w
+                   FROM documents),
+        r AS (SELECT doc_id, source, w,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hh, doc_id) - 1 AS src_rank
+              FROM h),
+        v AS (SELECT doc_id, source, src_rank,
+                     CAST(src_rank + 1 AS DOUBLE) / w AS vt
+              FROM r)
+        SELECT doc_id, source, src_rank,
+               row_number() OVER (ORDER BY vt, source, src_rank) - 1
+                 AS interleave_pos
+        FROM v
+    """,
+    }
+)

@@ -379,3 +379,82 @@ def test_pack_token_chunks_invariants(spark):
         ).collect()
     }
     assert got1 == got2
+
+
+def test_epoch_shuffle_permutation_and_determinism(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    n = d.count()
+    out = curation.epoch_shuffle(d, "doc_id", epoch=3, n_shards=4)
+    rows = out.select("doc_id", "epoch_pos", "shard").collect()
+    # a permutation: every position 0..n-1 exactly once
+    assert sorted(r.epoch_pos for r in rows) == list(range(n))
+    # shard deal is balanced to ±1 and consistent with the position
+    assert all(r.shard == r.epoch_pos % 4 for r in rows)
+    per = [sum(1 for r in rows if r.shard == s) for s in range(4)]
+    assert max(per) - min(per) <= 1
+    # partitioning independence: identical permutation from a 7-way split
+    again = {
+        r.doc_id: r.epoch_pos
+        for r in curation.epoch_shuffle(
+            d.repartition(7), "doc_id", epoch=3, n_shards=4
+        ).collect()
+    }
+    assert again == {r.doc_id: r.epoch_pos for r in rows}
+    # a different epoch is a different permutation
+    other = {
+        r.doc_id: r.epoch_pos
+        for r in curation.epoch_shuffle(d, "doc_id", epoch=4).collect()
+    }
+    assert other != {r.doc_id: r.epoch_pos for r in rows}
+
+
+def test_interleave_sources_stride_and_python_parity(spark):
+    # 3 sources with weights 3:2:1 over 60 rows; compare against a pure
+    # Python stride scheduler on the same salted-hash permutation.
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 3.0, "s1": 2.0, "s2": 1.0}
+    out = curation.interleave_sources(d, "source", "doc_id", w, epoch=0).collect()
+
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(f"il:0:{s}".encode()).hexdigest()[:15], 16)
+
+    per_src: dict[str, list[int]] = {}
+    for i, s in rows:
+        per_src.setdefault(s, []).append(i)
+    sched = []
+    for s, ids in per_src.items():
+        ids.sort(key=lambda i: (h60(str(i)), i))
+        for r, i in enumerate(ids):
+            sched.append(((r + 1) / w[s], s, r, i))
+    sched.sort()
+    expect = {i: pos for pos, (_, _, _, i) in enumerate(sched)}
+    got = {r.doc_id: r.interleave_pos for r in out}
+    assert got == expect
+    # prefix proportionality: in the first 30 slots, s0:s1:s2 ≈ 3:2:1
+    prefix = [r.source for r in sorted(out, key=lambda r: r.interleave_pos)[:30]]
+    assert prefix.count("s0") == 15 and prefix.count("s1") == 10
+    assert prefix.count("s2") == 5
+    # weight-0 / unknown sources are dropped
+    dropped = curation.interleave_sources(
+        d, "source", "doc_id", {"s0": 1.0, "s1": 0.0}, epoch=0
+    )
+    assert {r.source for r in dropped.collect()} == {"s0"}
+
+
+def test_interleave_sources_weight_dataframe_input(spark):
+    d = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(20)], "doc_id long, source string"
+    )
+    wdf = d.sparkSession.createDataFrame(
+        [("s0", 1.0), ("s1", 1.0)], "source string, weight double"
+    )
+    a = curation.interleave_sources(d, "source", "doc_id", wdf).collect()
+    b = curation.interleave_sources(
+        d, "source", "doc_id", {"s0": 1.0, "s1": 1.0}
+    ).collect()
+    assert {(r.doc_id, r.interleave_pos) for r in a} == {
+        (r.doc_id, r.interleave_pos) for r in b
+    }
