@@ -3725,3 +3725,58 @@ ORACLES2.update(
     """,
     }
 )
+
+
+# --- model-based quality filtering: hashed-ngram linear classifier
+
+
+def cls_quality_score(spark, sf_dir):
+    """Hashed bag-of-ngrams linear classifier inference (the DCLM /
+    FineWeb-Edu model-based quality-filter stage, operators/classifier):
+    unigram+bigram salted-md5 features mod 4096, synthesized exact-
+    decimal weight table w(b) = (b % 201)/100 − 1, bias −0.1, sigmoid
+    score. The oracle rebuilds the identical feature stream and weight
+    function in DuckDB."""
+    from sandcrawler_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 201).cast("double") / 100.0 - 1.0).alias("w"),
+    )
+    out = classifier.classify_documents(
+        docs, "doc_id", "text", wdf, bias=-0.1, dim=4096, bigrams=True
+    )
+    return out.select(F.col("id").alias("doc_id"), "score")
+
+
+QUERIES2.update({"cls_quality_score": cls_quality_score})
+
+ORACLES2.update(
+    {
+        "cls_quality_score": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS l
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(l) AS f FROM t),
+        bi AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+               FROM t, unnest(range(1, len(l))) AS r(i)
+               WHERE len(l) >= 2),
+        feats AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('hlc', f)), 1, 15))
+                        AS BIGINT) % 4096 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        perb AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+        perd AS (SELECT doc_id, count(*) AS n FROM feats GROUP BY doc_id),
+        m AS (
+            SELECT perb.doc_id,
+                   sum(((b % 201) / 100.0 - 1.0) * (c * 1.0 / n)) - 0.1 AS margin
+            FROM perb JOIN perd USING (doc_id)
+            GROUP BY perb.doc_id)
+        SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS score FROM m
+    """,
+    }
+)
