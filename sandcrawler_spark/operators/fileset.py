@@ -373,3 +373,301 @@ def fileset_ingest(
             ),
         ).alias("ingest_strategy"),
     )
+
+
+# --- archiving-strategy verification (fileset_strategies.py) -----------
+#
+# The reference's strategy classes mix live I/O (HTTP downloads, SPN2,
+# archive.org uploads) with a purely relational verification core. The
+# operators below model that core over DataFrames:
+#
+# - :func:`check_existing_item`  — ArchiveorgFilesetStrategy.check_existing
+#   (fileset_strategies.py:59-98): manifest vs already-archived item
+#   files; the reference's loop is O(N^2) per item BY ITS OWN DOCSTRING
+#   ("this naive comparison is quadratic") — here it is one hash
+#   equi-join on (item, path).
+# - :func:`verify_manifest_local` — the download-and-verify ladder of
+#   ArchiveorgFilesetStrategy.process (fileset_strategies.py:100-211).
+# - :func:`web_fetch_verify`      — WebFilesetStrategy.process
+#   (fileset_strategies.py:285-375) over a capture/resource table, the
+#   same fetch-simulation convention the frontier uses.
+#
+# Deliberately NOT modeled (live-I/O, not data-derivable): the actual
+# downloads/uploads ('error-archiveorg-upload', 'exists-local' local-
+# disk reuse, the SPN2 transport itself, fix_transfer_encoding's
+# 'transfer-encoding-error' arm), and check_existing's mutation
+# carry-over corner (per-file statuses set there persist into a later
+# process() pass for files an early return never reaches — set
+# semantics are used here; the item-level decision is identical).
+
+
+def check_existing_item(
+    manifest: DataFrame,
+    existing: DataFrame,
+) -> DataFrame:
+    """Per-item "is everything already archived?" decision
+    (fileset_strategies.py:59-98).
+
+    manifest: (item, path, size, sha1, md5) one row per wanted file;
+    existing: (item, name, size, sha1, md5) one row per file already in
+    the archive.org item (names unique within an item — IA semantics,
+    which is also why the reference's break-at-first-name-match loop
+    and this equi-join agree).
+
+    Per-file match rule (:76-81): name == path AND size equal AND
+    (existing.sha1 truthy & equal OR existing.md5 truthy & equal).
+    Returns one row per item: (item, files_wanted, files_exist,
+    status) where status = 'success-existing' iff EVERY wanted file
+    matches exactly — any missing name or attribute mismatch makes the
+    whole item fall through to a full process() pass (status NULL),
+    exactly the reference's early ``return None``.
+    """
+    ex = existing.select(
+        F.col("item"),
+        F.col("name").alias("path"),
+        F.col("size").alias("__ex_size"),
+        F.col("sha1").alias("__ex_sha1"),
+        F.col("md5").alias("__ex_md5"),
+    )
+    j = manifest.join(ex, ["item", "path"], "left")
+    hash_ok = (
+        (F.col("__ex_sha1").isNotNull() & (F.col("__ex_sha1") != "") & (F.col("__ex_sha1") == F.col("sha1")))
+        | (F.col("__ex_md5").isNotNull() & (F.col("__ex_md5") != "") & (F.col("__ex_md5") == F.col("md5")))
+    )
+    file_exists = (
+        F.col("__ex_size").isNotNull()
+        & (F.col("__ex_size") == F.col("size"))
+        & hash_ok
+    )
+    per_item = j.groupBy("item").agg(
+        F.count(F.lit(1)).alias("files_wanted"),
+        F.sum(file_exists.cast("int")).alias("files_exist"),
+    )
+    return per_item.select(
+        "item",
+        "files_wanted",
+        "files_exist",
+        F.when(
+            F.col("files_exist") == F.col("files_wanted"), F.lit("success-existing")
+        ).alias("status"),
+    )
+
+
+def verify_manifest_local(
+    manifest: DataFrame,
+    fetched: DataFrame,
+    success_status: str = "success",
+) -> DataFrame:
+    """The ArchiveorgFilesetStrategy download-verification ladder
+    (fileset_strategies.py:100-211) as one declarative plan.
+
+    manifest: (item, idx, path, size, sha1, sha256, md5, mimetype) —
+    ``idx`` is the file's 0-based position in the manifest (the
+    reference walks files in order and its item status is
+    order-sensitive); fetched: (item, path, size_bytes, sha1hex,
+    sha256hex, md5hex, mimetype) — the gen_file_metadata row for each
+    file that downloaded successfully; an ABSENT fetched row models the
+    reference's requests exception → 'error-platform-download'.
+
+    Per-file rungs in reference order (:122-202): 'unsafe-path' (path
+    survives sanitize_fs_path unchanged or it is never downloaded),
+    'error-platform-download', 'mismatch-size', 'mismatch-sha1',
+    'mismatch-sha256', 'mismatch-md5', else 'verified-local' with
+    null manifest hashes backfilled from the fetched row rung-by-rung
+    (a later rung's mismatch keeps earlier rungs' backfills, mirroring
+    the reference's in-place mutation) and the mimetype override rule
+    (:186-201: a fetched mimetype that differs replaces the manifest
+    one unless the fetched guess is 'text/plain').
+
+    Sequential-abort semantics: the reference RETURNS at the first
+    download error, so files after it are never visited — their status
+    stays NULL here too (computed via a per-item min-error-idx
+    aggregate joined back, no window).
+
+    Returns per-file rows (item, idx, path, status, size, sha1,
+    sha256, md5, mimetype) plus item_status on every row: first
+    'error-platform-download' if any file hit one, else the
+    lowest-idx non-'verified-local' status, else ``success_status``
+    ('success' for archiveorg-fileset, 'success-file' for
+    archiveorg-file, fileset_strategies.py:262-271 — upload errors are
+    live-I/O, not modeled).
+    """
+    fe = fetched.select(
+        "item",
+        "path",
+        F.col("size_bytes").alias("__f_size"),
+        F.col("sha1hex").alias("__f_sha1"),
+        F.col("sha256hex").alias("__f_sha256"),
+        F.col("md5hex").alias("__f_md5"),
+        F.col("mimetype").alias("__f_mime"),
+    )
+    from sandcrawler_spark.functions.paths import sanitize_fs_path_col
+
+    j = manifest.join(fe, ["item", "path"], "left")
+    unsafe = F.col("path") != sanitize_fs_path_col(F.col("path"))
+    dl_err = ~unsafe & F.col("__f_size").isNull()
+    # reference: every rung `continue`s except the download error, which
+    # returns — so the abort point is the first download error only
+    err_idx = j.groupBy("item").agg(
+        F.min(F.when(dl_err, F.col("idx"))).alias("__err_idx")
+    )
+    j = j.join(err_idx, "item")
+    reached = F.col("__err_idx").isNull() | (F.col("idx") <= F.col("__err_idx"))
+
+    size_ok = F.col("__f_size") == F.col("size")
+    sha1_ok = F.col("sha1").isNull() | (F.col("sha1") == F.col("__f_sha1"))
+    sha256_ok = F.col("sha256").isNull() | (F.col("sha256") == F.col("__f_sha256"))
+    md5_ok = F.col("md5").isNull() | (F.col("md5") == F.col("__f_md5"))
+    status = F.when(
+        reached,
+        F.when(unsafe, F.lit("unsafe-path"))
+        .when(dl_err, F.lit("error-platform-download"))
+        .when(~size_ok, F.lit("mismatch-size"))
+        .when(~sha1_ok, F.lit("mismatch-sha1"))
+        .when(~sha256_ok, F.lit("mismatch-sha256"))
+        .when(~md5_ok, F.lit("mismatch-md5"))
+        .otherwise(F.lit("verified-local")),
+    )
+    # rung-by-rung backfill: a hash is backfilled iff its rung was
+    # reached (all earlier rungs passed), matching in-place mutation
+    verified = j.withColumn("__status", status).select(
+        "item",
+        "idx",
+        "path",
+        F.col("__status").alias("status"),
+        "size",
+        F.when(
+            F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok,
+            F.coalesce(F.col("sha1"), F.col("__f_sha1")),
+        ).otherwise(F.col("sha1")).alias("sha1"),
+        F.when(
+            F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok & sha1_ok,
+            F.coalesce(F.col("sha256"), F.col("__f_sha256")),
+        ).otherwise(F.col("sha256")).alias("sha256"),
+        F.when(
+            F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok & sha1_ok & sha256_ok,
+            F.coalesce(F.col("md5"), F.col("__f_md5")),
+        ).otherwise(F.col("md5")).alias("md5"),
+        F.when(
+            F.col("__status") == "verified-local",
+            F.when(F.col("mimetype").isNull(), F.col("__f_mime"))
+            .when(
+                (F.col("__f_mime") != F.col("mimetype"))
+                & (F.col("__f_mime") != "text/plain"),
+                F.col("__f_mime"),
+            )
+            .otherwise(F.col("mimetype")),
+        ).otherwise(F.col("mimetype")).alias("mimetype"),
+    )
+    item_status = verified.groupBy("item").agg(
+        F.max((F.col("status") == "error-platform-download").cast("int")).alias("__any_err"),
+        F.min_by(
+            F.col("status"),
+            F.when(
+                F.col("status").isNotNull() & (F.col("status") != "verified-local"),
+                F.col("idx"),
+            ),
+        ).alias("__first_bad"),
+    )
+    return verified.join(item_status, "item").select(
+        verified["*"],
+        F.when(F.col("__any_err") == 1, F.lit("error-platform-download"))
+        .when(F.col("__first_bad").isNotNull(), F.col("__first_bad"))
+        .otherwise(F.lit(success_status))
+        .alias("item_status"),
+    )
+
+
+MAX_SPN_MANIFEST = 20  # fileset_strategies.py:283
+
+
+def web_fetch_verify(
+    manifest: DataFrame,
+    resources: DataFrame,
+    success_status: str = "success",
+    max_spn_manifest: int = MAX_SPN_MANIFEST,
+) -> DataFrame:
+    """WebFilesetStrategy.process (fileset_strategies.py:285-375) over
+    a resource/capture table — the same fetch-simulation convention the
+    frontier uses for wayback lookups.
+
+    manifest: (item, idx, platform_url, size, sha1, sha256, md5,
+    mimetype); resources: (url, status, terminal_url, terminal_dt,
+    size_bytes, sha1hex, sha256hex, md5hex, mimetype, empty_body) —
+    the post-fetch state of each URL (an absent row ≡ no capture
+    anywhere, i.e. the reference's wayback miss that SPN also cannot
+    save).
+
+    Per-file (:297-361): a missing/no-capture resource on an item with
+    more than ``max_spn_manifest`` files → 'too-much-spn' (the SPN2
+    escape hatch is rationed); otherwise the resource status is taken
+    as-is; a success with an empty body → 'empty-blob'; a success whose
+    file_meta contradicts the manifest (size always checked, md5/sha1
+    only when the manifest has them, :352-357 — sha256 is NOT part of
+    the reference's web mismatch rule) → 'mismatch'; else 'success'
+    with null manifest hashes/mimetype backfilled.
+
+    Item rollup (:363-370): first non-'success' per-file status in
+    manifest order ('not-processed' when that file's status is null —
+    only possible for an absent-resource row under the SPN budget,
+    modeled as 'no-capture'), 'empty-manifest' for items with no files
+    (callers pass those separately since an empty manifest has no rows
+    to carry them — see the battery query), else ``success_status``
+    ('success-file' for web-file, :383-388).
+    """
+    res = resources.select(
+        F.col("url").alias("platform_url"),
+        F.col("status").alias("__r_status"),
+        F.col("terminal_url"),
+        F.col("terminal_dt"),
+        F.col("size_bytes").alias("__r_size"),
+        F.col("sha1hex").alias("__r_sha1"),
+        F.col("sha256hex").alias("__r_sha256"),
+        F.col("md5hex").alias("__r_md5"),
+        F.col("mimetype").alias("__r_mime"),
+        F.col("empty_body").alias("__r_empty"),
+    )
+    j = manifest.join(res, "platform_url", "left")
+    counts = manifest.groupBy("item").agg(F.count(F.lit(1)).alias("__n_files"))
+    j = j.join(counts, "item")
+    no_cap = F.col("__r_status").isNull() | (F.col("__r_status") == "no-capture")
+    mismatch = (
+        (F.col("__r_size") != F.col("size"))
+        | (F.col("md5").isNotNull() & (F.col("md5") != F.col("__r_md5")))
+        | (F.col("sha1").isNotNull() & (F.col("sha1") != F.col("__r_sha1")))
+    )
+    status = (
+        F.when(no_cap & (F.col("__n_files") > max_spn_manifest), F.lit("too-much-spn"))
+        .when(no_cap, F.lit("no-capture"))
+        .when(F.col("__r_status") != "success", F.col("__r_status"))
+        .when(F.col("__r_empty"), F.lit("empty-blob"))
+        .when(mismatch, F.lit("mismatch"))
+        .otherwise(F.lit("success"))
+    )
+    good = F.col("__status") == "success"
+    verified = j.withColumn("__status", status).select(
+        "item",
+        "idx",
+        "platform_url",
+        F.col("__status").alias("status"),
+        "terminal_url",
+        "terminal_dt",
+        "size",
+        F.when(good, F.coalesce(F.col("md5"), F.col("__r_md5"))).otherwise(F.col("md5")).alias("md5"),
+        F.when(good, F.coalesce(F.col("sha1"), F.col("__r_sha1"))).otherwise(F.col("sha1")).alias("sha1"),
+        F.when(good, F.coalesce(F.col("sha256"), F.col("__r_sha256"))).otherwise(F.col("sha256")).alias("sha256"),
+        F.when(good, F.coalesce(F.col("mimetype"), F.col("__r_mime"))).otherwise(F.col("mimetype")).alias("mimetype"),
+    )
+    item_status = verified.groupBy("item").agg(
+        F.min_by(
+            F.coalesce(F.col("status"), F.lit("not-processed")),
+            F.when(
+                F.col("status").isNull() | (F.col("status") != "success"),
+                F.col("idx"),
+            ),
+        ).alias("__first_bad"),
+    )
+    return verified.join(item_status, "item").select(
+        verified["*"],
+        F.coalesce(F.col("__first_bad"), F.lit(success_status)).alias("item_status"),
+    )

@@ -193,3 +193,248 @@ FROM st
 GROUP BY 1, 2, 3
 """,
 }
+
+
+# --- archiving-strategy verification (fileset_strategies.py) ------------
+#
+# Corpus for both entries: one "item" per order (a quarter of orders —
+# keeps the gate cheap, all mod classes still land), one file per
+# lineitem row (1-7 files), every rung planted by modular classes of
+# key = l_orderkey*8 + l_linenumber (unique: l_linenumber is 1-7).
+# The oracle rebuilds the identical corpus and replays the reference's
+# sequential ladder with window/arg_min SQL; the compare is per-FILE
+# rows (status + item_status + backfilled hashes/mimetype), so the
+# order-sensitive abort and the rung-gated backfills are value-checked
+# end to end, not just counted.
+
+
+def _vm_key():
+    return F.col("l_orderkey") * 8 + F.col("l_linenumber")
+
+
+def fs_verify_local(spark, sf_dir):
+    """ArchiveorgFilesetStrategy's download-verification ladder
+    (fileset_strategies.py:100-211) over a lineitem-derived corpus."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    k = _vm_key()
+    man = li.select(
+        F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
+        F.col("l_linenumber").cast("int").alias("idx"),
+        F.when(k % 17 == 0, F.lit("../up"))
+        .otherwise(F.concat(F.lit("d/f"), F.col("l_linenumber").cast("string"), F.lit(".bin")))
+        .alias("path"),
+        (F.col("l_quantity").cast("bigint") + 100).alias("size"),
+        F.when(k % 3 != 0, F.concat(F.lit("sha1-"), k.cast("string"))).alias("sha1"),
+        F.when(k % 4 == 0, F.concat(F.lit("sha256-"), k.cast("string"))).alias("sha256"),
+        F.when(k % 5 == 0, F.concat(F.lit("md5-"), k.cast("string"))).alias("md5"),
+        F.when(k % 6 != 0, F.lit("text/csv")).alias("mimetype"),
+    )
+    fet = li.filter(k % 11 != 0).select(
+        F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
+        F.when(k % 17 == 0, F.lit("../up"))
+        .otherwise(F.concat(F.lit("d/f"), F.col("l_linenumber").cast("string"), F.lit(".bin")))
+        .alias("path"),
+        (
+            F.col("l_quantity").cast("bigint")
+            + 100
+            + F.when(k % 13 == 0, 1).otherwise(0)
+        ).alias("size_bytes"),
+        F.when(k % 19 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("sha1-"), k.cast("string"))).alias("sha1hex"),
+        F.when(k % 23 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("sha256-"), k.cast("string"))).alias("sha256hex"),
+        F.when(k % 29 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("md5-"), k.cast("string"))).alias("md5hex"),
+        F.element_at(
+            F.array(F.lit("text/csv"), F.lit("text/plain"), F.lit("application/zip")),
+            (k % 3).cast("int") + 1,
+        ).alias("mimetype"),
+    )
+    out = fileset.verify_manifest_local(man, fet)
+    return out.select(
+        "item", "idx", "status", "item_status", "sha1", "sha256", "md5", "mimetype"
+    )
+
+
+QUERIES3["fs_verify_local"] = fs_verify_local
+
+ORACLES3["fs_verify_local"] = r"""
+WITH man AS (
+  SELECT 'it' || CAST(l_orderkey AS VARCHAR) AS item,
+         CAST(l_linenumber AS INT) AS idx,
+         l_orderkey * 8 + l_linenumber AS k,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 17 = 0 THEN '../up'
+              ELSE 'd/f' || CAST(l_linenumber AS VARCHAR) || '.bin' END AS path,
+         CAST(l_quantity AS BIGINT) + 100 AS size,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 3 <> 0
+              THEN 'sha1-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS sha1,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 4 = 0
+              THEN 'sha256-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS sha256,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 5 = 0
+              THEN 'md5-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS md5,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 6 <> 0 THEN 'text/csv' END AS mimetype
+  FROM lineitem WHERE l_orderkey % 4 = 0),
+fet AS (
+  SELECT item, path,
+         size + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS size_bytes,
+         CASE WHEN k % 19 = 0 THEN 'WRONG' ELSE 'sha1-' || CAST(k AS VARCHAR) END AS sha1hex,
+         CASE WHEN k % 23 = 0 THEN 'WRONG' ELSE 'sha256-' || CAST(k AS VARCHAR) END AS sha256hex,
+         CASE WHEN k % 29 = 0 THEN 'WRONG' ELSE 'md5-' || CAST(k AS VARCHAR) END AS md5hex,
+         (['text/csv', 'text/plain', 'application/zip'])[CAST(k % 3 AS INT) + 1] AS mimetype
+  FROM man WHERE k % 11 <> 0),
+j AS (
+  SELECT man.*, fet.size_bytes AS f_size, fet.sha1hex AS f_sha1,
+         fet.sha256hex AS f_sha256, fet.md5hex AS f_md5, fet.mimetype AS f_mime,
+         man.path LIKE '../%' AS unsafe,
+         (NOT man.path LIKE '../%') AND fet.size_bytes IS NULL AS dl_err
+  FROM man LEFT JOIN fet USING (item, path)),
+e AS (SELECT item, min(CASE WHEN dl_err THEN idx END) AS err_idx FROM j GROUP BY item),
+st AS (
+  SELECT j.*,
+    CASE WHEN e.err_idx IS NOT NULL AND j.idx > e.err_idx THEN NULL
+         WHEN unsafe THEN 'unsafe-path'
+         WHEN dl_err THEN 'error-platform-download'
+         WHEN f_size <> size THEN 'mismatch-size'
+         WHEN sha1 IS NOT NULL AND sha1 <> f_sha1 THEN 'mismatch-sha1'
+         WHEN sha256 IS NOT NULL AND sha256 <> f_sha256 THEN 'mismatch-sha256'
+         WHEN md5 IS NOT NULL AND md5 <> f_md5 THEN 'mismatch-md5'
+         ELSE 'verified-local' END AS status,
+    (e.err_idx IS NULL OR j.idx <= e.err_idx)
+      AND NOT unsafe AND NOT dl_err AND f_size = size AS p_size
+  FROM j JOIN e USING (item)),
+bf AS (
+  SELECT item, idx, status,
+    CASE WHEN p_size THEN coalesce(sha1, f_sha1) ELSE sha1 END AS sha1,
+    CASE WHEN p_size AND (sha1 IS NULL OR sha1 = f_sha1)
+         THEN coalesce(sha256, f_sha256) ELSE sha256 END AS sha256,
+    CASE WHEN p_size AND (sha1 IS NULL OR sha1 = f_sha1)
+              AND (sha256 IS NULL OR sha256 = f_sha256)
+         THEN coalesce(md5, f_md5) ELSE md5 END AS md5,
+    CASE WHEN status = 'verified-local' THEN
+      CASE WHEN mimetype IS NULL THEN f_mime
+           WHEN f_mime <> mimetype AND f_mime <> 'text/plain' THEN f_mime
+           ELSE mimetype END
+      ELSE mimetype END AS mimetype
+  FROM st),
+it AS (
+  SELECT item,
+    max(CASE WHEN status = 'error-platform-download' THEN 1 ELSE 0 END) AS any_err,
+    arg_min(status, CASE WHEN status IS NOT NULL AND status <> 'verified-local'
+                         THEN idx END) AS first_bad
+  FROM bf GROUP BY item)
+SELECT bf.item, bf.idx, bf.status,
+  CASE WHEN it.any_err = 1 THEN 'error-platform-download'
+       WHEN it.first_bad IS NOT NULL THEN it.first_bad
+       ELSE 'success' END AS item_status,
+  bf.sha1, bf.sha256, bf.md5, bf.mimetype
+FROM bf JOIN it USING (item)
+"""
+
+
+def fs_web_fetch(spark, sf_dir):
+    """WebFilesetStrategy fetch+verify (fileset_strategies.py:285-375)
+    over a lineitem-derived corpus; max_spn_manifest lowered to 3 so
+    the lineitem fan-out (1-7 files per item) exercises too-much-spn."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    k = _vm_key()
+    url = F.concat(F.lit("http://h"), k.cast("string"))
+    man = li.select(
+        F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
+        F.col("l_linenumber").cast("int").alias("idx"),
+        url.alias("platform_url"),
+        (F.col("l_quantity").cast("bigint") + 100).alias("size"),
+        F.when(k % 3 != 0, F.concat(F.lit("sha1-"), k.cast("string"))).alias("sha1"),
+        F.lit(None).cast("string").alias("sha256"),
+        F.when(k % 5 == 0, F.concat(F.lit("md5-"), k.cast("string"))).alias("md5"),
+        F.when(k % 6 != 0, F.lit("text/csv")).alias("mimetype"),
+    )
+    res = li.filter(k % 11 != 0).select(
+        url.alias("url"),
+        F.element_at(
+            F.array(
+                F.lit("success"), F.lit("success"), F.lit("success"),
+                F.lit("no-capture"), F.lit("redirect"), F.lit("terminal-bad-status"),
+                F.lit("success"),
+            ),
+            (k % 7).cast("int") + 1,
+        ).alias("status"),
+        F.concat(F.lit("http://t"), k.cast("string")).alias("terminal_url"),
+        F.lit("20200101000000").alias("terminal_dt"),
+        (
+            F.col("l_quantity").cast("bigint")
+            + 100
+            + F.when(k % 13 == 0, 1).otherwise(0)
+        ).alias("size_bytes"),
+        F.when(k % 19 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("sha1-"), k.cast("string"))).alias("sha1hex"),
+        F.concat(F.lit("sha256-"), k.cast("string")).alias("sha256hex"),
+        F.when(k % 29 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("md5-"), k.cast("string"))).alias("md5hex"),
+        F.element_at(
+            F.array(F.lit("text/csv"), F.lit("application/pdf")),
+            (k % 2).cast("int") + 1,
+        ).alias("mimetype"),
+        (k % 31 == 0).alias("empty_body"),
+    )
+    out = fileset.web_fetch_verify(man, res, max_spn_manifest=3)
+    return out.select(
+        "item", "idx", "status", "item_status", "sha1", "sha256", "md5", "mimetype"
+    )
+
+
+QUERIES3["fs_web_fetch"] = fs_web_fetch
+
+ORACLES3["fs_web_fetch"] = r"""
+WITH man AS (
+  SELECT 'it' || CAST(l_orderkey AS VARCHAR) AS item,
+         CAST(l_linenumber AS INT) AS idx,
+         l_orderkey * 8 + l_linenumber AS k,
+         'http://h' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS platform_url,
+         CAST(l_quantity AS BIGINT) + 100 AS size,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 3 <> 0
+              THEN 'sha1-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS sha1,
+         CAST(NULL AS VARCHAR) AS sha256,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 5 = 0
+              THEN 'md5-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS md5,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 6 <> 0 THEN 'text/csv' END AS mimetype
+  FROM lineitem WHERE l_orderkey % 4 = 0),
+res AS (
+  SELECT k,
+    (['success','success','success','no-capture','redirect','terminal-bad-status','success'])[CAST(k % 7 AS INT) + 1] AS r_status,
+    size + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS r_size,
+    CASE WHEN k % 19 = 0 THEN 'WRONG' ELSE 'sha1-' || CAST(k AS VARCHAR) END AS r_sha1,
+    'sha256-' || CAST(k AS VARCHAR) AS r_sha256,
+    CASE WHEN k % 29 = 0 THEN 'WRONG' ELSE 'md5-' || CAST(k AS VARCHAR) END AS r_md5,
+    (['text/csv','application/pdf'])[CAST(k % 2 AS INT) + 1] AS r_mime,
+    k % 31 = 0 AS r_empty
+  FROM man WHERE k % 11 <> 0),
+n AS (SELECT item, count(*) AS n_files FROM man GROUP BY item),
+st AS (
+  SELECT man.item, man.idx, man.size, man.sha1, man.sha256, man.md5, man.mimetype,
+    res.r_sha1, res.r_sha256, res.r_md5, res.r_mime,
+    CASE
+      WHEN (res.k IS NULL OR res.r_status = 'no-capture') AND n.n_files > 3 THEN 'too-much-spn'
+      WHEN res.k IS NULL OR res.r_status = 'no-capture' THEN 'no-capture'
+      WHEN res.r_status <> 'success' THEN res.r_status
+      WHEN res.r_empty THEN 'empty-blob'
+      WHEN res.r_size <> man.size
+           OR (man.md5 IS NOT NULL AND man.md5 <> res.r_md5)
+           OR (man.sha1 IS NOT NULL AND man.sha1 <> res.r_sha1) THEN 'mismatch'
+      ELSE 'success' END AS status
+  FROM man LEFT JOIN res USING (k) JOIN n USING (item)),
+bf AS (
+  SELECT item, idx, status,
+    CASE WHEN status = 'success' THEN coalesce(sha1, r_sha1) ELSE sha1 END AS sha1,
+    CASE WHEN status = 'success' THEN coalesce(sha256, r_sha256) ELSE sha256 END AS sha256,
+    CASE WHEN status = 'success' THEN coalesce(md5, r_md5) ELSE md5 END AS md5,
+    CASE WHEN status = 'success' THEN coalesce(mimetype, r_mime) ELSE mimetype END AS mimetype
+  FROM st),
+it AS (
+  SELECT item,
+    arg_min(status, CASE WHEN status <> 'success' THEN idx END) AS first_bad
+  FROM bf GROUP BY item)
+SELECT bf.item, bf.idx, bf.status,
+  coalesce(it.first_bad, 'success') AS item_status,
+  bf.sha1, bf.sha256, bf.md5, bf.mimetype
+FROM bf JOIN it USING (item)
+"""
