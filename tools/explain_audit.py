@@ -407,6 +407,28 @@ def main() -> int:
          "src_warc_scan",
          [r"MapInPandas"],
          [r"Exchange", r"BatchEvalPython", r"Join", r"CartesianProduct"]),
+        # quality classifier inference: features are catalyst
+        # split/explode/hash, the weight table is a BROADCAST equi-join
+        # onto the feature stream, and the per-doc margin is one
+        # partial-aggregable HashAggregate — zero Python anywhere
+        ("quality classifier: broadcast weights, no python",
+         "cls_quality_score",
+         [r"BroadcastHashJoin", r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"SortMergeJoin",
+          r"CartesianProduct"]),
+        # fileset verification: equi-joins + per-item aggregates only —
+        # the reference's order-sensitive sequential ladder must NOT
+        # surface as a window (single-task risk) or any Python
+        ("fileset local verify: joins+aggs only, no window, no python",
+         "fs_verify_local",
+         [r"HashAggregate"],
+         [r"Window", r"BatchEvalPython", r"ArrowEvalPython",
+          r"CartesianProduct", r"BroadcastNestedLoop"]),
+        ("fileset web verify: joins+aggs only, no window, no python",
+         "fs_web_fetch",
+         [r"HashAggregate"],
+         [r"Window", r"BatchEvalPython", r"ArrowEvalPython",
+          r"CartesianProduct", r"BroadcastNestedLoop"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
