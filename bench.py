@@ -79,6 +79,7 @@ HEADLINE = [
     "txt_ccnet_buckets",
     "cdx_revisit_resolve",
     "med_pdf_spans",
+    "cls_quality_score",
 ]
 
 FRONTIER_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "4000000"))

@@ -583,3 +583,57 @@ def interleave_sources(
         rank_col="interleave_pos",
     )
     return out.drop("__vt", "__w")
+
+
+def quality_filter(
+    docs,
+    decisions,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    dim: int = 4096,
+):
+    """Model-based quality-filter stage (the DCLM / FineWeb-Edu second
+    gate after rule-based curation): score every ``kept`` doc with the
+    hashed-ngram linear classifier (:mod:`..classifier`) and demote
+    those under ``threshold`` to reason ``quality_fail``.
+
+    docs: the full corpus; decisions: output of
+    :func:`curation_decisions`; weights: (bucket, w) table. Returns
+    (decisions', survivors, scores): decisions with ``kept`` rows
+    re-labeled ``quality_fail`` where score < threshold, the docs
+    still kept, and the (id, score) table for the audit trail. Only
+    rule-survivors are scored (the model never sees docs already
+    dropped — matching how real pipelines order the stages, and
+    keeping the explode/agg cost proportional to the kept set).
+    """
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.classifier import classify_documents
+
+    survivors = docs.join(
+        decisions.filter(F.col("reason") == "kept"),
+        docs[id_col] == decisions["doc_id"],
+        "left_semi",
+    )
+    scores = classify_documents(
+        survivors, id_col, text_col, weights, bias=bias, dim=dim
+    )
+    fails = scores.filter(F.col("score") < threshold).select(
+        F.col("id").alias("doc_id")
+    )
+    decisions2 = decisions.join(
+        fails.withColumn("__q", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("reason") == "kept") & F.col("__q").isNotNull(),
+            F.lit("quality_fail"),
+        )
+        .otherwise(F.col("reason"))
+        .alias("reason"),
+    )
+    kept = survivors.join(fails, survivors[id_col] == fails["doc_id"], "left_anti")
+    return decisions2, kept, scores

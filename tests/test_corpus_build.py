@@ -106,3 +106,46 @@ def test_semdedup_prunes_within_cluster_only(spark):
     assert got[4] == (1, False)
     # anti-parallel vector lands in a cell but survives (cos = -1)
     assert got[5][1] is True
+
+
+def test_quality_filter_stage(spark, corpus):
+    """Model-based second gate (curation.quality_filter): a weight
+    table planted to score docs by presence of their own vocab —
+    bucket weights chosen so docs containing 'w1x*' tokens score low —
+    demotes exactly those kept docs to quality_fail, leaves rule-drop
+    reasons untouched, and excludes demoted docs from the kept set."""
+    from sandcrawler_spark.operators.classifier import hashed_ngram_features
+    from sandcrawler_spark.operators.curation import quality_filter
+
+    decisions = curation_decisions(corpus)
+    # plant: negative weight on buckets doc 1 hits but doc 2 does NOT
+    # (every doc shares the stopword prefix, so doc-1-only buckets must
+    # be computed by subtraction), via the SAME feature pipeline
+    b1 = (
+        hashed_ngram_features(
+            corpus.filter(F.col("doc_id") == 1), "doc_id", "text", dim=512
+        )
+        .select("bucket")
+        .distinct()
+    )
+    b2 = (
+        hashed_ngram_features(
+            corpus.filter(F.col("doc_id") == 2), "doc_id", "text", dim=512
+        )
+        .select("bucket")
+        .distinct()
+    )
+    weights = b1.exceptAll(b2).select("bucket", F.lit(-50.0).alias("w"))
+    d2, kept, scores = quality_filter(
+        corpus, decisions, weights, dim=512, threshold=0.5
+    )
+    reasons = {r["doc_id"]: r["reason"] for r in d2.collect()}
+    assert reasons[1] == "quality_fail"
+    # rule-based reasons survive untouched
+    assert reasons[24] == "exact_dup" and reasons[25] == "gopher_fail"
+    # doc 2 shares no vocab with doc 1 -> all-zero margin -> score 0.5, kept
+    assert reasons[2] == "kept"
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 1 not in kept_ids and 2 in kept_ids
+    by_id = {r["id"]: r["score"] for r in scores.collect()}
+    assert by_id[1] < 0.01 and abs(by_id[2] - 0.5) < 1e-9

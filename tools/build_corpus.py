@@ -5,7 +5,10 @@ Batch mode:
     python tools/build_corpus.py --data /root/testdata/sf0.01 --out /tmp/corpus
 
     1. exact dedup + Gopher quality gate → decisions.parquet
-       (doc_id, reason ∈ {kept, exact_dup, gopher_fail})
+       (doc_id, reason ∈ {kept, exact_dup, gopher_fail}; with
+       --quality-weights also quality_fail — the model-based filter
+       stage scores rule-survivors with the hashed-ngram linear
+       classifier and drops those under --quality-min)
     2. MinHash-LSH near-dup pairs over the survivors → connected
        components → non-canonical cluster members dropped
        (neardup_pairs.parquet)
@@ -45,6 +48,17 @@ def main() -> int:
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--index-in", help="existing minhash band index parquet (incremental mode)")
     p.add_argument("--corpus-prev", help="previous corpus documents dir/parquet (incremental mode)")
+    p.add_argument(
+        "--quality-weights",
+        help="(bucket, w) parquet of hashed-ngram linear-classifier weights "
+        "(operators/classifier.py): enables the model-based quality-filter "
+        "stage after the rule gates — docs scoring below --quality-min get "
+        "reason 'quality_fail' and are excluded before near-dup dedup; "
+        "scores land in quality_scores.parquet",
+    )
+    p.add_argument("--quality-bias", type=float, default=0.0)
+    p.add_argument("--quality-min", type=float, default=0.5)
+    p.add_argument("--quality-dim", type=int, default=4096)
     args = p.parse_args()
     if bool(args.index_in) != bool(args.corpus_prev):
         p.error("--index-in and --corpus-prev must be given together")
@@ -71,6 +85,21 @@ def main() -> int:
     survivors = docs.join(
         decisions.filter(F.col("reason") == "kept"), "doc_id", "left_semi"
     ).persist()
+
+    scores = None
+    if args.quality_weights:
+        from sandcrawler_spark.operators.curation import quality_filter
+
+        wdf = spark.read.parquet(args.quality_weights)
+        decisions, survivors, scores = quality_filter(
+            docs, decisions, wdf,
+            bias=args.quality_bias,
+            threshold=args.quality_min,
+            dim=args.quality_dim,
+        )
+        decisions = decisions.persist()
+        survivors = survivors.persist()
+        scores = scores.persist()
 
     if args.index_in:
         index = spark.read.parquet(args.index_in)
@@ -113,6 +142,10 @@ def main() -> int:
 
     os.makedirs(args.out, exist_ok=True)
     decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions.parquet"))
+    if scores is not None:
+        scores.write.mode("overwrite").parquet(
+            os.path.join(args.out, "quality_scores.parquet")
+        )
     pairs.write.mode("overwrite").parquet(os.path.join(args.out, "neardup_pairs.parquet"))
     packed.select("doc_id", "shard", "n_ws_tokens").write.mode("overwrite").parquet(
         os.path.join(args.out, "shards.parquet")
