@@ -438,3 +438,75 @@ SELECT bf.item, bf.idx, bf.status,
   bf.sha1, bf.sha256, bf.md5, bf.mimetype
 FROM bf JOIN it USING (item)
 """
+
+
+def fs_check_existing(spark, sf_dir):
+    """ArchiveorgFilesetStrategy.check_existing (fileset_strategies.py:
+    59-98) — the reference's per-item O(N^2) loop as one hash equi-join
+    — over a lineitem-derived corpus: existing item files are the
+    manifest perturbed by mod classes (absent / wrong size / wrong sha1
+    / empty sha1 with md5 fallback)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    k = _vm_key()
+    man = li.select(
+        F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
+        F.concat(F.lit("f"), F.col("l_linenumber").cast("string")).alias("path"),
+        (F.col("l_quantity").cast("bigint") + 100).alias("size"),
+        F.concat(F.lit("sha1-"), k.cast("string")).alias("sha1"),
+        F.concat(F.lit("md5-"), k.cast("string")).alias("md5"),
+    )
+    ex = li.filter(k % 11 != 0).select(
+        F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
+        F.concat(F.lit("f"), F.col("l_linenumber").cast("string")).alias("name"),
+        (
+            F.col("l_quantity").cast("bigint")
+            + 100
+            + F.when(k % 13 == 0, 1).otherwise(0)
+        ).alias("size"),
+        # k%7==0: empty sha1 (falsy -> md5 decides); k%19==0: wrong sha1
+        # (md5 fallback still matches unless k%29==0 too)
+        F.when(k % 7 == 0, F.lit(""))
+        .when(k % 19 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("sha1-"), k.cast("string"))).alias("sha1"),
+        F.when(k % 29 == 0, F.lit("WRONG"))
+        .otherwise(F.concat(F.lit("md5-"), k.cast("string"))).alias("md5"),
+    )
+    return fileset.check_existing_item(man, ex).select(
+        "item", "files_wanted", "files_exist", "status"
+    )
+
+
+QUERIES3["fs_check_existing"] = fs_check_existing
+
+ORACLES3["fs_check_existing"] = r"""
+WITH man AS (
+  SELECT 'it' || CAST(l_orderkey AS VARCHAR) AS item,
+         'f' || CAST(l_linenumber AS VARCHAR) AS path,
+         l_orderkey * 8 + l_linenumber AS k,
+         CAST(l_quantity AS BIGINT) + 100 AS size,
+         'sha1-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS sha1,
+         'md5-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS md5
+  FROM lineitem WHERE l_orderkey % 4 = 0),
+ex AS (
+  SELECT item, path,
+         size + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS e_size,
+         CASE WHEN k % 7 = 0 THEN ''
+              WHEN k % 19 = 0 THEN 'WRONG'
+              ELSE 'sha1-' || CAST(k AS VARCHAR) END AS e_sha1,
+         CASE WHEN k % 29 = 0 THEN 'WRONG'
+              ELSE 'md5-' || CAST(k AS VARCHAR) END AS e_md5
+  FROM man WHERE k % 11 <> 0),
+j AS (
+  SELECT man.item,
+    (ex.e_size IS NOT NULL AND ex.e_size = man.size
+     AND ((ex.e_sha1 IS NOT NULL AND ex.e_sha1 <> '' AND ex.e_sha1 = man.sha1)
+          OR (ex.e_md5 IS NOT NULL AND ex.e_md5 <> '' AND ex.e_md5 = man.md5))
+    ) AS ok
+  FROM man LEFT JOIN ex USING (item, path))
+SELECT item,
+  count(*) AS files_wanted,
+  sum(CASE WHEN ok THEN 1 ELSE 0 END) AS files_exist,
+  CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) = count(*)
+       THEN 'success-existing' END AS status
+FROM j GROUP BY item
+"""
