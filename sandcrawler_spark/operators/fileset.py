@@ -515,9 +515,17 @@ def verify_manifest_local(
     reached = F.col("__err_idx").isNull() | (F.col("idx") <= F.col("__err_idx"))
 
     size_ok = F.col("__f_size") == F.col("size")
-    sha1_ok = F.col("sha1").isNull() | (F.col("sha1") == F.col("__f_sha1"))
-    sha256_ok = F.col("sha256").isNull() | (F.col("sha256") == F.col("__f_sha256"))
-    md5_ok = F.col("md5").isNull() | (F.col("md5") == F.col("__f_md5"))
+    # the reference gates every hash rung on TRUTHINESS (``if m.sha1:``,
+    # fileset_strategies.py:166,173,180) — an empty-string manifest hash
+    # is "absent": no mismatch possible, and the fetched value overwrites
+    # it in the backfill. nullif() reproduces that exactly.
+    m_sha1 = F.nullif(F.col("sha1"), F.lit(""))
+    m_sha256 = F.nullif(F.col("sha256"), F.lit(""))
+    m_md5 = F.nullif(F.col("md5"), F.lit(""))
+    m_mime = F.nullif(F.col("mimetype"), F.lit(""))
+    sha1_ok = m_sha1.isNull() | (m_sha1 == F.col("__f_sha1"))
+    sha256_ok = m_sha256.isNull() | (m_sha256 == F.col("__f_sha256"))
+    md5_ok = m_md5.isNull() | (m_md5 == F.col("__f_md5"))
     status = F.when(
         reached,
         F.when(unsafe, F.lit("unsafe-path"))
@@ -538,21 +546,21 @@ def verify_manifest_local(
         "size",
         F.when(
             F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok,
-            F.coalesce(F.col("sha1"), F.col("__f_sha1")),
+            F.coalesce(m_sha1, F.col("__f_sha1")),
         ).otherwise(F.col("sha1")).alias("sha1"),
         F.when(
             F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok & sha1_ok,
-            F.coalesce(F.col("sha256"), F.col("__f_sha256")),
+            F.coalesce(m_sha256, F.col("__f_sha256")),
         ).otherwise(F.col("sha256")).alias("sha256"),
         F.when(
             F.col("__status").isNotNull() & ~unsafe & ~dl_err & size_ok & sha1_ok & sha256_ok,
-            F.coalesce(F.col("md5"), F.col("__f_md5")),
+            F.coalesce(m_md5, F.col("__f_md5")),
         ).otherwise(F.col("md5")).alias("md5"),
         F.when(
             F.col("__status") == "verified-local",
-            F.when(F.col("mimetype").isNull(), F.col("__f_mime"))
+            F.when(m_mime.isNull(), F.col("__f_mime"))
             .when(
-                (F.col("__f_mime") != F.col("mimetype"))
+                (F.col("__f_mime") != m_mime)
                 & (F.col("__f_mime") != "text/plain"),
                 F.col("__f_mime"),
             )
@@ -631,10 +639,17 @@ def web_fetch_verify(
     counts = manifest.groupBy("item").agg(F.count(F.lit(1)).alias("__n_files"))
     j = j.join(counts, "item")
     no_cap = F.col("__r_status").isNull() | (F.col("__r_status") == "no-capture")
+    # truthiness gates, as in the local ladder: an empty-string manifest
+    # hash is absent (``m.md5 and ...``, :352-354; ``m.md5 or ...``
+    # backfills, :359-362)
+    m_md5 = F.nullif(F.col("md5"), F.lit(""))
+    m_sha1 = F.nullif(F.col("sha1"), F.lit(""))
+    m_sha256 = F.nullif(F.col("sha256"), F.lit(""))
+    m_mime = F.nullif(F.col("mimetype"), F.lit(""))
     mismatch = (
         (F.col("__r_size") != F.col("size"))
-        | (F.col("md5").isNotNull() & (F.col("md5") != F.col("__r_md5")))
-        | (F.col("sha1").isNotNull() & (F.col("sha1") != F.col("__r_sha1")))
+        | (m_md5.isNotNull() & (m_md5 != F.col("__r_md5")))
+        | (m_sha1.isNotNull() & (m_sha1 != F.col("__r_sha1")))
     )
     status = (
         F.when(no_cap & (F.col("__n_files") > max_spn_manifest), F.lit("too-much-spn"))
@@ -653,10 +668,10 @@ def web_fetch_verify(
         "terminal_url",
         "terminal_dt",
         "size",
-        F.when(good, F.coalesce(F.col("md5"), F.col("__r_md5"))).otherwise(F.col("md5")).alias("md5"),
-        F.when(good, F.coalesce(F.col("sha1"), F.col("__r_sha1"))).otherwise(F.col("sha1")).alias("sha1"),
-        F.when(good, F.coalesce(F.col("sha256"), F.col("__r_sha256"))).otherwise(F.col("sha256")).alias("sha256"),
-        F.when(good, F.coalesce(F.col("mimetype"), F.col("__r_mime"))).otherwise(F.col("mimetype")).alias("mimetype"),
+        F.when(good, F.coalesce(m_md5, F.col("__r_md5"))).otherwise(F.col("md5")).alias("md5"),
+        F.when(good, F.coalesce(m_sha1, F.col("__r_sha1"))).otherwise(F.col("sha1")).alias("sha1"),
+        F.when(good, F.coalesce(m_sha256, F.col("__r_sha256"))).otherwise(F.col("sha256")).alias("sha256"),
+        F.when(good, F.coalesce(m_mime, F.col("__r_mime"))).otherwise(F.col("mimetype")).alias("mimetype"),
     )
     item_status = verified.groupBy("item").agg(
         F.min_by(

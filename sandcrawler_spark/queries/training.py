@@ -3780,3 +3780,103 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def pipe_curation_quality(spark, sf_dir):
+    """The composed rule→model curation pipeline: exact-dedup + Gopher
+    gates (curation_decisions) then the model-based quality filter
+    (curation.quality_filter with the synthesized exact-decimal weight
+    table of cls_quality_score) — kept docs scoring < 0.5 demote to
+    'quality_fail'. The oracle replays both stages."""
+    from sandcrawler_spark.operators.curation import (
+        curation_decisions,
+        quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decisions = curation_decisions(docs)
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 201).cast("double") / 100.0 - 1.0).alias("w"),
+    )
+    d2, _kept, _scores = quality_filter(
+        docs, decisions, wdf, bias=-0.1, threshold=0.5, dim=4096
+    )
+    return d2.select("doc_id", "reason")
+
+
+QUERIES2.update({"pipe_curation_quality": pipe_curation_quality})
+
+ORACLES2.update(
+    {
+        "pipe_curation_quality": r"""
+        WITH hashed AS (
+            SELECT doc_id, text, md5(lower(trim(text))) AS h
+            FROM documents),
+        canon AS (SELECT h, min(doc_id) AS keep_id FROM hashed GROUP BY h),
+        toksq AS (
+            SELECT hashed.doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM hashed JOIN canon USING (h)
+            WHERE hashed.doc_id = canon.keep_id),
+        feats AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   round(length(list_aggregate(t, 'string_agg', ''))
+                         * 1.0 / len(t), 4) AS mean_word_len,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[#]|[.]{3}|…')))
+                         * 1.0 / len(t), 4) AS symbol_ratio,
+                   round(len(list_filter(t,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(t), 4) AS alpha_frac,
+                   len(list_filter(t, x -> list_contains(
+                         ['the','be','to','of','and','that','have','with'],
+                         x))) AS n_stop
+            FROM toksq),
+        gates AS (
+            SELECT doc_id,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3 AND 10)
+                    AND (symbol_ratio < 0.1)
+                    AND (alpha_frac >= 0.8)
+                    AND (n_stop >= 2)) AS pass_gopher
+            FROM feats),
+        rules AS (
+            SELECT hashed.doc_id,
+                   CASE WHEN hashed.doc_id <> canon.keep_id THEN 'exact_dup'
+                        WHEN NOT gates.pass_gopher THEN 'gopher_fail'
+                        ELSE 'kept' END AS reason
+            FROM hashed
+            JOIN canon USING (h)
+            LEFT JOIN gates ON gates.doc_id = hashed.doc_id),
+        tq AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS l
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(l) AS f FROM tq),
+        bi AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+               FROM tq, unnest(range(1, len(l))) AS r(i)
+               WHERE len(l) >= 2),
+        fx AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('hlc', f)), 1, 15))
+                        AS BIGINT) % 4096 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        perb AS (SELECT doc_id, b, count(*) AS c FROM fx GROUP BY doc_id, b),
+        perd AS (SELECT doc_id, count(*) AS n FROM fx GROUP BY doc_id),
+        m AS (
+            SELECT perb.doc_id,
+                   sum(((b % 201) / 100.0 - 1.0) * (c * 1.0 / n)) - 0.1 AS margin
+            FROM perb JOIN perd USING (doc_id)
+            GROUP BY perb.doc_id),
+        sc AS (SELECT doc_id,
+                      round(1.0 / (1.0 + exp(-margin)), 6) AS score FROM m)
+        SELECT rules.doc_id,
+               CASE WHEN rules.reason = 'kept' AND sc.score < 0.5
+                    THEN 'quality_fail' ELSE rules.reason END AS reason
+        FROM rules LEFT JOIN sc ON sc.doc_id = rules.doc_id
+    """,
+    }
+)

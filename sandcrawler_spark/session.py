@@ -16,16 +16,28 @@ from pyspark.sql import SparkSession
 
 
 def _tmpfs_local_dir() -> str | None:
-    """tmpfs shuffle dir iff explicitly requested AND safely sized."""
+    """tmpfs shuffle dir iff explicitly requested AND safely sized.
+
+    Layout is one subdir per driver PID so a SIGKILLed run's shuffle
+    files (which tmpfs keeps — they are RAM — and Spark's shutdown hook
+    never deletes after a hard kill) are reaped on the next session
+    instead of silently eating memory until the OOM killer fires.
+    """
     if os.environ.get("SPARK_GRAFT_TMPFS", "").lower() not in ("1", "true", "yes"):
         return None
     if "SPARK_LOCAL_DIRS" in os.environ or not os.path.isdir("/dev/shm"):
         return None
     import shutil
 
+    base = "/dev/shm/sandcrawler-spark-local"
+    if os.path.isdir(base):
+        for sub in os.listdir(base):
+            pid = sub.removeprefix("pid-")
+            if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+                shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
     if shutil.disk_usage("/dev/shm").free < 8 << 30:
         return None
-    return "/dev/shm/sandcrawler-spark-local"
+    return os.path.join(base, f"pid-{os.getpid()}")
 
 
 def get_spark(

@@ -248,10 +248,12 @@ def test_verify_local_python_model_parity(spark):
             key = i * 7 + k
             path = "../up" if key % 17 == 0 else f"d/f{k}.bin"
             size = 100 + k
-            sha1 = None if key % 3 == 0 else f"sha1-{key}"
+            # '' classes: the reference's truthiness gates treat them as
+            # absent (no mismatch, fetched value overwrites)
+            sha1 = None if key % 3 == 0 else ("" if key % 37 == 0 else f"sha1-{key}")
             sha256 = None if key % 4 != 0 else f"sha256-{key}"
-            md5 = None if key % 5 != 0 else f"md5-{key}"
-            mime = None if key % 6 == 0 else "text/csv"
+            md5 = None if key % 5 != 0 else ("" if key % 31 == 0 else f"md5-{key}")
+            mime = None if key % 6 == 0 else ("" if key % 41 == 0 else "text/csv")
             man_rows.append((item, k, path, size, sha1, sha256, md5, mime))
             if key % 11 == 0:
                 continue  # download error: no fetched row
@@ -353,3 +355,22 @@ def test_web_fetch_first_failure_order(spark):
     )
     rows = fileset.web_fetch_verify(man, res, success_status="success-file").collect()
     assert all(r["item_status"] == "redirect" for r in rows)
+
+
+def test_web_fetch_empty_string_hashes_are_absent(spark):
+    # reference: `m.md5 and m.md5 != ...` — '' never mismatches, and
+    # `m.md5 or file_meta[...]` — '' is overwritten by the fetched value
+    man = spark.createDataFrame(
+        [("i", 0, "http://z/0", 5, "", None, "", "")],
+        "item string, idx int, platform_url string, size bigint,"
+        " sha1 string, sha256 string, md5 string, mimetype string",
+    )
+    res = spark.createDataFrame(
+        [("http://z/0", "success", "t", "dt", 5, "S", "T", "M", "app/x", False)],
+        "url string, status string, terminal_url string, terminal_dt string,"
+        " size_bytes bigint, sha1hex string, sha256hex string, md5hex string,"
+        " mimetype string, empty_body boolean",
+    )
+    r = fileset.web_fetch_verify(man, res).collect()[0]
+    assert r["status"] == "success"
+    assert r["sha1"] == "S" and r["md5"] == "M" and r["mimetype"] == "app/x"

@@ -236,3 +236,30 @@ def test_fix_transfer_encoding_bytes():
     # plain body -> untouched regardless of claim
     same, fixed = fix_transfer_encoding_bytes(body, "text/html")
     assert not fixed and same == body
+
+
+def test_tmpfs_local_dir_reaps_dead_pid_dirs(monkeypatch, tmp_path):
+    """A SIGKILLed driver leaves its tmpfs shuffle subdir behind (RAM!);
+    the next session must reap dead-PID subdirs and keep live ones."""
+    import os
+    import shutil as _shutil
+
+    from sandcrawler_spark import session as S
+
+    base = "/dev/shm/sandcrawler-spark-local"
+    if not os.path.isdir("/dev/shm"):
+        import pytest
+
+        pytest.skip("no /dev/shm")
+    monkeypatch.setenv("SPARK_GRAFT_TMPFS", "1")
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    os.makedirs(os.path.join(base, "pid-999999999"), exist_ok=True)  # dead
+    live = os.path.join(base, f"pid-{os.getpid()}")
+    os.makedirs(live, exist_ok=True)
+    try:
+        d = S._tmpfs_local_dir()
+        assert d == live  # current pid's subdir
+        assert not os.path.exists(os.path.join(base, "pid-999999999"))
+        assert os.path.exists(live)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
