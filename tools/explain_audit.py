@@ -429,6 +429,13 @@ def main() -> int:
          [r"HashAggregate"],
          [r"Window", r"BatchEvalPython", r"ArrowEvalPython",
           r"CartesianProduct", r"BroadcastNestedLoop"]),
+        # composed rule->model curation: dedup min-agg + gopher gates +
+        # classifier margin, still one Python-free plan with the weight
+        # table broadcast
+        ("quality pipeline: rule+model composition, no python",
+         "pipe_curation_quality",
+         [r"BroadcastHashJoin", r"HashAggregate"],
+         [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
