@@ -59,6 +59,14 @@ def main() -> int:
     p.add_argument("--quality-bias", type=float, default=0.0)
     p.add_argument("--quality-min", type=float, default=0.5)
     p.add_argument("--quality-dim", type=int, default=4096)
+    p.add_argument(
+        "--write-shards",
+        action="store_true",
+        help="also materialize the sharded corpus itself: corpus.parquet/"
+        "shard=N/ dirs with (doc_id, text, n_ws_tokens), one Hive "
+        "partition per packed shard (write.partitionBy — the shard "
+        "assignment join is the only added shuffle)",
+    )
     args = p.parse_args()
     if bool(args.index_in) != bool(args.corpus_prev):
         p.error("--index-in and --corpus-prev must be given together")
@@ -150,6 +158,12 @@ def main() -> int:
     packed.select("doc_id", "shard", "n_ws_tokens").write.mode("overwrite").parquet(
         os.path.join(args.out, "shards.parquet")
     )
+    if args.write_shards:
+        kept.join(
+            packed.select("doc_id", "shard", "n_ws_tokens"), "doc_id"
+        ).write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(args.out, "corpus.parquet")
+        )
     new_index = build_minhash_index(kept, "doc_id", "text")
     if args.index_in:
         new_index = spark.read.parquet(args.index_in).unionByName(new_index)
