@@ -758,3 +758,56 @@ def trap_host_stats(
             )
         ).alias("trap_suspect"),
     )
+
+
+def select_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster-representative selection by QUALITY instead of min-id:
+    the keep-best retention policy (FineWeb/Dolma-style pipelines keep
+    the highest-quality member of each near-dup cluster; the
+    :func:`connected_components` default keeps the minimum id).
+
+    members: (id, cluster_id, ...) — e.g. connected_components output;
+    scores: (id, score) — e.g. the hashed-ngram classifier's output
+    (``operators/classifier.py``) or any per-doc quality metric.
+    Members with no score row rank below every scored member (their
+    score coalesces to -inf), so a cluster whose docs were never
+    scored still keeps exactly one representative.
+
+    Returns one row per member: (id, cluster_id, score,
+    is_representative). Deterministic total order per cluster:
+    (score desc, id asc) — ties on score keep the smaller id, so the
+    policy degrades to the min-id canonical when scores are constant.
+    Two map-side-combinable aggregates (max score per cluster, then
+    min id among the argmax rows) + hash join-backs on cluster_id —
+    never a per-cluster window, no skew from giant clusters.
+    """
+    sc = scores.select(
+        F.col(id_col).alias("__sid"), F.col(score_col).alias("__score")
+    )
+    j = members.join(
+        sc, members[id_col] == F.col("__sid"), "left"
+    ).drop("__sid").withColumn(
+        "__score", F.coalesce(F.col("__score"), F.lit(float("-inf")))
+    )
+    best = j.groupBy(cluster_col).agg(F.max("__score").alias("__best"))
+    j = j.join(best, cluster_col)
+    keeper = (
+        j.filter(F.col("__score") == F.col("__best"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("__keep_id"))
+    )
+    return (
+        j.join(keeper, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            F.col("__score").alias("score"),
+            (F.col(id_col) == F.col("__keep_id")).alias("is_representative"),
+        )
+    )

@@ -3880,3 +3880,54 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def dd_cluster_reps(spark, sf_dir):
+    """Keep-best cluster-representative selection
+    (dedup.select_representatives): synthetic clusters + scores from
+    orders (cluster = o_orderkey % 977, score = (o_orderkey % 53) with
+    every 11th member unscored), argmax-score / min-id-tiebreak per
+    cluster — the quality-retention dedup policy."""
+    from sandcrawler_spark.operators.dedup import select_representatives
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    members = orders.select(
+        k.cast("long").alias("id"), (k % 977).cast("long").alias("cluster_id")
+    )
+    scores = orders.filter(k % 11 != 0).select(
+        k.cast("long").alias("id"), (k % 53).cast("double").alias("score")
+    )
+    out = select_representatives(members, scores)
+    return out.select(
+        "id",
+        "cluster_id",
+        # -inf round-trips differently via duckdb; compare a NULLed twin
+        F.when(F.col("score") != F.lit(float("-inf")), F.col("score")).alias("score"),
+        "is_representative",
+    )
+
+
+QUERIES2.update({"dd_cluster_reps": dd_cluster_reps})
+
+ORACLES2.update(
+    {
+        "dd_cluster_reps": r"""
+        WITH m AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS id,
+                   CAST(o_orderkey % 977 AS BIGINT) AS cluster_id,
+                   CASE WHEN o_orderkey % 11 <> 0
+                        THEN CAST(o_orderkey % 53 AS DOUBLE) END AS score
+            FROM orders),
+        mm AS (SELECT *, coalesce(score, -1e308) AS s FROM m),
+        best AS (SELECT cluster_id, max(s) AS b FROM mm GROUP BY cluster_id),
+        keep AS (
+            SELECT mm.cluster_id, min(mm.id) AS keep_id
+            FROM mm JOIN best USING (cluster_id) WHERE mm.s = best.b
+            GROUP BY mm.cluster_id)
+        SELECT mm.id, mm.cluster_id, mm.score,
+               mm.id = keep.keep_id AS is_representative
+        FROM mm JOIN keep USING (cluster_id)
+    """,
+    }
+)

@@ -149,3 +149,30 @@ def test_quality_filter_stage(spark, corpus):
     assert 1 not in kept_ids and 2 in kept_ids
     by_id = {r["id"]: r["score"] for r in scores.collect()}
     assert by_id[1] < 0.01 and abs(by_id[2] - 0.5) < 1e-9
+
+
+def test_select_representatives_keep_best(spark):
+    """Keep-best retention: per cluster the max-score member wins,
+    score ties keep the smaller id, unscored members lose to scored
+    ones, and an entirely-unscored cluster still keeps exactly one."""
+    from sandcrawler_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [("a1", "c1"), ("a2", "c1"), ("a3", "c1"),
+         ("b1", "c2"), ("b2", "c2"),
+         ("u1", "c3"), ("u2", "c3")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a1", 0.2), ("a2", 0.9), ("a3", 0.9),
+         ("b1", 0.5)],  # b2 unscored; c3 fully unscored
+        "id string, score double",
+    )
+    out = {r["id"]: r for r in select_representatives(members, scores).collect()}
+    reps = {i for i, r in out.items() if r["is_representative"]}
+    assert reps == {"a2", "b1", "u1"}  # tie a2/a3 -> smaller id; c3 -> min id
+    assert out["a2"]["score"] == 0.9 and out["b2"]["score"] == float("-inf")
+    # exactly one representative per cluster
+    from collections import Counter
+    per = Counter(out[i]["cluster_id"] for i in reps)
+    assert all(v == 1 for v in per.values()) and len(per) == 3
