@@ -132,3 +132,27 @@ def interleave_stats(span_rows: DataFrame) -> DataFrame:
         ),
         F.sum("alt").alias("alternations"),
     )
+
+
+def flatten_text(docs: DataFrame, sep: str = " ") -> DataFrame:
+    """(doc_id, text, n_text_spans, n_media_spans): each doc's
+    interleaved span sequence flattened to plain text — kind='text'
+    spans joined by ``sep`` in OFFSET order (array_sort with an
+    explicit offset comparator, applied inside the array: no explode,
+    no shuffle, order from data not partitioning). Media spans are
+    counted, never decoded. The crawl→corpus bridge
+    (tools/crawl_to_corpus.py) runs this over fetched docs to produce
+    the `documents` table the curation/dedup/classifier operators eat.
+    """
+    text_spans = F.array_sort(
+        F.filter("spans", lambda s: s["kind"] == "text"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(text_spans, lambda s: s["text"]), sep).alias("text"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] != "text")).alias("n_media_spans"),
+    )

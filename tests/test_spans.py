@@ -95,3 +95,28 @@ def test_interleave_stats(spark):
     # audio→image is a kind change (counts) even though both are media
     assert (got[3]["n_media"], got[3]["alternations"]) == (2, 2)
     assert got[3]["media_fraction"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_flatten_text_offset_order_and_media_counts(spark):
+    """flatten_text joins kind='text' spans in OFFSET order regardless
+    of array position, counts media spans without touching them, and
+    yields '' for a doc with no text spans."""
+    from sandcrawler_spark.operators.spans import flatten_text
+
+    rows = [
+        ("d1", [
+            {"kind": "text", "text": "world", "media_ref": None, "offset": 10},
+            {"kind": "image", "text": None, "media_ref": "m1", "offset": 5},
+            {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+        ]),
+        ("d2", [
+            {"kind": "audio", "text": None, "media_ref": "m2", "offset": 0},
+        ]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    out = {r["doc_id"]: r for r in flatten_text(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out["d1"]["text"] == "hello world"
+    assert out["d1"]["n_text_spans"] == 2 and out["d1"]["n_media_spans"] == 1
+    assert out["d2"]["text"] == "" and out["d2"]["n_media_spans"] == 1

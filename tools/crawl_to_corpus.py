@@ -58,20 +58,10 @@ def main() -> int:
     ).agg(F.count(F.lit(1)).alias("n_urls"))
 
     n_fetched = per_doc.count()
+    from sandcrawler_spark.operators.spans import flatten_text
+
     docs = spark.read.parquet(os.path.join(args.data, "docs.parquet"))
-    text_spans = F.array_sort(
-        F.filter("spans", lambda s: s["kind"] == "text"),
-        lambda a, b: F.when(a["offset"] < b["offset"], -1)
-        .when(a["offset"] > b["offset"], 1)
-        .otherwise(0),
-    )
-    flat = docs.join(per_doc, "doc_id").select(
-        "doc_id",
-        F.array_join(F.transform(text_spans, lambda s: s["text"]), " ").alias("text"),
-        F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text_spans"),
-        F.size(F.filter("spans", lambda s: s["kind"] != "text")).alias("n_media_spans"),
-        "n_urls",
-    )
+    flat = flatten_text(docs.join(per_doc, "doc_id")).join(per_doc, "doc_id")
 
     os.makedirs(args.out, exist_ok=True)
     flat.write.mode("overwrite").parquet(os.path.join(args.out, "documents.parquet"))
