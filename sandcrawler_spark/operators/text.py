@@ -626,3 +626,51 @@ def boilerplate_classify(
         .otherwise(F.lit("bad"))
         .alias("cls"),
     )
+
+
+# --- unicode/text cleanup (the C4/Dolma-style preprocessing stage) ------
+
+# C0 controls minus tab/newline/CR, plus DEL and the C1 block -- the
+# characters every web-text pipeline strips before anything else sees
+# the text
+_CONTROL_CHARS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (Arrow-batched; Catalyst has no
+    normalization builtin -- this is the documented scalar-kernel slow
+    path, same tier as the URL canonicalizer). DuckDB replays it with
+    ``nfc_normalize`` in the oracle."""
+    import unicodedata
+
+    return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+
+def clean_text_col(text: Column, nfc: bool = True) -> Column:
+    """Text-cleanup kernel: strip control characters (C0 except
+    tab/newline/CR, DEL, C1), collapse horizontal-whitespace runs to
+    one space, normalize space around newlines, cap blank-line runs at
+    one empty line, trim -- then optionally NFC-normalize (combining
+    sequences -> precomposed, the fix for the same grapheme
+    hashing/deduping differently by byte form). The regex passes are
+    pure Catalyst; only NFC crosses the Arrow boundary."""
+    c = F.regexp_replace(text, _CONTROL_CHARS, "")
+    c = F.regexp_replace(c, "[ \\t\\u00A0]+", " ")
+    c = F.regexp_replace(c, " ?\\r?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    c = F.trim(c)
+    return nfc_normalize_udf(c) if nfc else c
+
+
+def clean_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nfc: bool = True
+) -> DataFrame:
+    """(id, text) with the cleanup kernel applied -- run BEFORE hashing,
+    dedup, or quality scoring so that byte-level noise (controls, NBSP
+    runs, decomposed accents) cannot split exact-dup groups or skew
+    token counts."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean_text_col(F.col(text_col), nfc=nfc).alias("text"),
+    )

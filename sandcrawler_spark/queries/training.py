@@ -3931,3 +3931,54 @@ ORACLES2.update(
     """,
     }
 )
+
+
+def txt_clean(spark, sf_dir):
+    """Unicode/text cleanup kernel (text.clean_documents): controls
+    stripped, horizontal-whitespace runs collapsed, space-around-
+    newline normalized, blank-line runs capped, trim, NFC. The corpus
+    plants every rule: a decomposed e+combining-acute (NFC target),
+    BEL control, NBSP+tab run, a 4-newline run, CRLF. The oracle
+    replays each regex pass + nfc_normalize in DuckDB."""
+    from sandcrawler_spark.operators.text import clean_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        # the prefix literal is DECOMPOSED on purpose (e + U+0301, see
+        # the bytes) - the engine's NFC must compose it to match the
+        # oracle's nfc_normalize
+        F.concat(
+            F.lit("étude:\x07  \t"),
+            F.col("text"),
+            F.lit(" \n\n\n\nend \r\n fin"),
+        ).alias("text"),
+    )
+    out = clean_documents(noisy)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
+QUERIES2.update({"txt_clean": txt_clean})
+
+ORACLES2.update(
+    {
+        "txt_clean": r"""
+        WITH noisy AS (
+            SELECT doc_id,
+                   'e' || chr(769) || 'tude:' || chr(7) || ' ' || chr(160)
+                   || chr(9) || text || ' ' || repeat(chr(10), 4)
+                   || 'end ' || chr(13) || chr(10) || ' fin' AS t
+            FROM documents),
+        c1 AS (SELECT doc_id,
+                      regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS t
+               FROM noisy),
+        c2 AS (SELECT doc_id,
+                      regexp_replace(t, '[ \t\x{00A0}]+', ' ', 'g') AS t FROM c1),
+        c3 AS (SELECT doc_id,
+                      regexp_replace(t, ' ?\r?\n ?', chr(10), 'g') AS t FROM c2),
+        c4 AS (SELECT doc_id,
+                      regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g') AS t FROM c3)
+        SELECT doc_id, nfc_normalize(trim(t)) AS text FROM c4
+    """,
+    }
+)

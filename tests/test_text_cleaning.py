@@ -140,3 +140,30 @@ def test_boilerplate_promotion_neargood_next_to_good(spark):
     df = spark.createDataFrame([(7, text)], "id long, body string")
     rows = {r["idx"]: r["cls"] for r in boilerplate_classify(df, "id", "body").collect()}
     assert rows == {0: "good", 1: "good"}  # neargood promoted by good neighbor
+
+
+def test_clean_documents_rules(spark):
+    """Cleanup kernel: control strip, horizontal-whitespace collapse
+    (incl. NBSP), space-around-newline, blank-line cap, trim, NFC
+    composition of decomposed sequences."""
+    from sandcrawler_spark.operators.text import clean_documents
+
+    rows = [
+        ("ctl", "a\x00b\x07c\x1fd\x7fe"),
+        ("ws", "a \t   b"),
+        ("nl", "one \r\n two\n\n\n\n\nthree"),
+        ("nfc", "étude"),
+        ("trim", "  padded  "),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["id"]: r["text"] for r in clean_documents(df).collect()}
+    assert out["ctl"] == "abcde"
+    assert out["ws"] == "a b"
+    assert out["nl"] == "one\ntwo\n\nthree"
+    assert out["nfc"] == "étude" and len(out["nfc"]) == 5
+    assert out["trim"] == "padded"
+    assert out["none"] is None
+    # nfc=False skips the Arrow pass entirely
+    raw = {r["id"]: r["text"] for r in clean_documents(df, nfc=False).collect()}
+    assert raw["nfc"] == "étude"
