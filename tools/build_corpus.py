@@ -60,6 +60,13 @@ def main() -> int:
     p.add_argument("--quality-min", type=float, default=0.5)
     p.add_argument("--quality-dim", type=int, default=4096)
     p.add_argument(
+        "--clean",
+        action="store_true",
+        help="apply the unicode/text cleanup kernel (control strip, "
+        "whitespace collapse, NFC — operators/text.py::clean_documents) "
+        "before curation, so byte-form noise cannot split dup groups",
+    )
+    p.add_argument(
         "--write-shards",
         action="store_true",
         help="also materialize the sharded corpus itself: corpus.parquet/"
@@ -88,6 +95,10 @@ def main() -> int:
 
     spark = get_spark("build-corpus", cores=args.cores, shuffle_partitions=args.cores)
     docs = spark.read.parquet(docs_path(args.data)).select("doc_id", "text")
+    if args.clean:
+        from sandcrawler_spark.operators.text import clean_documents
+
+        docs = clean_documents(docs).withColumnRenamed("id", "doc_id")
 
     decisions = curation_decisions(docs).persist()
     survivors = docs.join(

@@ -436,6 +436,12 @@ def main() -> int:
          "pipe_curation_quality",
          [r"BroadcastHashJoin", r"HashAggregate"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
+        # text cleanup: regex passes stay Catalyst; the ONLY Python is
+        # the Arrow-batched NFC kernel — no row-python, no shuffle
+        ("text cleanup: arrow NFC only, no shuffle, no row python",
+         "txt_clean",
+         [r"ArrowEvalPython"],
+         [r"BatchEvalPython", r"Exchange", r"Join"]),
     ]
     report = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     failures = []
