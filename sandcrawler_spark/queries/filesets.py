@@ -187,8 +187,8 @@ SELECT status, platform_name,
     END
   END AS ingest_strategy,
   count(*) AS n_datasets,
-  sum(file_count) AS files,
-  sum(total_size) AS bytes
+  CAST(sum(file_count) AS BIGINT) AS files,
+  CAST(sum(total_size) AS BIGINT) AS bytes
 FROM st
 GROUP BY 1, 2, 3
 """,
@@ -505,7 +505,7 @@ j AS (
   FROM man LEFT JOIN ex USING (item, path))
 SELECT item,
   count(*) AS files_wanted,
-  sum(CASE WHEN ok THEN 1 ELSE 0 END) AS files_exist,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS files_exist,
   CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) = count(*)
        THEN 'success-existing' END AS status
 FROM j GROUP BY item

@@ -1024,8 +1024,9 @@ def pack_shards_lpt(spark, sf_dir):
 
 def pack_ffd_bins(spark, sf_dir):
     """First-fit-decreasing packing into 4000-char bins within each of 8
-    LPT shards (applyInPandas per shard). Sequential-greedy semantics are
-    not SQL-expressible — driver records the rows-only check; the exact
+    LPT shards (applyInPandas per shard). Sequential-greedy semantics over
+    arbitrary sizes are not SQL-expressible, so this is NOT a battery
+    entry (the exact-oracle FFD entry is pack_ffd_twoclass); the exact
     invariants (budget respected, no doc dropped, determinism) are
     pytest-pinned in tests/test_curation.py."""
     from sandcrawler_spark.operators import curation
@@ -1047,7 +1048,13 @@ QUERIES2.update(
         "smp_stratified": smp_stratified,
         "mix_domain_weights": mix_domain_weights,
         "pack_shards_lpt": pack_shards_lpt,
-        "pack_ffd_bins": pack_ffd_bins,
+        # pack_ffd_bins (realistic sizes) is deliberately NOT registered:
+        # arbitrary-size FFD has no SQL closed form, so it can only get a
+        # rows-only driver check. The FFD kernel's exact-oracle battery
+        # entry is pack_ffd_twoclass (closed-form fixture, value-hashed);
+        # the realistic-size path stays pytest-pinned in
+        # tests/test_curation.py (budget respected, no doc dropped,
+        # determinism across partitionings).
     }
 )
 
@@ -1068,7 +1075,7 @@ ORACLES2.update(
     """,
         "mix_domain_weights": """
         WITH per AS (SELECT source, count(*) AS n_docs,
-                            sum(n_chars) AS size_total
+                            CAST(sum(n_chars) AS BIGINT) AS size_total
                      FROM documents GROUP BY source),
         tot AS (SELECT sum(size_total) AS tot,
                        sum(pow(size_total, 0.5)) AS z FROM per)
@@ -1082,7 +1089,7 @@ ORACLES2.update(
                           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
                    FROM documents)
         SELECT CAST(rk % 8 AS INTEGER) AS shard, count(*) AS n_docs,
-               sum(n_chars) AS chars_total
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
         FROM r GROUP BY 1
     """,
     }
@@ -2103,10 +2110,10 @@ ORACLES2["sp_interleave_stats"] = """
             FROM rows_)
         SELECT doc_id,
                count(*) AS n_spans,
-               sum(m) AS n_media,
+               CAST(sum(m) AS BIGINT) AS n_media,
                round(sum(m) * 1.0 / count(*), 6) AS media_fraction,
                min(CASE WHEN m = 1 THEN "offset" END) AS first_media_offset,
-               sum(alt) AS alternations
+               CAST(sum(alt) AS BIGINT) AS alternations
         FROM flagged GROUP BY doc_id
 """
 
@@ -2679,10 +2686,10 @@ ORACLES2.update(
         "pack_token_chunks": """
         WITH c AS (
             SELECT doc_id, CAST(n_chars AS BIGINT) AS toks,
-                   COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                   CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS c0
+                   ), 0) AS BIGINT) AS c0
             FROM documents WHERE n_chars > 0),
         x AS (
             SELECT doc_id, toks, c0,

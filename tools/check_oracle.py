@@ -1,7 +1,27 @@
 """Local replica of the driver's correctness gate: run every
 queries()/oracle_sql() pair at a given SF and compare row count, column
-names, and order-insensitive values. Stricter than the driver: exact
-equality (floats included — both sides round explicitly).
+names, column TYPES, and an order-insensitive, type-sensitive value hash.
+
+Driver-faithful since round 4: the round-3 driver flagged four oracles
+whose integer ``sum()`` DuckDB typed as HUGEINT (int128) — values were
+row-for-row identical but the driver's type-sensitive hash differed,
+while this gate's old Python-equality compare (``int == int`` regardless
+of width, floats rounded to 9 digits) reported them green. This version
+closes that gap:
+
+* the DuckDB result is fetched as **Arrow** (``rel.arrow()``) so the
+  physical output types are visible — HUGEINT surfaces as
+  ``decimal128(38,0)``, not a Python ``int``;
+* both schemas are canonicalized and compared column-by-column (sorted
+  by name); any HUGEINT/DECIMAL reaching a DuckDB oracle output where
+  Spark emits int64 is a FAIL with a "cast the oracle to BIGINT" hint;
+* values are hashed exactly (repr round-trips doubles bit-faithfully;
+  no rounding) and tagged with the canonical column type, so an int64
+  and an int128 with equal values can never collide.
+
+NOTE for oracle authors: DuckDB types ``sum()`` of any integer column as
+HUGEINT. Always write ``CAST(sum(x) AS BIGINT)`` (and cast windowed
+cumsums and anything derived from them) — see queries/__init__.py.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -13,6 +33,7 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -22,21 +43,170 @@ TABLES = [
 ]
 
 
-def normalize(rows, cols):
+def canon_spark_type(dt) -> str:
+    """Canonical name for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType,)):
+        return "i64"
+    if isinstance(dt, (T.IntegerType,)):
+        return "i32"
+    if isinstance(dt, T.ShortType):
+        return "i16"
+    if isinstance(dt, T.ByteType):
+        return "i8"
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.FloatType):
+        return "f32"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType) or isinstance(dt, T.TimestampNTZType):
+        return "ts"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{canon_spark_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"map<{canon_spark_type(dt.keyType)},"
+            f"{canon_spark_type(dt.valueType)}>"
+        )
+    if isinstance(dt, T.NullType):
+        return "null"
+    return dt.simpleString()
+
+
+def canon_arrow_type(t: pa.DataType) -> str:
+    """Canonical name for an Arrow DataType (DuckDB result side)."""
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_int16(t):
+        return "i16"
+    if pa.types.is_int8(t):
+        return "i8"
+    if pa.types.is_uint64(t) or pa.types.is_uint32(t):
+        return f"u{t.bit_width}"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_decimal(t):
+        return f"dec({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def coarse(t: str) -> str:
+    """Collapse a canonical type to the class the driver's value hash
+    actually distinguishes: all native int widths hash as the same
+    Python int, but DECIMAL/HUGEINT surfaces as decimal.Decimal and
+    hashes differently. Recurse into list/struct element types."""
+    if t.startswith("list<") and t.endswith(">"):
+        return f"list<{coarse(t[5:-1])}>"
+    if t in ("i8", "i16", "i32", "i64", "u32", "u64"):
+        return "i"
+    if t in ("f32", "f64"):
+        return "f"
+    return t
+
+
+def types_compatible(s: str, d: str) -> tuple[bool, bool]:
+    """(ok, width_warning). Pure int/float width differences pass with a
+    warning (the driver's hash tolerates them — both sides yield the
+    same Python value); anything crossing a type CLASS (int vs decimal,
+    int vs float, str vs int, ...) fails."""
+    if s == d:
+        return True, False
+    # an all-NULL column types as null on one side
+    if "null" in (s, d):
+        return True, False
+    if coarse(s) == coarse(d):
+        return True, True
+    return False, False
+
+
+def norm_value(v):
+    """Exact, hashable normal form. No rounding: repr() round-trips
+    doubles bit-faithfully, so two different float64 bit patterns
+    (other than equal values) always differ here — like the driver's
+    byte hash."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
+    if isinstance(v, str):
+        return "s:" + v
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}={norm_value(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    # Row (Spark struct) → treat as dict by field name
+    if hasattr(v, "asDict"):
+        return norm_value(v.asDict())
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def normalize(rows, cols, canon_types):
+    """Sort columns by name, tag every value with its canonical column
+    type, sort rows — the order-insensitive type-sensitive normal form
+    both sides are compared in."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+        out.append(
+            tuple(f"{coarse(canon_types[i])}|{norm_value(r[i])}" for i in order)
+        )
+    out.sort()
+    return out
 
 
 def main() -> int:
@@ -62,6 +232,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = [canon_spark_type(f.dataType) for f in sdf.schema.fields]
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -72,9 +243,12 @@ def main() -> int:
             print(f"ok?  {name}: rows={len(s_rows)} ({spark_sec:.1f}s, rows-only check, no oracle)")
             continue
         try:
-            rel = con.sql(sql)
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            tbl = con.sql(sql).arrow()
+            d_cols = tbl.schema.names
+            d_types = [canon_arrow_type(f.type) for f in tbl.schema]
+            d_rows = list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_columns else []
+            if tbl.num_rows and not d_rows:
+                d_rows = [() for _ in range(tbl.num_rows)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
@@ -82,13 +256,32 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            s_tmap = dict(zip(s_cols, s_types))
+            d_tmap = dict(zip(d_cols, d_types))
+            bad, warns = [], []
+            for c in s_cols:
+                ok, warn = types_compatible(s_tmap[c], d_tmap[c])
+                if not ok:
+                    bad.append((c, s_tmap[c], d_tmap[c]))
+                elif warn:
+                    warns.append(f"{c}: spark={s_tmap[c]} duck={d_tmap[c]}")
+            if warns:
+                print(f"warn {name}: int/float width differs ({'; '.join(warns)})")
+            if bad:
+                hints = []
+                for c, st, dt in bad:
+                    hint = ""
+                    if dt.startswith("dec(38,0)"):
+                        hint = " (DuckDB HUGEINT — CAST the oracle aggregate AS BIGINT)"
+                    hints.append(f"{c}: spark={st} duck={dt}{hint}")
+                problems.append("type mismatch " + "; ".join(hints))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
-            ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
-            mism = [
-                (a, b) for a, b in zip(ns, nd) if repr(a) != repr(b)
-            ]
+            ns = normalize(s_rows, s_cols, s_types)
+            nd = normalize(d_rows, list(d_cols), d_types)
+            mism = [(a, b) for a, b in zip(ns, nd) if a != b]
             if mism:
                 problems.append(f"{len(mism)} value mismatches; first: {mism[0]}")
         if problems:
