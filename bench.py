@@ -172,6 +172,99 @@ def bench_frontier(cores: int, data_dir: str, warmup_dir: str) -> dict:
     }
 
 
+def bench_skew(spark) -> dict:
+    """Hot-bucket skew row (round-4): LSH banding on a boilerplate-heavy
+    corpus, where one band bucket ≫ all others. Two measurements:
+
+    * contrast fixture (hot cluster small enough that the quadratic
+      path is still runnable): capped vs uncapped wall-clock on the
+      SAME input — the measured cost of leaving the cap off;
+    * default-path fixture (hot cluster wider than DEFAULT_MAX_BUCKET,
+      where the uncapped self-join would propose ~2.9·10^8 candidate
+      pairs — the 100×-scale shape): wall-clock with library defaults
+      plus the cap's no-silent-truncation counters
+      (buckets_capped/rows_capped/widest_bucket via Observation) and
+      the candidate-pair count the cap avoided, computed from the
+      observed bucket widths rather than by running the quadratic plan.
+    """
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.dedup import (
+        minhash_near_dups,
+        pop_cap_observations,
+    )
+
+    boiler = (
+        "subscribe to our newsletter all rights reserved privacy policy "
+        "terms of service cookie settings contact us about follow share"
+    )
+
+    def fixture(n_hot: int, n_unique: int):
+        uniq = spark.range(n_unique).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit("article"), F.col("id").cast("string"),
+                *[
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(s), F.col("id").cast("string"))), 1, 7),
+                        16, 10,
+                    )
+                    for s in "abcdefgh"
+                ],
+            ).alias("text"),
+        )
+        hot = spark.range(n_hot).select(
+            (F.col("id") + 10_000_000).alias("doc_id"), F.lit(boiler).alias("text")
+        )
+        return uniq.unionAll(hot)
+
+    out: dict = {}
+
+    # --- contrast: both paths feasible (hot=2500 → 4 bands × 3.1M pairs)
+    df_small = fixture(2500, 20_000).persist()
+    df_small.count()
+    t0 = time.perf_counter()
+    n_unc = minhash_near_dups(df_small, "doc_id", "text", max_bucket=None).count()
+    t_uncapped = time.perf_counter() - t0
+    pop_cap_observations()
+    t0 = time.perf_counter()
+    n_cap = minhash_near_dups(df_small, "doc_id", "text", max_bucket=1000).count()
+    t_capped = time.perf_counter() - t0
+    obs = [o.get for _, o in pop_cap_observations()]
+    df_small.unpersist()
+    out["contrast_hot2500"] = {
+        "uncapped_sec": round(t_uncapped, 2),
+        "capped_sec": round(t_capped, 2),
+        "speedup": round(t_uncapped / t_capped, 2),
+        "uncapped_pairs": n_unc,
+        "capped_pairs": n_cap,
+        "buckets_capped": sum(m["buckets_capped"] for m in obs),
+    }
+
+    # --- default path: hot bucket wider than DEFAULT_MAX_BUCKET
+    df_big = fixture(12_000, 48_000).persist()
+    df_big.count()
+    pop_cap_observations()
+    t0 = time.perf_counter()
+    n_def = minhash_near_dups(df_big, "doc_id", "text").count()
+    t_default = time.perf_counter() - t0
+    obs = [o.get for _, o in pop_cap_observations()]
+    df_big.unpersist()
+    widest = max((m["widest_bucket"] for m in obs), default=0)
+    out["default_hot12000"] = {
+        "default_capped_sec": round(t_default, 2),
+        "pairs": n_def,
+        "buckets_capped": sum(m["buckets_capped"] for m in obs),
+        "rows_capped": sum(m["rows_capped"] for m in obs),
+        "widest_bucket": widest,
+        "candidate_pairs_avoided": sum(
+            m["rows_capped"] * widest // 2 for m in obs
+        ),
+    }
+    return out
+
+
 def _burn(seconds: float) -> int:
     t0 = time.perf_counter()
     x = 0
@@ -240,6 +333,7 @@ def main() -> None:
     spark_ceiling = spark_shuffle_ceiling(LOW_CORES, HIGH_CORES)
     spark = _new_spark(CPUS)
     times = bench_queries(spark)
+    skew = bench_skew(spark)
     ceiling = hardware_ceiling(LOW_CORES, HIGH_CORES)
 
     out = {
@@ -252,6 +346,7 @@ def main() -> None:
         "n_queries": len(times),
         "sec_per_query": round(sum(times.values()) / max(1, len(times)), 3),
         "queries": times,
+        "skew_lsh_hot_bucket": skew,
         "sf": SF_DIR,
         "frontier": {
             "n_urls": FRONTIER_URLS,

@@ -135,6 +135,33 @@ def lsh_band_keys(signatures_wide: DataFrame) -> DataFrame:
     ).select("id", "bk.band", "bk.band_key")
 
 
+# Default hot-bucket cap for banded candidate generation. Generous: at
+# tau >= 0.8 a genuine near-dup cluster rarely exceeds a few thousand
+# members per band bucket, while boilerplate clusters (shared headers /
+# footers / templates across millions of pages) blow past it and would
+# make the band self-join quadratic in the bucket. Pass
+# ``max_bucket=None`` to opt out (exact small-scale/oracle runs at
+# sf0.01 never have a bucket anywhere near this wide, so the default is
+# value-neutral for the correctness gate).
+DEFAULT_MAX_BUCKET = 10_000
+
+# (label, Observation) pairs registered by cap_bucket_width — drained by
+# pop_cap_observations(). Metrics materialize when an action runs over
+# the capped plan; nothing is silently truncated without a counter.
+_cap_observations: list = []
+
+
+def pop_cap_observations() -> list:
+    """Drain the (label, pyspark.sql.Observation) pairs registered by
+    :func:`cap_bucket_width` since the last drain. After an action has
+    run over the capped DataFrame, ``obs.get`` yields
+    ``{"buckets_capped": n, "rows_capped": m, "widest_bucket": w}`` —
+    the no-silent-truncation audit trail for the skew cap."""
+    out = list(_cap_observations)
+    _cap_observations.clear()
+    return out
+
+
 def cap_bucket_width(
     bands: DataFrame, keys: list[str], max_bucket: int | None
 ) -> DataFrame:
@@ -143,22 +170,35 @@ def cap_bucket_width(
     m members proposes m²/2 pairs — one boilerplate cluster of 10^5
     docs would otherwise put 5·10^9 pairs in a single task). Oversized
     buckets are near-boilerplate by construction; at corpus scale the
-    cap trades their (usually worthless) pairs for bounded tasks. Off
-    by default (``None``) — small-scale/oracle runs are exact."""
+    cap trades their (usually worthless) pairs for bounded tasks. ON by
+    default in every banded operator (``DEFAULT_MAX_BUCKET``);
+    ``None`` opts out for exact runs. Capped-bucket counts are
+    surfaced via :func:`pop_cap_observations`, not dropped silently."""
     if max_bucket is None:
         return bands
-    ok = (
-        bands.groupBy(*keys)
-        .agg(F.count("*").alias("__bsz"))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+    from pyspark.sql import Observation
+
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    obs = Observation()
+    sizes = sizes.observe(
+        obs,
+        F.coalesce(
+            F.sum((F.col("__bsz") > max_bucket).cast("long")), F.lit(0)
+        ).alias("buckets_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("__bsz") > max_bucket, F.col("__bsz"))),
+            F.lit(0),
+        ).alias("rows_capped"),
+        F.coalesce(F.max("__bsz"), F.lit(0)).alias("widest_bucket"),
     )
+    _cap_observations.append(("/".join(keys), obs))
+    ok = sizes.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
     return bands.join(ok, keys, "left_semi")
 
 
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, tau: float = 0.8, n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: band-bucket candidate pairs, then exact
     Jaccard confirmation ≥ tau. Output (id1, id2, jacc).
@@ -221,7 +261,7 @@ def minhash_probe_index(
     text_col: str,
     tau: float = 0.8,
     n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs that TOUCH a new batch.
 
@@ -339,7 +379,7 @@ def simhash_bands(sh: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFr
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance — BANDED, not
     all-pairs: candidates come from the chunk equi-join (exact by the
@@ -375,7 +415,7 @@ def simhash_probe_index(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental SimHash: near-dup pairs touching a new batch, probed
     against a persisted signature table instead of re-hashing the

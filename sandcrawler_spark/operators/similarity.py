@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sandcrawler_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -479,7 +481,7 @@ def embedding_near_dups_lsh(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale
     path for 10^9-vector corpora (exact :func:`embedding_near_dups` is
@@ -551,7 +553,7 @@ def embedding_probe_lsh(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental SRP-LSH: embedding near-dup pairs touching a new
     batch, probed against the persisted signature table instead of

@@ -209,7 +209,8 @@ def test_embedding_near_dups_lsh_vs_exact(spark):
 
 def test_hot_bucket_cap_bounds_boilerplate(spark):
     """max_bucket drops oversized LSH buckets (boilerplate clusters)
-    while keeping ordinary near-dup pairs; default None is exact."""
+    while keeping ordinary near-dup pairs; the generous default
+    (DEFAULT_MAX_BUCKET=10k) is value-neutral at this scale."""
     from sandcrawler_spark.operators.dedup import minhash_near_dups
 
     boiler = "the quick brown fox jumps over the lazy dog again and again"
@@ -230,6 +231,54 @@ def test_hot_bucket_cap_bounds_boilerplate(spark):
                                          max_bucket=5).collect()}
     assert (100, 101) in capped            # small buckets untouched
     assert not any(a < 100 for a, b in capped)  # hot cluster dropped
+
+
+def test_hot_bucket_cap_default_on_and_observed(spark):
+    """Round-4 skew default: every banded operator caps hot buckets at
+    DEFAULT_MAX_BUCKET unless explicitly opted out, and the capped
+    bucket/row counts are surfaced through pop_cap_observations (no
+    silent truncation)."""
+    import inspect
+
+    from sandcrawler_spark.operators import dedup, similarity
+    from sandcrawler_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        minhash_near_dups,
+        pop_cap_observations,
+    )
+
+    for fn in (
+        dedup.minhash_near_dups, dedup.minhash_probe_index,
+        dedup.simhash_near_dups, dedup.simhash_probe_index,
+        similarity.embedding_near_dups_lsh,
+        similarity.embedding_probe_lsh,
+    ):
+        assert (
+            inspect.signature(fn).parameters["max_bucket"].default
+            == DEFAULT_MAX_BUCKET
+        ), fn.__name__
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [
+        (100, "completely different article about spark shuffle planning"),
+        (101, "completely different article about spark shuffle planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pop_cap_observations()  # drain anything earlier tests registered
+    pairs = {(r["id1"], r["id2"])
+             for r in minhash_near_dups(df, "doc_id", "text",
+                                        max_bucket=5).collect()}
+    assert not any(a < 100 for a, b in pairs)
+    obs = pop_cap_observations()
+    assert obs, "cap registered no observation"
+    metrics = [o.get for _, o in obs]
+    # 4 bands x 1 hot bucket of 12 identical docs each
+    assert sum(m["buckets_capped"] for m in metrics) == 4
+    assert sum(m["rows_capped"] for m in metrics) == 48
+    assert max(m["widest_bucket"] for m in metrics) == 12
+    assert not pop_cap_observations()  # drained
 
 
 def test_cell_means_array_native(spark):
