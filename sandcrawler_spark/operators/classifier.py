@@ -132,9 +132,23 @@ def classify_documents(
 ) -> DataFrame:
     """End-to-end inference: text → hashed features → linear score.
     The quality-filter hot path: at 100 TB this is a scan + explode +
-    broadcast join + one per-doc agg, all codegen."""
+    broadcast join + one per-doc agg, all codegen.
+
+    Emits ONE ROW PER INPUT DOC: a doc that tokenizes to zero tokens
+    produces no feature rows, so its margin is exactly ``bias`` and its
+    score sigmoid(bias) — materialized via a left join back onto the
+    input ids rather than silently dropped (round-4 fix; previously
+    featureless docs had no score row at all, so quality_filter kept
+    them with no audit entry)."""
     feats = hashed_ngram_features(df, id_col, text_col, dim, bigrams, salt)
-    return apply_linear_classifier(feats, weights, bias, score_decimals)
+    scored = apply_linear_classifier(feats, weights, bias, score_decimals)
+    base = 1.0 / (1.0 + float(np.exp(-float(bias))))
+    if score_decimals is not None:
+        base = round(base, score_decimals)
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id", F.coalesce(F.col("score"), F.lit(base)).alias("score")
+    )
 
 
 def train_linear_classifier(
@@ -162,7 +176,12 @@ def train_linear_classifier(
     gradient (groupBy bucket → ≤dim rows collected). The training SET
     never moves: features+labels are computed once and persisted; the
     driver holds only the model. Deterministic up to float-sum
-    reordering; no RNG anywhere (zero init)."""
+    reordering; no RNG anywhere (zero init).
+
+    Contract: docs that tokenize to ZERO tokens carry no features and
+    are excluded from training entirely (not in n_docs, not in the bias
+    gradient) — they constrain nothing but the bias, and at inference
+    :func:`classify_documents` scores them sigmoid(bias) anyway."""
     feats = hashed_ngram_features(df, id_col, text_col, dim, bigrams, salt)
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")

@@ -827,8 +827,12 @@ def select_representatives(
     min id among the argmax rows) + hash join-backs on cluster_id —
     never a per-cluster window, no skew from giant clusters.
     """
-    sc = scores.select(
-        F.col(id_col).alias("__sid"), F.col(score_col).alias("__score")
+    # collapse scores to one row per id BEFORE the join-back: a scores
+    # table with duplicate (id, score) rows would otherwise duplicate
+    # member rows in the output (taking max matches the keep-best
+    # policy; map-side combinable)
+    sc = scores.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.max(score_col).alias("__score")
     )
     j = members.join(
         sc, members[id_col] == F.col("__sid"), "left"

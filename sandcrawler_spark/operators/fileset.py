@@ -514,7 +514,10 @@ def verify_manifest_local(
     j = j.join(err_idx, "item")
     reached = F.col("__err_idx").isNull() | (F.col("idx") <= F.col("__err_idx"))
 
-    size_ok = F.col("__f_size") == F.col("size")
+    # reference: ``file_meta['size_bytes'] != m.size`` — a NULL manifest
+    # size (FilesetManifestFile.size is Optional) compares UNEQUAL in
+    # Python, so size-less rows are a mismatch, not a skipped rung
+    size_ok = F.col("size").isNotNull() & (F.col("__f_size") == F.col("size"))
     # the reference gates every hash rung on TRUTHINESS (``if m.sha1:``,
     # fileset_strategies.py:166,173,180) — an empty-string manifest hash
     # is "absent": no mismatch possible, and the fetched value overwrites
@@ -647,7 +650,10 @@ def web_fetch_verify(
     m_sha256 = F.nullif(F.col("sha256"), F.lit(""))
     m_mime = F.nullif(F.col("mimetype"), F.lit(""))
     mismatch = (
-        (F.col("__r_size") != F.col("size"))
+        # NULL manifest size != fetched size in the reference's Python
+        # compare → mismatch (same rule as verify_manifest_local)
+        F.col("size").isNull()
+        | (F.col("__r_size") != F.col("size"))
         | (m_md5.isNotNull() & (m_md5 != F.col("__r_md5")))
         | (m_sha1.isNotNull() & (m_sha1 != F.col("__r_sha1")))
     )

@@ -22,6 +22,13 @@ def _tmpfs_local_dir() -> str | None:
     files (which tmpfs keeps — they are RAM — and Spark's shutdown hook
     never deletes after a hard kill) are reaped on the next session
     instead of silently eating memory until the OOM killer fires.
+
+    Best-effort reaper caveats: liveness is "PID exists AND its cmdline
+    looks like a java/python process" — if the driver's PID was recycled
+    by an unrelated java/python process the dir survives one more
+    session (bounded leak, reaped when that PID moves on); and two
+    sessions starting concurrently can race to rmtree the same dead dir
+    (harmless: ignore_errors + distinct per-PID targets).
     """
     if os.environ.get("SPARK_GRAFT_TMPFS", "").lower() not in ("1", "true", "yes"):
         return None
@@ -29,11 +36,22 @@ def _tmpfs_local_dir() -> str | None:
         return None
     import shutil
 
+    def _alive(pid: str) -> bool:
+        # /proc/<pid> existing is not enough — the PID may have been
+        # recycled. A Spark driver is always a java or python process;
+        # anything else holding the PID means the original owner died.
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv0 = f.read().split(b"\0", 1)[0].lower()
+        except OSError:
+            return False
+        return b"java" in argv0 or b"python" in argv0
+
     base = "/dev/shm/sandcrawler-spark-local"
     if os.path.isdir(base):
         for sub in os.listdir(base):
             pid = sub.removeprefix("pid-")
-            if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            if not (pid.isdigit() and _alive(pid)):
                 shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
     if shutil.disk_usage("/dev/shm").free < 8 << 30:
         return None

@@ -97,3 +97,46 @@ def test_unseen_buckets_score_half_at_zero_bias(spark):
     wdf = spark.createDataFrame([(999999, 5.0)], "bucket long, w double")
     out = C.classify_documents(df, "doc_id", "text", wdf, dim=4096).collect()
     assert out[0]["score"] == 0.5
+
+
+def test_zero_token_docs_score_sigmoid_bias(spark):
+    """A doc that tokenizes to zero tokens still gets a score row —
+    margin is exactly the bias (round-4 ADVICE fix: previously such
+    docs had no row at all, so quality_filter kept them unaudited)."""
+    import math
+
+    df = spark.createDataFrame(
+        [("empty", ""), ("blank", "   \t  "), ("real", "zzz qqq")],
+        "doc_id string, text string",
+    )
+    wdf = spark.createDataFrame([(999999, 5.0)], "bucket long, w double")
+    out = {r["id"]: r["score"]
+           for r in C.classify_documents(df, "doc_id", "text", wdf,
+                                         bias=-1.0, dim=4096).collect()}
+    assert set(out) == {"empty", "blank", "real"}
+    expect = round(1.0 / (1.0 + math.exp(1.0)), 6)
+    assert out["empty"] == expect and out["blank"] == expect
+    # featureless-via-unseen-buckets doc: margin = 0 + bias too
+    assert out["real"] == expect
+
+
+def test_quality_filter_audits_zero_token_docs(spark):
+    """quality_filter demotes a zero-token doc when sigmoid(bias) is
+    under the threshold, with a score row in the audit table."""
+    from sandcrawler_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [("e1", ""), ("d1", "solid informative article text")],
+        "doc_id string, text string",
+    )
+    decisions = spark.createDataFrame(
+        [("e1", "kept"), ("d1", "kept")], "doc_id string, reason string"
+    )
+    wdf = spark.createDataFrame([(1, 99.0)], "bucket long, w double")
+    dec2, kept, scores = curation.quality_filter(
+        docs, decisions, wdf, bias=-2.0, threshold=0.2
+    )
+    smap = {r["id"]: r["score"] for r in scores.collect()}
+    assert "e1" in smap  # audited, not silently kept
+    rmap = {r["doc_id"]: r["reason"] for r in dec2.collect()}
+    assert rmap["e1"] == "quality_fail"  # sigmoid(-2) ≈ 0.119 < 0.2

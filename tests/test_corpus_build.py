@@ -176,3 +176,26 @@ def test_select_representatives_keep_best(spark):
     from collections import Counter
     per = Counter(out[i]["cluster_id"] for i in reps)
     assert all(v == 1 for v in per.values()) and len(per) == 3
+
+
+def test_select_representatives_duplicate_scores(spark):
+    """Duplicate (id, score) rows in the scores table must not
+    duplicate member rows or representatives (round-4 ADVICE fix:
+    scores collapse to max-per-id before the join-back)."""
+    from sandcrawler_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [("a1", "c1"), ("a2", "c1")], "id string, cluster_id string"
+    )
+    scores = spark.createDataFrame(
+        # a1 scored twice (re-run appended); a2 scored twice with a tie
+        # at the would-be cluster max
+        [("a1", 0.3), ("a1", 0.8), ("a2", 0.8), ("a2", 0.1)],
+        "id string, score double",
+    )
+    rows = select_representatives(members, scores).collect()
+    assert len(rows) == 2  # one output row per member, not per score row
+    out = {r["id"]: r for r in rows}
+    assert out["a1"]["score"] == 0.8 and out["a2"]["score"] == 0.8
+    reps = {i for i, r in out.items() if r["is_representative"]}
+    assert reps == {"a1"}  # max-score tie -> smaller id, exactly one

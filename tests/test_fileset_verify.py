@@ -117,6 +117,17 @@ def test_verify_local_rungs(spark):
     assert out[("i", 1)]["sha256"] is None
 
 
+def test_verify_local_null_manifest_size_is_mismatch(spark):
+    """FilesetManifestFile.size is Optional in the reference; its
+    sequential verify compares ``file_meta['size_bytes'] != m.size``,
+    and Python ``10 != None`` is True — a size-less manifest row is a
+    size MISMATCH, not a silently-skipped rung."""
+    man = [("i", 0, "nosize.txt", None, "s0", None, None, None)]
+    fet = [("i", "nosize.txt", 10, "s0", "h256", "h5", "text/csv")]
+    out = _verify(spark, man, fet)
+    assert out[("i", 0)]["status"] == "mismatch-size"
+
+
 def test_verify_local_mimetype_rules(spark):
     man = [
         ("i", 0, "keep", 1, None, None, None, "text/csv"),
@@ -331,6 +342,26 @@ def test_web_fetch_verify(spark):
     assert out[("w5", 0)]["status"] == "mismatch"
     assert all(out[("w6", k)]["status"] == "too-much-spn" for k in range(21))
     assert out[("w6", 0)]["item_status"] == "too-much-spn"
+
+
+def test_web_fetch_null_manifest_size_is_mismatch(spark):
+    """Same reference rule as verify_manifest_local: a NULL manifest
+    size compares unequal to the fetched size -> mismatch, even when
+    every present hash matches."""
+    man = spark.createDataFrame(
+        [("wn", 0, "http://n/0", None, "sN", None, None, None)],
+        "item string, idx int, platform_url string, size bigint,"
+        " sha1 string, sha256 string, md5 string, mimetype string",
+    )
+    res = spark.createDataFrame(
+        [("http://n/0", "success", "http://n/0", "20200101000000", 10,
+          "sN", "tN", "mN", "application/pdf", False)],
+        "url string, status string, terminal_url string, terminal_dt string,"
+        " size_bytes bigint, sha1hex string, sha256hex string, md5hex string,"
+        " mimetype string, empty_body boolean",
+    )
+    r = fileset.web_fetch_verify(man, res).collect()[0]
+    assert r["status"] == "mismatch"
 
 
 def test_web_fetch_first_failure_order(spark):

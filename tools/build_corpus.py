@@ -110,6 +110,7 @@ def main() -> int:
         from sandcrawler_spark.operators.curation import quality_filter
 
         wdf = spark.read.parquet(args.quality_weights)
+        pre_decisions, pre_survivors = decisions, survivors
         decisions, survivors, scores = quality_filter(
             docs, decisions, wdf,
             bias=args.quality_bias,
@@ -119,6 +120,13 @@ def main() -> int:
         decisions = decisions.persist()
         survivors = survivors.persist()
         scores = scores.persist()
+        # materialize the post-filter caches, then release the
+        # pre-filter ones — otherwise both generations stay pinned in
+        # executor memory for the rest of the job
+        decisions.count()
+        survivors.count()
+        pre_decisions.unpersist()
+        pre_survivors.unpersist()
 
     if args.index_in:
         index = spark.read.parquet(args.index_in)
