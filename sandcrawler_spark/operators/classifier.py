@@ -136,18 +136,21 @@ def classify_documents(
 
     Emits ONE ROW PER INPUT DOC: a doc that tokenizes to zero tokens
     produces no feature rows, so its margin is exactly ``bias`` and its
-    score sigmoid(bias) — materialized via a left join back onto the
-    input ids rather than silently dropped (round-4 fix; previously
+    score sigmoid(bias). Implemented by unioning one zero-contribution
+    sentinel row (bucket −1, x=0) per input doc into the feature stream
+    — it rides the per-doc aggregation shuffle that already exists and
+    keeps the plan broadcast-join-only (a join-back onto input ids
+    would add a corpus-sized SortMergeJoin). Round-4 fix; previously
     featureless docs had no score row at all, so quality_filter kept
-    them with no audit entry)."""
+    them with no audit entry."""
     feats = hashed_ngram_features(df, id_col, text_col, dim, bigrams, salt)
-    scored = apply_linear_classifier(feats, weights, bias, score_decimals)
-    base = 1.0 / (1.0 + float(np.exp(-float(bias))))
-    if score_decimals is not None:
-        base = round(base, score_decimals)
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(scored, "id", "left").select(
-        "id", F.coalesce(F.col("score"), F.lit(base)).alias("score")
+    sentinels = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(0.0).alias("x"),
+    )
+    return apply_linear_classifier(
+        feats.unionByName(sentinels), weights, bias, score_decimals
     )
 
 

@@ -43,17 +43,21 @@ def with_global_rank(
     ranged = ranged.persist()
     if scratch is not None:
         scratch.append(ranged)
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    # partition offsets = exclusive prefix sum of per-partition counts,
+    # computed DISTRIBUTED as a subplan over the same persisted cache
+    # (≤ num_partitions rows through a single-task window — the
+    # standard two-phase shape). This used to be a driver collect +
+    # createDataFrame round trip: one extra job + scheduling latency
+    # per call, which in the frontier meant one per round — part of the
+    # serial term that caps N→4N scaling.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
     return (

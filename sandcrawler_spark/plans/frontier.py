@@ -839,11 +839,17 @@ def run_crawl(
         robots = spark.read.parquet(f"{data_dir}/robots.parquet")
         # Rules are static across rounds: dedup ONCE, cache, and decide
         # the join strategy from the actual cardinality (the one count
-        # action here replaces a per-round dedup recompute).
+        # action here replaces a per-round dedup recompute). The count
+        # is submitted on a thread and resolved right before the first
+        # run_round, so it OVERLAPS the round-0 seed canonicalization
+        # job instead of serializing ahead of it.
+        from concurrent.futures import ThreadPoolExecutor
+
         t_rules = time.perf_counter()
         rules_tbl = _dedup_rules(robots).persist()
-        rules_broadcastable = rules_tbl.count() <= rules_broadcast_max
-        _trace("rules prep (dedup+count)", t_rules)
+        _rules_pool = ThreadPoolExecutor(max_workers=1)
+        _rules_future = _rules_pool.submit(rules_tbl.count)
+        rules_broadcastable: bool | None = None  # resolved lazily below
         # pre-partition the per-round join sides ON their join keys and keep
         # them cached: every round's best-capture/outlink join then reuses the
         # exchange instead of re-shuffling the big side (bucketed-table shape)
@@ -983,6 +989,11 @@ def run_crawl(
                     if round_id > 0
                     else spark.createDataFrame([], "host string, tokens int")
                 )
+
+            if rules_broadcastable is None:
+                rules_broadcastable = _rules_future.result() <= rules_broadcast_max
+                _rules_pool.shutdown(wait=False)
+                _trace("rules prep (dedup+count, overlapped)", t_rules)
 
             scratch: list[DataFrame] = []
             t0 = time.perf_counter()

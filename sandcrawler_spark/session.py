@@ -94,6 +94,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k rows per Arrow batch (default 10k): fewer JVM↔Python
+        # round-trips per pandas-UDF task. Measured on the 13.3M-row
+        # seed canonicalization at 32 cores: ~20% faster warm
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "96g"))
         .config("spark.ui.enabled", "false")

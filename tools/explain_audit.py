@@ -167,7 +167,7 @@ def main() -> int:
         ("lpt pack: range-ranked, no python", "pack_shards_lpt",
          [r"(?i)rangepartitioning"],
          [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"]),
-        ("ffd pack: arrow-batched per-shard groups", "pack_ffd_bins",
+        ("ffd pack: arrow-batched per-shard groups", "pack_ffd_twoclass",
          [r"FlatMapGroupsInPandas"], [r"BatchEvalPython", r"CartesianProduct"]),
         # robots: Arrow parse is per-HOST (tiny side); the per-URL
         # decision join must broadcast the rules and stay row-Python-free
