@@ -421,6 +421,12 @@ class RoundResult:
     url_seen_delta: DataFrame
     next_frontier: DataFrame
     counters: dict
+    # the persisted fetch-result cache every output derives from; one
+    # action on it materializes the whole round's shared lineage, after
+    # which url_seen_delta / fetch_ranked / next_frontier are pure
+    # cache readers (run_crawl uses this to submit ALL per-round writes
+    # concurrently without race-computing shared stages)
+    fetched: DataFrame | None = None
 
 
 def run_round(
@@ -546,6 +552,7 @@ def run_round(
     )
     fetched = fetched.persist()  # reused: results + expansions
     scratch.append(fetched)
+    fetched_cached = fetched  # pre-retry-split handle (see RoundResult)
 
     # --- transient-failure retry split (reference: transient worker
     # errors are re-enqueued, not recorded as terminal results). A
@@ -677,7 +684,7 @@ def run_round(
     if retries is not None:
         additions = additions.unionByName(retries)
 
-    return RoundResult(fetch_ranked, seen_delta, additions, {})
+    return RoundResult(fetch_ranked, seen_delta, additions, {}, fetched_cached)
 
 
 def _assemble_frontier(
@@ -1045,42 +1052,21 @@ def run_crawl(
                     F.max("not_before").alias("retry_horizon"),
                 ]
             frontier_df = rr.next_frontier.observe(obs_frontier, *frontier_exprs)
-            # Phased writes: the url_seen write runs FIRST and alone — it
-            # materializes the shared `fetched` cache (capture join + status)
-            # exactly once. The two remaining writes are then pure
-            # cache-readers and run concurrently. (Submitting all three
-            # concurrently made them race-compute the same uncached lineage
-            # — duplicated work that got WORSE with more cores.)
+            # Materialize the round's shared lineage with ONE action on
+            # the persisted fetch-result cache; every per-round output
+            # (url_seen delta, fetch order, frontier additions, hosts)
+            # is then a pure cache reader, so ALL write jobs can be
+            # submitted concurrently below. (History: submitting the
+            # writes concurrently WITHOUT this barrier race-computed the
+            # shared uncached stages — worse with more cores; round 3
+            # phased the url_seen write first to fix that, which
+            # serialized its write against the other two. The explicit
+            # materialize keeps exactly-once compute AND overlaps every
+            # write — one less sequential barrier per round.)
             t0 = time.perf_counter()
-            store.write_tables(round_id, {"url_seen": seen_df})
-            _trace(f"round {round_id} write url_seen", t0)
-            # Bloom delta update rides the phase-2 writes on its own
-            # thread: it depends only on the just-written url_seen delta
-            # (a disjoint scan, so no lineage is race-computed twice) and
-            # the OR is an idempotent driver-side bitmap mutation — safe
-            # to redo if a crash forces the round to re-run. The bloom is
-            # a prefilter backed by the exact anti-join, so even a bloom
-            # ahead of the committed manifest only costs extra exact
-            # checks, never correctness.
-            bloom_future = None
-            bloom_pool = None
-            if use_bloom:
-                from concurrent.futures import ThreadPoolExecutor
-
-                n_deduped = int(obs_seen.get["deduped"])
-                t_bloom = time.perf_counter()
-
-                def _bloom_update():
-                    delta = store.read_round_table(round_id, "url_seen")
-                    bloom.update(
-                        delta.select(F.col("url_hash").alias("h")),
-                        n_delta=n_deduped,
-                        round_id=round_id,
-                    )
-
-                bloom_pool = ThreadPoolExecutor(max_workers=1)
-                bloom_future = bloom_pool.submit(_bloom_update)
-            phase2 = {"frontier_add": frontier_df, "fetch_order": fetch_df}
+            rr.fetched.count()
+            _trace(f"round {round_id} materialize round caches", t0)
+            writes = {"url_seen": seen_df, "frontier_add": frontier_df, "fetch_order": fetch_df}
             if token_bucket:
                 # next round's bucket state: tokens' = min(cap, tokens -
                 # consumed + refill). Only hosts that ever consumed need a
@@ -1116,10 +1102,38 @@ def run_crawl(
                         .alias("tokens"),
                     )
                 )
-                phase2["hosts"] = hosts_df
+                writes["hosts"] = hosts_df
             t0 = time.perf_counter()
-            store.write_tables(round_id, phase2)
-            _trace(f"round {round_id} write frontier/fetch", t0)
+            t_bloom = time.perf_counter()
+            wpool = ThreadPoolExecutor(max_workers=len(writes) + 1)
+            wfuts = {
+                n: wpool.submit(store.write_table, round_id, n, df)
+                for n, df in writes.items()
+            }
+            # Bloom delta update chained on the url_seen write landing,
+            # overlapping the remaining writes: it reads the just-written
+            # delta (a disjoint scan — no cache lineage raced twice) and
+            # the OR is an idempotent driver-side bitmap mutation — safe
+            # to redo if a crash forces the round to re-run. The bloom is
+            # a prefilter backed by the exact anti-join, so even a bloom
+            # ahead of the committed manifest only costs extra exact
+            # checks, never correctness.
+            bloom_future = None
+            if use_bloom:
+
+                def _bloom_update():
+                    wfuts["url_seen"].result()
+                    delta = store.read_round_table(round_id, "url_seen")
+                    bloom.update(
+                        delta.select(F.col("url_hash").alias("h")),
+                        n_delta=int(obs_seen.get["deduped"]),
+                        round_id=round_id,
+                    )
+
+                bloom_future = wpool.submit(_bloom_update)
+            for f in wfuts.values():
+                f.result()
+            _trace(f"round {round_id} write all tables (concurrent)", t0)
             seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
             counters = {
                 f"status:{s}": int(seen_vals[s]) for s in S.ALL_STATUSES if seen_vals[s]
@@ -1137,8 +1151,8 @@ def run_crawl(
             counters["frontier_input_rows"] = frontier_input_rows
             if bloom_future is not None:
                 bloom_future.result()  # re-raises a failed bloom update
-                bloom_pool.shutdown(wait=False)
                 _trace(f"round {round_id} bloom delta update (overlapped)", t_bloom)
+            wpool.shutdown(wait=False)
             store.commit_round(round_id, counters)
 
             # --- frontier compaction: when additions since the last base

@@ -189,12 +189,21 @@ class SnapshotStore:
             raise ValueError(f"round {round_id} already committed")
         from concurrent.futures import ThreadPoolExecutor
 
-        def write(item):
-            name, df = item
-            df.write.mode("overwrite").parquet(self._round_dir(round_id, name))
-
         with ThreadPoolExecutor(max_workers=len(tables)) as ex:
-            list(ex.map(write, tables.items()))
+            list(
+                ex.map(
+                    lambda item: self.write_table(round_id, *item),
+                    tables.items(),
+                )
+            )
+
+    def write_table(self, round_id: int, name: str, df: DataFrame) -> None:
+        """Write ONE per-round delta (uncommitted). Callers that manage
+        their own write concurrency (run_crawl submits every round
+        table plus the bloom update on one pool) use this directly."""
+        if round_id in self._manifest["rounds"]:
+            raise ValueError(f"round {round_id} already committed")
+        df.write.mode("overwrite").parquet(self._round_dir(round_id, name))
 
     def commit_round(self, round_id: int, counters: dict[str, int] | None = None) -> None:
         """Atomic commit point: manifest replacement via os.replace."""
