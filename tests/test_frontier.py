@@ -88,6 +88,42 @@ def test_resume_identical(spark, fixture_dir, tmp_path):
     assert _spark_seen(full) == _spark_seen(part)
 
 
+def test_resume_after_torn_uncommitted_writes(spark, fixture_dir, tmp_path):
+    """Crash INSIDE the write window (round 4 submits all per-round
+    table writes concurrently, so any subset can have landed when the
+    process dies before commit): resume must overwrite the torn,
+    uncommitted round files and reproduce the straight run exactly —
+    the manifest, not the files on disk, is the commit point."""
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.plans.state import SnapshotStore
+
+    full = run_crawl(spark, fixture_dir, str(tmp_path / "full"), max_rounds=3)
+    part_dir = str(tmp_path / "part")
+    part = run_crawl(spark, fixture_dir, part_dir, max_rounds=1)
+    # simulate a torn round 1: one table written with GARBAGE rows (a
+    # half-finished job's output), another missing, nothing committed
+    store = SnapshotStore(part_dir, spark)
+    garbage = spark.range(5).select(
+        F.lit("pdf").alias("ingest_type"),
+        F.concat(F.lit("http://torn.example/"), F.col("id")).alias("canonical_url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(False).alias("hit"),
+        F.lit("success").alias("status"),
+        F.lit(None).cast("string").alias("terminal_url"),
+        F.lit(None).cast("string").alias("terminal_dt"),
+        F.lit(None).cast("int").alias("terminal_status_code"),
+        F.lit(None).cast("string").alias("terminal_sha1hex"),
+        F.lit(1).alias("round_id"),
+        F.lit(False).alias("forced"),
+        F.lit(0).alias("generation"),
+    )
+    store.write_table(1, "url_seen", garbage)
+    part = run_crawl(spark, fixture_dir, part_dir, max_rounds=3, resume=True)
+    assert _spark_orders(full) == _spark_orders(part)
+    assert _spark_seen(full) == _spark_seen(part)
+
+
 def test_no_bloom_same_result(spark, fixture_dir, tmp_path):
     """Bloom is a prefilter only — disabling it must not change results."""
     with_b = run_crawl(spark, fixture_dir, str(tmp_path / "b1"), max_rounds=2, use_bloom=True)
