@@ -81,7 +81,38 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--growth-rounds", type=int, default=2)
     ap.add_argument("--skip-deep", action="store_true")
+    ap.add_argument(
+        "--scaling", action="store_true",
+        help="run the BASELINE.md N->4N protocol (8 vs 32 cores on the "
+             "largest --sizes fixture, warm best-of-2/3, with the "
+             "same-session one-stage Spark-shuffle ceiling)",
+    )
     args = ap.parse_args()
+
+    scaling = None
+    if args.scaling:
+        # separate sessions per parallelism level — reuse bench.py's
+        # protocol (warm-up crawl, best-of-2 with noise-adaptive third
+        # run) and its co-measured box ceiling so the raw ratio is
+        # always read against what the box could do in the same window
+        import bench
+
+        big = max(int(s) for s in args.sizes.split(",") if s)
+        data = fixture(big, max(2_000, big // 80))
+        warm = fixture(50_000, 2_000, tag="warm")
+        hi = bench.bench_frontier(32, data, warm)
+        lo = bench.bench_frontier(8, data, warm)
+        eff = round(hi["urls_per_sec"] / (4 * lo["urls_per_sec"]), 3)
+        ceil = bench.spark_shuffle_ceiling(8, 32)
+        scaling = {
+            "n_urls": big,
+            "8c": {k: lo[k] for k in ("seconds_best_of_2", "seconds_runs", "urls_per_sec")},
+            "32c": {k: hi[k] for k in ("seconds_best_of_2", "seconds_runs", "urls_per_sec")},
+            "raw_efficiency_8_to_32": eff,
+            "spark_shuffle_ceiling_8_32": ceil,
+            "efficiency_vs_ceiling": round(eff * 4 / ceil, 3) if ceil else None,
+            "digest_match": lo["order_digests"] == hi["order_digests"],
+        }
 
     from sandcrawler_spark.session import get_spark
 
@@ -108,12 +139,15 @@ def main() -> None:
         deep = crawl(spark, deep_fix, args.rounds)
         deep = {"n_urls": args.deep_size, "rounds": args.rounds, **deep}
 
-    print(json.dumps({
+    out = {
         "cores": args.cores,
         "growth_rounds": args.growth_rounds,
         "corpus_growth": growth,
         "deep_crawl": deep,
-    }))
+    }
+    if scaling is not None:
+        out["scaling_protocol"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
