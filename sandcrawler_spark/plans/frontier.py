@@ -1131,8 +1131,14 @@ def run_crawl(
                     )
 
                 bloom_future = wpool.submit(_bloom_update)
-            for f in wfuts.values():
-                f.result()
+            try:
+                for f in wfuts.values():
+                    f.result()
+            except BaseException:
+                # a failed write aborts the round before commit; release
+                # the pool (running threads drain, no new submissions)
+                wpool.shutdown(wait=False)
+                raise
             _trace(f"round {round_id} write all tables (concurrent)", t0)
             seen_vals, fetch_vals, frontier_vals = obs_seen.get, obs_fetch.get, obs_frontier.get
             counters = {
@@ -1243,6 +1249,10 @@ def run_crawl(
     finally:
         try:
             rules_tbl.unpersist()
+        except NameError:
+            pass
+        try:
+            _rules_pool.shutdown(wait=False)  # no-op if already shut down
         except NameError:
             pass
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
