@@ -925,7 +925,7 @@ ORACLES: dict[str, str] = {
     """,
     "c5_hashes": """
         SELECT doc_id, md5(text) AS md5hex, sha256(text) AS sha256hex,
-               length(text) AS n_bytes
+               CAST(length(text) AS INTEGER) AS n_bytes
         FROM documents
     """,
     "c6_datetime": """

@@ -467,7 +467,7 @@ QUERIES7 = {
 ORACLES7 = {
     "im_grobid_releases": """
 WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 13 >= 2)
-SELECT k,
+SELECT CAST(k AS INTEGER) AS k,
   'Title ' || CAST(k AS VARCHAR) AS title,
   CASE WHEN k % 3 = 0 THEN 'A' || CAST(k AS VARCHAR) END AS contrib1,
   CASE WHEN k % 3 = 0 THEN 2 ELSE 0 END AS n_contribs,
@@ -475,7 +475,7 @@ SELECT k,
   CASE WHEN k % 4 = 0 THEN '9' END AS volume,
   CASE WHEN k % 5 = 0 THEN 'Abs ' || CAST(k AS VARCHAR) END AS abstract_content,
   'journal-article' AS release_type,
-  CASE WHEN k % 4 = 0 THEN 1990 + k % 30 END AS release_year,
+  CAST(CASE WHEN k % 4 = 0 THEN 1990 + k % 30 END AS INTEGER) AS release_year,
   CASE WHEN k % 4 = 0 THEN make_date(1990 + k % 30, 1, 1) END AS release_date,
   CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END AS n_refs,
   CASE WHEN k % 6 = 0 THEN 'c1' END AS ref1_key,
@@ -580,7 +580,7 @@ SELECT CAST(k AS INT) AS k,
 FROM ks
 """,
     "med_pdf_spans": """
-WITH c AS (SELECT c_custkey AS k FROM customer),
+WITH c AS (SELECT CAST(c_custkey AS INTEGER) AS k FROM customer),
 cls AS (
   SELECT k,
     CASE WHEN k % 11 = 0 THEN 'not-pdf'

@@ -578,8 +578,8 @@ ORACLES2 = {
                     ELSE 'success' END AS status,
                sha256(s) AS sha256hex,
                strlen(s) AS size_bytes,
-               CASE WHEN m IN (0, 4) THEN NULL
-                    ELSE length(text) END AS text_len,
+               CAST(CASE WHEN m IN (0, 4) THEN NULL
+                    ELSE length(text) END AS INTEGER) AS text_len,
                CASE WHEN m IN (0, 4) THEN NULL
                     ELSE 1 + CAST(('0x' || substr(md5(s), 1, 2)) AS INTEGER) % 12
                END AS page_count,
@@ -833,7 +833,8 @@ ORACLES2 = {
                    GREATEST(1, CAST(floor(w * LEAST(1.0, 100.0 / GREATEST(w, h))) AS INT)) AS tw,
                    GREATEST(1, CAST(floor(h * LEAST(1.0, 100.0 / GREATEST(w, h))) AS INT)) AS th
             FROM dims)
-        SELECT doc_id, tw AS width, th AS height,
+        SELECT doc_id, CAST(tw AS INTEGER) AS width,
+               CAST(th AS INTEGER) AS height,
                sha256(concat(text, '|', tw, 'x', th)) AS thumb_sha256
         FROM boxed
     """,
@@ -1223,7 +1224,7 @@ ORACLES2.update(
             FROM documents),
         feats AS (
             SELECT doc_id,
-                   len(t) AS n_words,
+                   CAST(len(t) AS INTEGER) AS n_words,
                    round(length(list_aggregate(t, 'string_agg', ''))
                          * 1.0 / len(t), 4) AS mean_word_len,
                    round(len(list_filter(t,
@@ -1232,9 +1233,9 @@ ORACLES2.update(
                    round(len(list_filter(t,
                          x -> regexp_matches(x, '[A-Za-z]')))
                          * 1.0 / len(t), 4) AS alpha_frac,
-                   len(list_filter(t, x -> list_contains(
+                   CAST(len(list_filter(t, x -> list_contains(
                          ['the','be','to','of','and','that','have','with'],
-                         x))) AS n_stop
+                         x))) AS INTEGER) AS n_stop
             FROM toks)
         SELECT *,
                (n_words BETWEEN 50 AND 100000) AS ok_words,
@@ -2112,7 +2113,7 @@ ORACLES2["sp_interleave_stats"] = """
                count(*) AS n_spans,
                CAST(sum(m) AS BIGINT) AS n_media,
                round(sum(m) * 1.0 / count(*), 6) AS media_fraction,
-               min(CASE WHEN m = 1 THEN "offset" END) AS first_media_offset,
+               CAST(min(CASE WHEN m = 1 THEN "offset" END) AS INTEGER) AS first_media_offset,
                CAST(sum(alt) AS BIGINT) AS alternations
         FROM flagged GROUP BY doc_id
 """
@@ -2744,7 +2745,7 @@ ORACLES2.update(
     {
         "sp_media_context": """
         WITH rows_ AS (
-            SELECT doc_id, u.off AS "offset",
+            SELECT doc_id, CAST(u.off AS INTEGER) AS "offset",
                    CASE WHEN (doc_id + u.off) % 3 = 0 THEN 'image'
                         ELSE 'text' END AS kind
             FROM (SELECT doc_id FROM documents WHERE doc_id < 300),
@@ -3329,7 +3330,8 @@ ORACLES2["txt_boilerplate"] = """
                   WHEN n_stop / n_words >= 0.17 THEN 'neargood'
                   ELSE 'bad' END AS ctx_free
       FROM scored)
-    SELECT id, idx, n_words, ctx_free,
+    SELECT id, CAST(idx AS INTEGER) AS idx,
+           CAST(n_words AS INTEGER) AS n_words, ctx_free,
            CASE WHEN ctx_free IN ('good','bad') THEN ctx_free
                 WHEN lag(ctx_free) OVER w = 'good'
                      OR lead(ctx_free) OVER w = 'good' THEN 'good'
