@@ -148,18 +148,43 @@ DEFAULT_MAX_BUCKET = 10_000
 # (label, Observation) pairs registered by cap_bucket_width — drained by
 # pop_cap_observations(). Metrics materialize when an action runs over
 # the capped plan; nothing is silently truncated without a counter.
-_cap_observations: list = []
+# Thread-LOCAL (each caller thread drains only its own registrations —
+# concurrent jobs can no longer steal each other's metrics) and
+# bounded (oldest entries beyond _CAP_OBS_MAXLEN are discarded with a
+# counted drop, so a long-lived process that never drains cannot grow
+# without bound).
+import threading as _threading
+
+_CAP_OBS_MAXLEN = 1024
+_cap_obs_tls = _threading.local()
+
+
+def _cap_obs_state():
+    st = getattr(_cap_obs_tls, "state", None)
+    if st is None:
+        st = {"obs": [], "dropped": 0}
+        _cap_obs_tls.state = st
+    return st
 
 
 def pop_cap_observations() -> list:
     """Drain the (label, pyspark.sql.Observation) pairs registered by
-    :func:`cap_bucket_width` since the last drain. After an action has
-    run over the capped DataFrame, ``obs.get`` yields
+    :func:`cap_bucket_width` in THIS thread since the last drain. Only
+    call ``obs.get`` after an action has run over the capped DataFrame
+    (it blocks until the plan executes); it then yields
     ``{"buckets_capped": n, "rows_capped": m, "widest_bucket": w}`` —
     the no-silent-truncation audit trail for the skew cap."""
-    out = list(_cap_observations)
-    _cap_observations.clear()
+    st = _cap_obs_state()
+    out = list(st["obs"])
+    st["obs"].clear()
+    st["dropped"] = 0
     return out
+
+
+def cap_observations_dropped() -> int:
+    """Entries discarded from this thread's registry because it grew
+    past ``_CAP_OBS_MAXLEN`` without being drained."""
+    return _cap_obs_state()["dropped"]
 
 
 def cap_bucket_width(
@@ -173,27 +198,41 @@ def cap_bucket_width(
     cap trades their (usually worthless) pairs for bounded tasks. ON by
     default in every banded operator (``DEFAULT_MAX_BUCKET``);
     ``None`` opts out for exact runs. Capped-bucket counts are
-    surfaced via :func:`pop_cap_observations`, not dropped silently."""
+    surfaced via :func:`pop_cap_observations`, not dropped silently.
+
+    Plan shape (round-5 fix): ONE pass — a window count over the bucket
+    keys, filter, observe. The round-4 version aggregated bucket sizes
+    and left-semi-joined them back, which computed the bands lineage
+    (shingle → minhash groupBy → band projection) TWICE — the exchanges
+    differ (partial-agg vs raw rows) so Spark cannot reuse them, and
+    dd_minhash_lsh regressed +24%. The window costs one shuffle+sort on
+    the bucket keys, and the downstream band self-join reuses exactly
+    that partitioning, so the cap is now nearly free."""
     if max_bucket is None:
         return bands
-    from pyspark.sql import Observation
+    from pyspark.sql import Observation, Window
 
-    sizes = bands.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    w = Window.partitionBy(*keys).orderBy(F.lit(1))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sized = bands.withColumn("__bsz", F.count(F.lit(1)).over(wf)).withColumn(
+        "__rn", F.row_number().over(w)
+    )
     obs = Observation()
-    sizes = sizes.observe(
+    capped = F.col("__bsz") > max_bucket
+    sized = sized.observe(
         obs,
         F.coalesce(
-            F.sum((F.col("__bsz") > max_bucket).cast("long")), F.lit(0)
+            F.sum((capped & (F.col("__rn") == 1)).cast("long")), F.lit(0)
         ).alias("buckets_capped"),
-        F.coalesce(
-            F.sum(F.when(F.col("__bsz") > max_bucket, F.col("__bsz"))),
-            F.lit(0),
-        ).alias("rows_capped"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0)).alias("rows_capped"),
         F.coalesce(F.max("__bsz"), F.lit(0)).alias("widest_bucket"),
     )
-    _cap_observations.append(("/".join(keys), obs))
-    ok = sizes.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
-    return bands.join(ok, keys, "left_semi")
+    st = _cap_obs_state()
+    st["obs"].append(("/".join(keys), obs))
+    if len(st["obs"]) > _CAP_OBS_MAXLEN:
+        st["dropped"] += len(st["obs"]) - _CAP_OBS_MAXLEN
+        del st["obs"][: len(st["obs"]) - _CAP_OBS_MAXLEN]
+    return sized.filter(~capped).drop("__bsz", "__rn")
 
 
 def minhash_near_dups(

@@ -105,7 +105,12 @@ def im_grobid_releases(spark, sf_dir):
         r1["year"].alias("ref1_year"),
         r1["extra_volume"].alias("ref1_volume"),
         r1["extra_issue"].alias("ref1_issue"),
-        r1["extra_authors"].alias("ref1_authors"),
+        # driver boundary rule: scalars only (the driver's pandas
+        # canonicalizer cannot sort list cells) — join the author list
+        F.when(
+            r1["extra_authors"].isNotNull(),
+            F.concat_ws("|", r1["extra_authors"]),
+        ).alias("ref1_authors"),
         "extra_doi",
         "extra_container_name",
         "is_longtail_oa",
@@ -147,8 +152,16 @@ def im_manifest_matches(spark, sf_dir):
         F.concat(F.lit("http://u"), ks, F.lit("/a")).alias("url"),
         F.lit("20170901000000").alias("datetime"),
     )
-    return imp.manifest_matches(
+    out = imp.manifest_matches(
         files_meta, d1.unionByName(d2), urls1.unionByName(urls2)
+    )
+    # scalars-only output boundary: lists are sorted/index-aligned by
+    # the operator, so a '|' join is deterministic
+    return out.select(
+        "sha1", "mimetype", "size", "md5",
+        F.concat_ws("|", "dois").alias("dois"),
+        F.concat_ws("|", "cdx_urls").alias("cdx_urls"),
+        F.concat_ws("|", "cdx_dts").alias("cdx_dts"),
     )
 
 
@@ -186,8 +199,14 @@ def im_cdx_sha1hex(spark, sf_dir):
         F.lit("0000deadbeef").alias("sha1hex"),
         F.lit("20190101000000").alias("dt"),
     )
-    return imp.cdx_sha1hex_resolve(
+    out = imp.cdx_sha1hex_resolve(
         entities, cdx_db, api_match.unionByName(api_wrong_digest)
+    )
+    # scalars-only output boundary; found_urls is sorted by the
+    # operator, empty array joins to ''
+    return out.select(
+        "sha1hex", "status", "n_cdx_rows",
+        F.concat_ws("|", "found_urls").alias("found_urls"),
     )
 
 
@@ -226,7 +245,11 @@ def bib_tei_affiliations(spark, sf_dir):
     src = p.select(F.md5(ks).alias("sha1hex"), xml.alias("tei_xml"), k.alias("k"))
     out = tei.tei_affiliations(src, xml_col="tei_xml", id_col="sha1hex")
     return src.select("sha1hex", "k").join(out, "sha1hex").select(
-        "k", "sha1hex", "affiliations"
+        "k",
+        "sha1hex",
+        # scalars-only output boundary; the harvest set-dedups and
+        # sorts, so the '|' join is deterministic
+        F.concat_ws("|", "affiliations").alias("affiliations"),
     )
 
 
@@ -449,7 +472,11 @@ def bib_tei2release(spark, sf_dir):
         r1["year"].alias("ref1_year"),
         r1["extra_volume"].alias("ref1_volume"),
         r1["extra_url"].alias("ref1_url"),
-        r1["extra_authors"].alias("ref1_authors"),
+        # scalars-only output boundary (driver-sortable scalars)
+        F.when(
+            r1["extra_authors"].isNotNull(),
+            F.concat_ws("|", r1["extra_authors"]),
+        ).alias("ref1_authors"),
     )
 
 
@@ -483,7 +510,7 @@ SELECT CAST(k AS INTEGER) AS k,
   CASE WHEN k % 6 = 0 THEN 2019 END AS ref1_year,
   CASE WHEN k % 6 = 0 THEN '7' END AS ref1_volume,
   CAST(NULL AS VARCHAR) AS ref1_issue,
-  CASE WHEN k % 6 = 0 THEN ['N1', 'N2'] END AS ref1_authors,
+  CASE WHEN k % 6 = 0 THEN 'N1|N2' END AS ref1_authors,
   CASE WHEN k % 2 = 0 THEN '10.5/g' || CAST(k AS VARCHAR) END AS extra_doi,
   CASE WHEN k % 7 != 0 THEN 'J' || CAST(k % 20 AS VARCHAR) END AS extra_container_name,
   TRUE AS is_longtail_oa
@@ -497,15 +524,15 @@ SELECT 'S' || CAST(k AS VARCHAR) AS sha1,
   CASE WHEN k % 3 = 0 THEN CAST(k AS BIGINT) END AS size,
   CASE WHEN k % 5 = 0 THEN md5(CAST(k AS VARCHAR)) END AS md5,
   CASE WHEN k % 6 = 0
-       THEN ['10.1/a' || CAST(k AS VARCHAR), '10.1/b' || CAST(k AS VARCHAR)]
-       ELSE ['10.1/b' || CAST(k AS VARCHAR)] END AS dois,
+       THEN '10.1/a' || CAST(k AS VARCHAR) || '|10.1/b' || CAST(k AS VARCHAR)
+       ELSE '10.1/b' || CAST(k AS VARCHAR) END AS dois,
   CASE WHEN k % 9 = 0
-       THEN ['http://u' || CAST(k AS VARCHAR) || '/a',
-             'http://u' || CAST(k AS VARCHAR) || '/x']
-       ELSE ['http://u' || CAST(k AS VARCHAR) || '/x'] END AS cdx_urls,
+       THEN 'http://u' || CAST(k AS VARCHAR) || '/a|'
+            || 'http://u' || CAST(k AS VARCHAR) || '/x'
+       ELSE 'http://u' || CAST(k AS VARCHAR) || '/x' END AS cdx_urls,
   CASE WHEN k % 9 = 0
-       THEN ['20170901000000', '20170801000000']
-       ELSE ['20170801000000'] END AS cdx_dts
+       THEN '20170901000000|20170801000000'
+       ELSE '20170801000000' END AS cdx_dts
 FROM kept
 """,
     "im_cdx_sha1hex": """
@@ -521,10 +548,10 @@ SELECT md5(CAST(k AS VARCHAR)) AS sha1hex,
     WHEN k % 5 != 0 AND k % 3 = 0 THEN 1
     ELSE 0 END AS BIGINT) AS n_cdx_rows,
   CASE
-    WHEN k % 7 = 0 THEN ['http://db' || CAST(k AS VARCHAR)]
+    WHEN k % 7 = 0 THEN 'http://db' || CAST(k AS VARCHAR)
     WHEN k % 5 != 0 AND k % 3 = 0
-      THEN ['http://orig' || CAST(k AS VARCHAR) || '/p']
-    ELSE CAST([] AS VARCHAR[]) END AS found_urls
+      THEN 'http://orig' || CAST(k AS VARCHAR) || '/p'
+    ELSE '' END AS found_urls
 FROM c
 """,
     "bib_tei_affiliations": """
@@ -534,10 +561,11 @@ WITH p AS (
 )
 SELECT k, md5(CAST(k AS VARCHAR)) AS sha1hex,
   CASE k % 3
-    WHEN 0 THEN ['Org ' || CAST(k % 25 AS VARCHAR) || ' C']
-    WHEN 1 THEN list_sort(['Org ' || CAST(k % 25 AS VARCHAR) || ' C',
-                           'Lab ' || CAST(k AS VARCHAR)])
-    ELSE ['Org ' || CAST(k % 25 AS VARCHAR) || ' C'] END AS affiliations
+    WHEN 1 THEN list_aggr(
+        list_sort(['Org ' || CAST(k % 25 AS VARCHAR) || ' C',
+                   'Lab ' || CAST(k AS VARCHAR)]),
+        'string_agg', '|')
+    ELSE 'Org ' || CAST(k % 25 AS VARCHAR) || ' C' END AS affiliations
 FROM p
 """,
     "bib_tei2release": """
@@ -560,7 +588,7 @@ SELECT k,
   CASE WHEN k % 4 = 0 THEN 2011 END AS ref1_year,
   CASE WHEN k % 4 = 0 THEN '3' END AS ref1_volume,
   CASE WHEN k % 4 = 0 THEN 'http://u.org/' || CAST(k AS VARCHAR) END AS ref1_url,
-  CASE WHEN k % 4 = 0 THEN ['Q R'] END AS ref1_authors
+  CASE WHEN k % 4 = 0 THEN 'Q R' END AS ref1_authors
 FROM p
 """,
     "src_warc_scan": """

@@ -205,7 +205,13 @@ def in_enrich_matches(spark, sf_dir):
         did.cast("bigint").alias("size"),
     )
     out = intake.enrich_matches(src.drop("doc_id"))
-    return out
+    # scalars-only output boundary (driver-sortable scalars): join the
+    # doi list; it is single-element and never NULL in this fixture
+    return out.select(
+        "sha1",
+        F.concat_ws("|", "dois").alias("dois"),
+        "cdx_url", "cdx_dt", "size", "mimetype",
+    )
 
 
 def in_groupworks(spark, sf_dir):
@@ -468,7 +474,7 @@ FROM orders WHERE o_orderkey % 3 != 0
     "in_enrich_matches": """
 SELECT
   md5(CAST(doc_id AS VARCHAR)) || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sha1,
-  ['10.4/' || CAST(doc_id AS VARCHAR)] AS dois,
+  '10.4/' || CAST(doc_id AS VARCHAR) AS dois,
   'http://cdx.example.org/' || CAST(doc_id AS VARCHAR) AS cdx_url,
   '20200101000000' AS cdx_dt,
   CAST(doc_id AS BIGINT) AS size,

@@ -39,7 +39,13 @@ def dd_jaccard_pairs(spark, sf_dir):
 
 
 def dd_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text", tau=0.8)
+    # max_bucket=None pinned: the gate compares against an UNCAPPED
+    # DuckDB oracle, so exactness is stated, not assumed (the skew cap
+    # is exercised separately in bench.py's skew section + pytest)
+    return dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", tau=0.8,
+        max_bucket=None,
+    )
 
 
 def dd_simhash(spark, sf_dir):
@@ -49,8 +55,10 @@ def dd_simhash(spark, sf_dir):
 
 
 def dd_simhash_pairs(spark, sf_dir):
+    # max_bucket=None pinned: uncapped-exact vs the uncapped oracle
     return dedup.simhash_near_dups(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3,
+        max_bucket=None,
     )
 
 
@@ -2774,7 +2782,10 @@ def dd_minhash_incr(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     ix = dedup.build_minhash_index(corpus, "doc_id", "text")
-    return dedup.minhash_probe_index(delta, ix, corpus, "doc_id", "text", tau=0.8)
+    # max_bucket=None pinned: uncapped-exact vs the uncapped oracle
+    return dedup.minhash_probe_index(
+        delta, ix, corpus, "doc_id", "text", tau=0.8, max_bucket=None
+    )
 
 
 QUERIES2.update({"dd_minhash_incr": dd_minhash_incr})
@@ -2938,7 +2949,10 @@ def dd_simhash_incr(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     ix = dedup.simhash(corpus, "doc_id", "text")
-    return dedup.simhash_probe_index(delta, ix, "doc_id", "text", max_hamming=3)
+    # max_bucket=None pinned: uncapped-exact vs the uncapped oracle
+    return dedup.simhash_probe_index(
+        delta, ix, "doc_id", "text", max_hamming=3, max_bucket=None
+    )
 
 
 QUERIES2.update({"dd_simhash_incr": dd_simhash_incr})
@@ -3481,7 +3495,10 @@ def sp_pdf_hop(spark, sf_dir):
         biblio.alias("biblio_pdf"), hops.alias("hops"),
     )
     return pdf_hop_decision(src, biblio_pdf_col="biblio_pdf").select(
-        "doc_id", "hop_status", "hop_next_url", "hop_technique", "hops_out"
+        "doc_id", "hop_status", "hop_next_url", "hop_technique",
+        # scalars-only output boundary: hop chains are ordered, so the
+        # '|' join preserves ingest_file.py's hop sequence exactly
+        F.concat_ws("|", "hops_out").alias("hops_out"),
     )
 
 
@@ -3507,9 +3524,10 @@ SELECT k AS doc_id,
          WHEN 5 THEN ovid_url END AS hop_next_url,
   CASE m WHEN 0 THEN 'html_biblio' WHEN 1 THEN 'arxiv-url'
          WHEN 2 THEN 'arxiv-url' WHEN 5 THEN 'ovid' END AS hop_technique,
-  CASE m WHEN 0 THEN [abs_url, bib_url] WHEN 1 THEN [abs_url, pdf_url]
-         WHEN 2 THEN [pdf_url] WHEN 5 THEN [ovid_url]
-         ELSE CAST([] AS VARCHAR[]) END AS hops_out
+  CASE m WHEN 0 THEN abs_url || '|' || bib_url
+         WHEN 1 THEN abs_url || '|' || pdf_url
+         WHEN 2 THEN pdf_url WHEN 5 THEN ovid_url
+         ELSE '' END AS hops_out
 FROM b
 """
     }

@@ -23,6 +23,17 @@ NOTE for oracle authors: DuckDB types ``sum()`` of any integer column as
 HUGEINT. Always write ``CAST(sum(x) AS BIGINT)`` (and cast windowed
 cumsums and anything derived from them) — see queries/__init__.py.
 
+Driver-faithful since round 5 — "driver-sortable scalars only": the
+round-4 driver crashed on 7 entries whose output schema carried a
+top-level ``array<>`` column. The driver canonicalizes results with a
+pandas ``sort_values`` over all columns, and pandas cannot factorize
+list/struct/map cells (``TypeError: unhashable type: 'list'``) — so a
+query can be value-correct and still red at the hard signal. This gate
+now FAILS any registered query (oracle or rows-only) whose Spark output
+schema — or whose oracle's Arrow schema — contains a top-level
+list/struct/map column, with a "scalarize with concat_ws/to_json" hint.
+See the authoring rules in queries/__init__.py.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -239,6 +250,22 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             continue
         spark_sec = time.perf_counter() - t0
+        nested = [
+            (c, t)
+            for c, t in zip(s_cols, s_types)
+            if t.startswith(("list<", "struct<", "map<"))
+        ]
+        if nested:
+            failures.append(name)
+            print(
+                f"FAIL {name}: non-scalar output column(s) "
+                + "; ".join(f"{c}:{t}" for c, t in nested)
+                + " — the driver's pandas canonicalizer cannot sort "
+                "list/struct/map cells; scalarize at the query boundary "
+                "with concat_ws('|', col) or to_json(col) and mirror it "
+                "in the oracle SQL (DuckDB list_aggr/to_json)"
+            )
+            continue
         if sql is None:
             print(f"ok?  {name}: rows={len(s_rows)} ({spark_sec:.1f}s, rows-only check, no oracle)")
             continue
@@ -252,6 +279,20 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            continue
+        d_nested = [
+            (c, t)
+            for c, t in zip(d_cols, d_types)
+            if t.startswith(("list<", "struct<", "map<"))
+        ]
+        if d_nested:
+            failures.append(name)
+            print(
+                f"FAIL {name}: non-scalar ORACLE column(s) "
+                + "; ".join(f"{c}:{t}" for c, t in d_nested)
+                + " — driver-sortable scalars only; rewrite the oracle "
+                "with list_aggr(col, 'string_agg', '|') or to_json(col)"
+            )
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -279,8 +320,21 @@ def main() -> int:
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
-            ns = normalize(s_rows, s_cols, s_types)
-            nd = normalize(d_rows, list(d_cols), d_types)
+            # an all-NULL column types as 'null' on one side; tag it
+            # with the OTHER side's type so the null tolerance in
+            # types_compatible isn't defeated by the value compare
+            s_tmap = dict(zip(s_cols, s_types))
+            d_tmap = dict(zip(d_cols, d_types))
+            eff_s = [
+                d_tmap[c] if s_tmap[c] == "null" else s_tmap[c]
+                for c in s_cols
+            ]
+            eff_d = [
+                s_tmap[c] if d_tmap[c] == "null" else d_tmap[c]
+                for c in d_cols
+            ]
+            ns = normalize(s_rows, s_cols, eff_s)
+            nd = normalize(d_rows, list(d_cols), eff_d)
             mism = [(a, b) for a, b in zip(ns, nd) if a != b]
             if mism:
                 problems.append(f"{len(mism)} value mismatches; first: {mism[0]}")
