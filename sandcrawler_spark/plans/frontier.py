@@ -1248,6 +1248,19 @@ def run_crawl(
         return store
     finally:
         try:
+            # if the crawl exited before the first rules-resolution
+            # point (stale-break on resume, start_round >= max_rounds),
+            # the background count future is still in flight — cancel
+            # it, and if it already started, wait it out (surfacing its
+            # error if any) BEFORE unpersisting the table under it
+            if rules_broadcastable is None and not _rules_future.cancel():
+                try:
+                    _rules_future.result(timeout=120)
+                except Exception:  # noqa: BLE001 — crawl result unaffected
+                    pass
+        except NameError:
+            pass
+        try:
             rules_tbl.unpersist()
         except NameError:
             pass
