@@ -233,6 +233,44 @@ def test_hot_bucket_cap_bounds_boilerplate(spark):
     assert not any(a < 100 for a, b in capped)  # hot cluster dropped
 
 
+def test_cap_observation_registry_thread_local_and_bounded(spark):
+    """Round-5 advisory fix: the cap-observation registry is scoped per
+    THREAD (concurrent callers cannot drain each other's metrics) and
+    bounded at _CAP_OBS_MAXLEN with a counted drop."""
+    import threading
+
+    from sandcrawler_spark.operators import dedup as dd
+
+    dd.pop_cap_observations()
+    df = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "aaa bbb ccc")], "doc_id long, text string"
+    )
+    dd.minhash_near_dups(df, "doc_id", "text").count()
+    assert dd.pop_cap_observations()  # this thread sees its own entries
+
+    # a registration made on another thread is invisible here
+    seen_elsewhere = []
+
+    def other():
+        dd.minhash_near_dups(df, "doc_id", "text").count()
+        seen_elsewhere.append(len(dd.pop_cap_observations()))
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    assert seen_elsewhere and seen_elsewhere[0] > 0
+    assert dd.pop_cap_observations() == []  # nothing leaked across threads
+
+    # bound: overfill the registry without draining; oldest entries drop
+    st = dd._cap_obs_state()
+    st["obs"].extend(("x", None) for _ in range(dd._CAP_OBS_MAXLEN))
+    dd.cap_bucket_width(df.selectExpr("doc_id AS band"), ["band"], 1)
+    assert len(st["obs"]) == dd._CAP_OBS_MAXLEN
+    assert dd.cap_observations_dropped() == 1
+    dd.pop_cap_observations()
+    assert dd.cap_observations_dropped() == 0
+
+
 def test_hot_bucket_cap_default_on_and_observed(spark):
     """Round-4 skew default: every banded operator caps hot buckets at
     DEFAULT_MAX_BUCKET unless explicitly opted out, and the capped
