@@ -21,7 +21,31 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Battery table scan, split-aware.
+
+    Parquet scans parallelize at ROW-GROUP granularity, and the bench
+    fixtures are single-row-group files — so without intervention every
+    scan (and all narrow work above it: regex ladders, Arrow UDFs,
+    partial aggregates) runs in ONE task no matter how many cores the
+    session has. Production layouts don't have this problem (Iceberg's
+    write.target-file-size / proper row-group sizing yield splittable
+    scans), so emulate that at the source: when the footer says the
+    file cannot feed at least a quarter of the session's partitions AND
+    the table is big enough for fan-out to beat the shuffle it costs,
+    repartition once right after the scan. No-op on well-laid-out
+    inputs; Catalyst still pushes filters/pruning through Repartition."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — non-local/odd path: leave as-is
+        return df
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if md.num_rows >= 50_000 and md.num_row_groups < max(2, par // 4):
+        return df.repartition(par)
+    return df
 
 
 # =========================================================== flagship (Q1)

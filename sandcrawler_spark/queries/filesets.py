@@ -212,10 +212,29 @@ def _vm_key():
     return F.col("l_orderkey") * 8 + F.col("l_linenumber")
 
 
+def _unique_lineitems(spark, sf_dir):
+    """lineitem % 4 == 0 reduced to ONE row per (l_orderkey,
+    l_linenumber) — the synthetic table carries duplicate keys, and a
+    manifest position must be unique (reference: FilesetManifestFile
+    list) or the ladder's min-idx item status ties arbitrarily."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+
+
 def fs_verify_local(spark, sf_dir):
     """ArchiveorgFilesetStrategy's download-verification ladder
-    (fileset_strategies.py:100-211) over a lineitem-derived corpus."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    (fileset_strategies.py:100-211) over a lineitem-derived corpus.
+
+    The fixture dedups lineitem to unique (l_orderkey, l_linenumber)
+    first: the reference walks a manifest LIST (positions unique), and
+    the synthetic lineitem carries duplicate keys whose join fan-out
+    would leave the per-item first-bad pick tied on idx — arbitrary
+    under parallel input order on both engines."""
+    li = _unique_lineitems(spark, sf_dir)
     k = _vm_key()
     man = li.select(
         F.concat(F.lit("it"), F.col("l_orderkey").cast("string")).alias("item"),
@@ -259,7 +278,10 @@ def fs_verify_local(spark, sf_dir):
 QUERIES3["fs_verify_local"] = fs_verify_local
 
 ORACLES3["fs_verify_local"] = r"""
-WITH man AS (
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
+man AS (
   SELECT 'it' || CAST(l_orderkey AS VARCHAR) AS item,
          CAST(l_linenumber AS INT) AS idx,
          l_orderkey * 8 + l_linenumber AS k,
@@ -273,7 +295,7 @@ WITH man AS (
          CASE WHEN (l_orderkey * 8 + l_linenumber) % 5 = 0
               THEN 'md5-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS md5,
          CASE WHEN (l_orderkey * 8 + l_linenumber) % 6 <> 0 THEN 'text/csv' END AS mimetype
-  FROM lineitem WHERE l_orderkey % 4 = 0),
+  FROM li),
 fet AS (
   SELECT item, path,
          size + CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END AS size_bytes,
@@ -334,8 +356,9 @@ FROM bf JOIN it USING (item)
 def fs_web_fetch(spark, sf_dir):
     """WebFilesetStrategy fetch+verify (fileset_strategies.py:285-375)
     over a lineitem-derived corpus; max_spn_manifest lowered to 3 so
-    the lineitem fan-out (1-7 files per item) exercises too-much-spn."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    the lineitem fan-out (1-7 files per item) exercises too-much-spn.
+    Unique (l_orderkey, l_linenumber) fixture — see fs_verify_local."""
+    li = _unique_lineitems(spark, sf_dir)
     k = _vm_key()
     url = F.concat(F.lit("http://h"), k.cast("string"))
     man = li.select(
@@ -385,7 +408,10 @@ def fs_web_fetch(spark, sf_dir):
 QUERIES3["fs_web_fetch"] = fs_web_fetch
 
 ORACLES3["fs_web_fetch"] = r"""
-WITH man AS (
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
+man AS (
   SELECT 'it' || CAST(l_orderkey AS VARCHAR) AS item,
          CAST(l_linenumber AS INT) AS idx,
          l_orderkey * 8 + l_linenumber AS k,
@@ -397,7 +423,7 @@ WITH man AS (
          CASE WHEN (l_orderkey * 8 + l_linenumber) % 5 = 0
               THEN 'md5-' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) END AS md5,
          CASE WHEN (l_orderkey * 8 + l_linenumber) % 6 <> 0 THEN 'text/csv' END AS mimetype
-  FROM lineitem WHERE l_orderkey % 4 = 0),
+  FROM li),
 res AS (
   SELECT k,
     (['success','success','success','no-capture','redirect','terminal-bad-status','success'])[CAST(k % 7 AS INT) + 1] AS r_status,
