@@ -330,8 +330,12 @@ def reingest_candidates(
 
 
 def _one_per_key(captures: DataFrame, key: str, order_cols: tuple[str, ...]) -> DataFrame:
-    ordk = F.struct(*[F.col(c) for c in order_cols])
     row = F.struct(*[F.col(c) for c in captures.columns])
+    # append the whole row to the ordering struct: ties on order_cols
+    # then resolve on the remaining columns, so the pick is a TOTAL
+    # order — independent of input partitioning/order (two rows that
+    # still tie are identical, and either pick is the same row)
+    ordk = F.struct(*[F.col(c) for c in order_cols], row.alias("__row"))
     agg = captures.groupBy(key).agg(F.min_by(row, ordk).alias("_row"))
     return agg.select(*[F.col(f"_row.{c}").alias(c) for c in captures.columns])
 
