@@ -405,3 +405,44 @@ def test_web_fetch_empty_string_hashes_are_absent(spark):
     r = fileset.web_fetch_verify(man, res).collect()[0]
     assert r["status"] == "success"
     assert r["sha1"] == "S" and r["md5"] == "M" and r["mimetype"] == "app/x"
+
+
+def test_verify_local_partitioning_invariant(spark):
+    """Round-5 regression guard: the ladder's per-item first-bad pick
+    must not depend on input partitioning or row order (the round-5
+    split-aware scans exposed a fixture whose duplicate keys made the
+    min-idx status tie arbitrary). With unique idx per item, results
+    are identical under 1-partition, many-partition, and reversed
+    inputs."""
+    rows = []
+    for item in range(40):
+        it = f"it{item}"
+        for idx in range(5):
+            k = item * 5 + idx
+            rows.append((
+                it, idx, f"d/f{idx}.bin", 100 + k,
+                f"sha1-{k}" if k % 3 else None,
+                None, None, "text/csv",
+            ))
+    fet = [
+        (it, p, sz + (1 if (i + sz) % 7 == 0 else 0),
+         s1 if (i + sz) % 5 else "WRONG", None, None, "text/csv")
+        for (it, i, p, sz, s1, _s2, _m, _mt) in rows
+        if (i + sz) % 11  # some files never downloaded
+    ]
+
+    def run(man_df, fet_df):
+        out = fileset.verify_manifest_local(man_df, fet_df)
+        return sorted(tuple(r) for r in out.collect())
+
+    man1 = spark.createDataFrame(rows, MAN_SCHEMA)
+    fet1 = spark.createDataFrame(fet, FET_SCHEMA)
+    base = run(man1, fet1)
+    shuffled = run(
+        man1.repartition(13), fet1.repartition(7)
+    )
+    reversed_ = run(
+        spark.createDataFrame(rows[::-1], MAN_SCHEMA).coalesce(1),
+        spark.createDataFrame(fet[::-1], FET_SCHEMA).coalesce(1),
+    )
+    assert base == shuffled == reversed_
