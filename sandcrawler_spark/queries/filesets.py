@@ -81,17 +81,40 @@ def fs_dataset_ingest(spark, sf_dir):
         .otherwise(25)
         * F.when(lk % 53 == 0, 100).otherwise(1)
     )
-    manifest = lineitem.filter(lk % 43 != 0).select(
-        _fs_url(lk).alias("base_url"),
-        F.concat(F.lit("f"), F.col("l_linenumber").cast("string")).alias("path"),
-        size.alias("size"),
+    # Two-level manifest rollup (guide §2.3 "shuffle fewer bytes" /
+    # §2.5 two-level aggregation): the per-file rows are first
+    # aggregated under the NUMERIC l_orderkey (8-byte shuffle key, and
+    # the synthetic 201-file blocks collapse to a closed form instead
+    # of an explode), then the tiny pre-aggregated rows get their
+    # base_url synthesized and are merged under it. count/sum/max
+    # decompose exactly over bigint, so the result is row-identical to
+    # summarize_manifest over the exploded union (a focused test pins
+    # this; base_url collisions between orderkeys still merge in the
+    # second level exactly as before).
+    s = F.coalesce(size.cast("bigint"), F.lit(0))
+    man_pre = (
+        lineitem.filter(lk % 43 != 0)
+        .groupBy(lk.alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum(s).alias("total_size"),
+            F.max(s).alias("largest_size"),
+        )
+        .select(
+            _fs_url(F.col("__k")).alias("base_url"),
+            "file_count", "total_size", "largest_size",
+        )
     )
-    extra = (
-        orders.filter(k % 67 == 0)
-        .select(_fs_url(k).alias("base_url"), F.explode(F.sequence(F.lit(1), F.lit(201))).alias("i"))
-        .select("base_url", F.concat(F.lit("x"), F.col("i").cast("string")).alias("path"), F.lit(1).cast("bigint").alias("size"))
+    extra_pre = orders.filter(k % 67 == 0).select(
+        _fs_url(k).alias("base_url"),
+        F.lit(201).cast("bigint").alias("file_count"),
+        F.lit(201).cast("bigint").alias("total_size"),
+        F.lit(1).cast("bigint").alias("largest_size"),
     )
-    result = fileset.fileset_ingest(requests, manifest.unionByName(extra))
+    summary = fileset.merge_manifest_summaries(man_pre.unionByName(extra_pre))
+    result = fileset.fileset_ingest(
+        requests, manifest=None, manifest_summary=summary
+    )
     return (
         result.groupBy("status", "platform_name", "ingest_strategy")
         .agg(

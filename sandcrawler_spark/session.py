@@ -116,6 +116,14 @@ def get_spark(
         # the 128-entry default silently degrades the dedup aggregation
         # to sort-based; the frontier dedup keys fit comfortably in RAM
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        # let AQE rewrite sort-merge → shuffled-hash when every
+        # post-shuffle partition of the build side is under 64 MB
+        # (guide §3.1; default 0 = never). Runtime-size-checked by AQE,
+        # so it is safe at any scale: partitions sized per §2.2
+        # (100 MB–1 GB) simply keep SMJ, while string-keyed joins whose
+        # partitions fit skip both sorts (measured: fs_dataset_ingest
+        # 7.9 → 5.6 s interleaved A/B at sf1.0).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     )
     # shuffle/spill files on tmpfs — OPT-IN (SPARK_GRAFT_TMPFS=1, set by
     # bench.py/submit_crawl): this VM's disk is the scaling bottleneck for

@@ -265,3 +265,76 @@ def test_boundary_thresholds(spark):
     assert out[u2]["status"] == "success"
     assert out[u2]["ingest_strategy"] == "web-fileset"
     assert out[u3]["ingest_strategy"] == "web-fileset"
+
+
+def test_presummarized_ingest_matches_default_path(spark):
+    """fileset_ingest(manifest_summary=...) — the round-6 two-level
+    aggregation fast path — must be row-identical to the default
+    summarize-from-raw-manifest path on a corpus that exercises every
+    status branch (reuses the vectors above, including a base_url whose
+    rollup arrives split across two partial rows, which the merge must
+    recombine exactly)."""
+    dv1 = DV + "doi:10.5072/AB1111"
+    dv4 = DV + "doi:10.5072/AB4444"
+    dv7 = DV + "doi:10.5072/AB7777"
+    ia2 = "https://archive.org/details/item2"
+    nop = "https://example.com/ds/1"
+    reqs = _mk_requests(
+        spark, [(u, "dataset") for u in (dv1, dv4, dv7, ia2, nop)]
+    )
+    manifest_rows = (
+        [(dv1, "a", 100)]
+        + [(dv4, "small", 1000), (dv4, "big", MB64)]
+        + [(ia2, "a", 10), (ia2, "b", 10)]
+        + [(nop, "x", 10)]
+    )
+    manifest = _mk_manifest(spark, manifest_rows)
+    default = fileset.fileset_ingest(reqs, manifest)
+    # partials under a finer key (path), merged back under base_url
+    partials = manifest.groupBy("base_url", "path").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum(F.col("size").cast("bigint")).alias("total_size"),
+        F.max(F.col("size").cast("bigint")).alias("largest_size"),
+    ).drop("path")
+    merged = fileset.merge_manifest_summaries(partials)
+    fast = fileset.fileset_ingest(reqs, manifest=None, manifest_summary=merged)
+    a = sorted(map(tuple, default.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+
+
+def test_with_platform_classification_matches_scalar_forms(spark):
+    """with_platform_classification (round-6 factored parse_url path)
+    must agree with the reference-shaped scalar expressions
+    platform_name()/platform_scope_error() on every dispatch vector."""
+    urls = (
+        [DV + p for p, *_ in DATAVERSE_VECTORS]
+        + [u for u, *_ in FIGSHARE_VECTORS]
+        + [
+            "https://zenodo.org/record/5678",
+            "https://zenodo.org/api/record/5678",
+            "https://archive.org/details/item1",
+            "https://archive.org/download/item3/file.pdf",
+            "https://archive.org/download/item3",
+            "https://example.com/ds/1",
+            DV + "doi:10.5072/AB1234/CD5678",  # dataverse file-level → scope
+        ]
+    )
+    df = spark.createDataFrame(
+        [(u, "dataset") for u in urls], ["base_url", "ingest_type"]
+    )
+    fast = {
+        r["base_url"]: (r["platform_name"], r["__scope_err"])
+        for r in fileset.with_platform_classification(df).collect()
+    }
+    slow_df = df.withColumn(
+        "platform_name", fileset.platform_name(F.col("base_url"))
+    ).withColumn(
+        "scope_err",
+        fileset.platform_scope_error(F.col("base_url"), F.col("platform_name")),
+    )
+    slow = {
+        r["base_url"]: (r["platform_name"], r["scope_err"])
+        for r in slow_df.collect()
+    }
+    assert fast == slow
