@@ -66,21 +66,40 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive, so
     matching any rare term can only help.
     """
-    post = postings(docs, id_col, text_col)
-    n_docs = docs.select(
-        F.count("*").alias("n_docs")
-    )
-    avgdl = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.avg("dl").alias("avgdl")
-    )
-    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-
+    # Query-term pushdown (guide §2.3 "aggregate before you shuffle" /
+    # "project before the exchange"): only |query| distinct terms can
+    # score, so the exploded token stream is broadcast-semi-joined to
+    # the query terms BEFORE any aggregation. The old shape built
+    # full-corpus postings (one shuffle of every (doc, term) pair) and
+    # a full-corpus document-frequency table, then threw away every
+    # non-query term. tf/df for surviving terms are identical integer
+    # counts; avgdl is computed at document granularity from the same
+    # membership (docs with >= 1 non-empty token) and dl definition
+    # (token count incl. empties) as the postings-based form.
     q = queries.select(
         F.col("query_id"), F.lower(F.trim(F.col("term"))).alias("term")
     ).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    avgdl = (
+        toks.filter(F.exists("toks", lambda t: F.length(t) > 0))
+        .select(F.size("toks").alias("dl"))
+        .agg(F.avg("dl").alias("avgdl"))
+    )
+    qterms = q.select("term").distinct()
+    tok_rows = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.length("term") > 0)
+        .join(F.broadcast(qterms), "term", "left_semi")
+    )
+    post = tok_rows.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
     scored = (
         post.join(F.broadcast(q), "term")
-        .join(F.broadcast(df_.join(q, "term", "left_semi")), "term")
+        .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(avgdl))
         .withColumn(

@@ -61,14 +61,30 @@ def cosine_topk(
 
     Ordering is total — (round(sim,6) DESC, vec_id ASC) — so results are
     parallelism-independent and oracle-comparable."""
+    # norms are hoisted BELOW the cross join: |q| once per query row,
+    # |c| once per corpus row, instead of once per (query, corpus) pair
+    # (guide §1.2 "don't compute things you throw away" — the fold that
+    # computes a norm costs the same as the dot product, so the old
+    # per-pair form did 3x the array-fold work). The arithmetic per
+    # pair is unchanged — dot/(norm_q*norm_c) over identical folds — so
+    # sims are bit-identical.
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("sim", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

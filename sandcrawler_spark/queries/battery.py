@@ -43,7 +43,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — non-local/odd path: leave as-is
         return df
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if md.num_rows >= 50_000 and md.num_row_groups < max(2, par // 4):
+    # worth-it gate: enough rows OR enough bytes (wide-payload tables
+    # like embeddings carry few rows but heavy cells — row count alone
+    # left the sf1.0 embeddings scan, and every fold above it, in ONE
+    # task). Compressed data size is what the footer knows.
+    data_bytes = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+    big_enough = md.num_rows >= 50_000 or data_bytes >= 4 << 20
+    if big_enough and md.num_row_groups < max(2, par // 4):
         return df.repartition(par)
     return df
 
