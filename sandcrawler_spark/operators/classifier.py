@@ -86,9 +86,20 @@ def hashed_ngram_features(
         feats = uni.unionByName(bi)
     feats = feats.withColumn("bucket", _hash60(F.col("__f"), salt) % dim)
     per_bucket = feats.groupBy("id", "bucket").agg(F.count("*").alias("__cnt"))
-    per_doc = feats.groupBy("id").agg(F.count("*").alias("__n"))
-    return per_bucket.join(per_doc, "id").select(
-        "id", "bucket", (F.col("__cnt") / F.col("__n")).alias("x")
+    # per-doc totals derive from the bucket counts (Σ_b cnt = n, exact
+    # integer arithmetic), so the exploded+hashed feature stream is
+    # scanned and shuffled ONCE — the old shape ran the full explode +
+    # salted-md5 lineage a second time just to count features per doc
+    # (guide §2.3 "aggregate before you shuffle"). The window adds one
+    # id-keyed exchange over the already-aggregated rows, replacing the
+    # old full-stream groupBy(id) + join.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id")
+    return per_bucket.select(
+        "id",
+        "bucket",
+        (F.col("__cnt") / F.sum("__cnt").over(w)).alias("x"),
     )
 
 

@@ -173,7 +173,13 @@ def pop_cap_observations() -> list:
     call ``obs.get`` after an action has run over the capped DataFrame
     (it blocks until the plan executes); it then yields
     ``{"buckets_capped": n, "rows_capped": m, "widest_bucket": w}`` —
-    the no-silent-truncation audit trail for the skew cap."""
+    the no-silent-truncation audit trail for the skew cap.
+
+    Same-thread contract (ADVICE r5): the registry is thread-local, so
+    the capped plan must be BUILT and DRAINED on the same thread — a
+    caller that builds on one thread and runs/drains on another (e.g.
+    an executor pool) sees an empty drain, indistinguishable from
+    "nothing was capped"."""
     st = _cap_obs_state()
     out = list(st["obs"])
     st["obs"].clear()
@@ -199,6 +205,13 @@ def cap_bucket_width(
     default in every banded operator (``DEFAULT_MAX_BUCKET``);
     ``None`` opts out for exact runs. Capped-bucket counts are
     surfaced via :func:`pop_cap_observations`, not dropped silently.
+
+    NULL-key note (ADVICE r5): ``Window.partitionBy`` groups NULL keys
+    into one bucket, which is then capped/retained like any other —
+    unlike the pre-r5 left-semi-join form, where NULL keys never
+    equi-joined and were silently dropped. Current callers derive keys
+    from md5/literals (never NULL), so this is only visible to new
+    callers with nullable keys.
 
     Plan shape (round-5 fix): ONE pass — a window count over the bucket
     keys, filter, observe. The round-4 version aggregated bucket sizes

@@ -1252,7 +1252,11 @@ def run_crawl(
             # point (stale-break on resume, start_round >= max_rounds),
             # the background count future is still in flight — cancel
             # it, and if it already started, wait it out (surfacing its
-            # error if any) BEFORE unpersisting the table under it
+            # error if any) BEFORE unpersisting the table under it.
+            # Best-effort only: the 120 s cap means a pathologically
+            # stuck count job can still see the unpersist race it —
+            # tolerated, Spark recomputes unpersisted partitions
+            # (ADVICE r5).
             if rules_broadcastable is None and not _rules_future.cancel():
                 try:
                     _rules_future.result(timeout=120)

@@ -65,7 +65,9 @@ _NEVER_DRIVER_CHECKED = [
     "c9_author_match", "cdx_revisit_resolve", "f10_transfer_fix",
     "med_frames", "med_pdf_spans", "med_resize",
 ]
-_front = _FIXED_RED_R04 + [
+_front = [
+    k for k in _FIXED_RED_R04 if k in QUERIES  # guard vs deregistration (ADVICE r5)
+] + [
     k for k in _NEVER_DRIVER_CHECKED if k in QUERIES
 ] + [
     k for k in QUERIES

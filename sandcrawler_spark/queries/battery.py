@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool | None = None
+) -> DataFrame:
     """Battery table scan, split-aware.
 
     Parquet scans parallelize at ROW-GROUP granularity, and the bench
@@ -33,16 +35,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file cannot feed at least a quarter of the session's partitions AND
     the table is big enough for fan-out to beat the shuffle it costs,
     repartition once right after the scan. No-op on well-laid-out
-    inputs; Catalyst still pushes filters/pruning through Repartition."""
+    inputs; Catalyst still pushes filters/pruning through Repartition.
+
+    ``fanout=False`` opts a query out: when its FIRST operation over
+    the table is itself an exchange (a window/groupBy/join whose
+    partial stage collapses the data or re-shuffles it anyway), the
+    round-robin fan-out is a pure extra pass over the table (the r5
+    one-shot bench caught this as a regression cluster — a5/w1/fr/aj).
+    ``fanout=True`` forces it regardless of the footer heuristics."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if fanout is False:
+        return df
+    if fanout is True:
+        return df.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
+        # inside the guard: a non-numeric shuffle-partitions value
+        # (e.g. "auto" on some platforms) must fall back to the
+        # unrepartitioned scan, not raise (ADVICE r5)
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # noqa: BLE001 — non-local/odd path: leave as-is
         return df
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # worth-it gate: enough rows OR enough bytes (wide-payload tables
     # like embeddings carry few rows but heavy cells — row count alone
     # left the sf1.0 embeddings scan, and every fold above it, in ONE
@@ -62,7 +80,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (A4/A9 family): the classic pricing summary —
     groupBy 2 keys, 8 aggregates, order by keys."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -158,7 +176,7 @@ def f13_regex_rewrite(spark, sf_dir):
 def j1_broadcast_join(spark, sf_dir):
     """J1: big ⋈ small seed-list equi-join → broadcast hash join
     (pig/filter-cdx-join-urls.pig:17-36)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     p = _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -174,8 +192,8 @@ def j1_broadcast_join(spark, sf_dir):
 
 def j2_sortmerge_join(spark, sf_dir):
     """J2: large×large equi-join → sort-merge (pig/join-cdx-sha1.pig:19-42)."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
+    o = _t(spark, sf_dir, "orders", fanout=False)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
@@ -186,8 +204,8 @@ def j2_sortmerge_join(spark, sf_dir):
 def j3_anti_join(spark, sf_dir):
     """J3: left_anti = keep keys NOT in state (CdxBackfillJob.scala:62-67
     'new sha1s only') — customers with no event stream presence."""
-    c = _t(spark, sf_dir, "customer")
-    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer", fanout=False)
+    ev = _t(spark, sf_dir, "events", fanout=False)
     return (
         c.join(ev, c.c_custkey == ev.user_id, "left_anti")
         .groupBy("c_mktsegment")
@@ -199,7 +217,7 @@ def j4_semi_join(spark, sf_dir):
     """U4/J2: left_semi membership join (sha1-digest intersect,
     pig/join-cdx-sha1.pig)."""
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return (
         p.join(li, p.p_partkey == li.l_partkey, "left_semi")
         .groupBy("p_brand")
@@ -275,13 +293,13 @@ def a1_group_count(spark, sf_dir):
 
 def a2_global_count(spark, sf_dir):
     """A2: global count (pig/hbase-count-rows.pig:13-15)."""
-    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+    return _t(spark, sf_dir, "lineitem", fanout=False).agg(F.count("*").alias("n_rows"))
 
 
 def a3_count_distinct(spark, sf_dir):
     """A3: exact + approx count-distinct (sql/stats/README.md:40-42; the
     approx variant is the 10^10-scale path)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
@@ -292,7 +310,7 @@ def a3_count_distinct(spark, sf_dir):
 def a4_topn_counts(spark, sf_dir):
     """A4: top-N group-counts with total-order tiebreak
     (sql/stats/README.md:30-60 'ORDER BY COUNT DESC LIMIT 30')."""
-    p = _t(spark, sf_dir, "part")
+    p = _t(spark, sf_dir, "part", fanout=False)
     return (
         p.groupBy("p_type")
         .agg(F.count("*").alias("n"))
@@ -303,7 +321,7 @@ def a4_topn_counts(spark, sf_dir):
 
 def a5_cube_rollup(spark, sf_dir):
     """A5: multi-dim CUBE with HAVING (sql/monitoring_queries.md:42-66)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"))
@@ -325,7 +343,7 @@ def a6_regex_extract_agg(spark, sf_dir):
 def a8_last_wins_dedup(spark, sf_dir):
     """A8: order-sensitive last-wins batch dedup (db.py:186-190) — keep
     each user's LAST event by (ts, event_id), then count by type."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=False)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -337,7 +355,7 @@ def a8_last_wins_dedup(spark, sf_dir):
 
 def a9_sum(spark, sf_dir):
     """A9: SUM aggregate (sql/stats/README.md:26-28)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return li.agg(
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -352,7 +370,7 @@ def a9_sum(spark, sf_dir):
 def w1_dedup_top1(spark, sf_dir):
     """W1: one row per key via TOP(1) (pig/filter-cdx-paper-pdfs.pig:38-42)
     — deterministic tiebreak, then re-aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     w = Window.partitionBy("l_partkey").orderBy(
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     )
@@ -368,7 +386,7 @@ def w2_best_capture(spark, sf_dir):
     """W2: best-capture selection = top-1 by composite rank tuple
     (ia.py:371-390): per customer pick order by (status='F', price desc,
     date asc, key asc)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", fanout=False)
     w = Window.partitionBy("o_custkey").orderBy(
         (F.col("o_orderstatus") == "F").cast("int").desc(),
         F.col("o_totalprice").desc(),
@@ -385,7 +403,7 @@ def w2_best_capture(spark, sf_dir):
 def w3_politeness_topk(spark, sf_dir):
     """W3: per-host budget window (north_rule politeness) — first 3 events
     per user by (ts, event_id)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=False)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -398,7 +416,7 @@ def w3_politeness_topk(spark, sf_dir):
 def w4_multiplicity_cutoff(spark, sf_dir):
     """W4: drop over-multiplicitous keys (slug >10 matches cutoff,
     scripts/filter_scored_matches.py:62-101)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     w = Window.partitionBy("l_orderkey")
     return (
         li.withColumn("k_n", F.count("*").over(w))
@@ -430,15 +448,15 @@ def o1_global_rank(spark, sf_dir):
 
 def u1_distinct(spark, sf_dir):
     """U1: DISTINCT (pig/filter-cdx-join-urls.pig:19)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return li.select("l_returnflag", "l_linestatus").distinct()
 
 
 def u3_except(spark, sf_dir):
     """U3: EXCEPT via anti-join (MissingColumnDumpJob.scala:36-44) — parts
     never shipped."""
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part", fanout=False)
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return (
         p.select("p_partkey")
         .exceptAll(li.select(F.col("l_partkey").alias("p_partkey")).distinct())
@@ -485,7 +503,7 @@ def s2_json_scan(spark, sf_dir):
 def a11_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (monitoring-stats family;
     the 10^10-scale variant is approx_percentile — same plan shape)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
@@ -495,7 +513,7 @@ def a11_percentiles(spark, sf_dir):
 
 def a10_conditional_pivot(spark, sf_dir):
     """Pivot as conditional aggregation (engine-portable pivot form)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fanout=False)
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_o"),
         F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_f"),
@@ -521,7 +539,7 @@ def c13_array_ops(spark, sf_dir):
 def st_tumbling_window(spark, sf_dir):
     """§2.9: tumbling event-time window aggregation (Structured Streaming
     groupBy(window(...)); batch mode produces identical semantics)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=False)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
@@ -537,7 +555,7 @@ def st_tumbling_window(spark, sf_dir):
 def st_session_window(spark, sf_dir):
     """§2.9: session windows (30-min gap) per user — session count + sizes.
     Spark: native session_window; oracle: gaps-and-islands."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=False)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))

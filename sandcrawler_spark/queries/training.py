@@ -1423,7 +1423,7 @@ _LG_MOD = 397
 
 def _lg_edges(spark, sf_dir):
     nodes = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", fanout=False)
         .select((F.col("doc_id") % _LG_MOD).alias("node"))
         .distinct()
     )
@@ -2265,7 +2265,7 @@ def fr_change_rate(spark, sf_dir):
     λ̂ (changes/day) + expected staleness at the corpus horizon."""
     from sandcrawler_spark.operators import freshness
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", fanout=False).select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
         "ts",
         F.col("event_type").alias("dg"),
@@ -2596,7 +2596,7 @@ def aj_asof_join(spark, sf_dir):
     the skew-proof scale path — not just the single-window one — is the
     variant proven oracle-exact. Right side deduped last-wins per
     (user_id, ts); oracle is DuckDB's native ASOF LEFT JOIN."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=False)
     w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
     right = (
         ev.filter(F.col("event_type") == "click")
