@@ -450,20 +450,18 @@ def dsir_scores(
         .filter(F.col("__tok") != "")
         .withColumn("__b", _hash60(F.col("__tok"), salt) % buckets)
     )
-    # ONE pass over the token stream (guide §2.3): aggregate to
-    # (id, tgt, bucket, cnt) first — the old shape ran the explode +
-    # salted-md5 lineage twice (once for the bucket LMs, once for the
-    # per-doc scoring join) because the two consumers branched below
-    # any exchange. Bucket counts derive exactly (integer sums); the
-    # per-doc score becomes Σ_b cnt·lr instead of summing lr once per
-    # token instance — the same real number up to fp association
-    # (≪ the 6dp rounding; the DuckDB gate pins the rounded values).
-    per_idb = toks.groupBy(id_col, "__tgt", "__b").agg(
-        F.count("*").alias("__cnt")
-    )
-    per_bucket = per_idb.groupBy("__b").agg(
-        F.sum(F.when(F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__nt"),
-        F.sum(F.when(~F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__nr"),
+    # NOTE (round-6 measurement): a (id, tgt, bucket, cnt) pre-
+    # aggregation "single pass" variant was tried and REVERTED — the
+    # intermediate barely collapses (≈ one row per distinct (doc,
+    # bucket)), so it shuffled ~the whole token stream where the shape
+    # below shuffles almost nothing: both consumers partial-aggregate
+    # map-side (per-bucket to ≤``buckets`` rows, per-doc to one row per
+    # doc), so the only duplicated work is the narrow explode+hash
+    # lineage, which is cheaper than the extra wide shuffle
+    # (interleaved A/B at sf1.0: 2.48 s vs 3.33 s median).
+    per_bucket = toks.groupBy("__b").agg(
+        F.sum(F.col("__tgt").cast("long")).alias("__nt"),
+        F.sum((~F.col("__tgt")).cast("long")).alias("__nr"),
     )
     totals = per_bucket.agg(
         F.sum("__nt").alias("__T"), F.sum("__nr").alias("__R")
@@ -476,11 +474,11 @@ def dsir_scores(
         ).alias("__lr"),
     )
     return (
-        per_idb.join(F.broadcast(ratio), "__b")
+        toks.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
-            F.sum("__cnt").alias("n_toks"),
-            F.round(F.sum(F.col("__cnt") * F.col("__lr")), 6).alias("dsir_score"),
+            F.count("*").alias("n_toks"),
+            F.round(F.sum("__lr"), 6).alias("dsir_score"),
         )
     )
 

@@ -269,10 +269,17 @@ def minhash_near_dups(
         .select("id1", "id2")
         .distinct()
     )
-    # verify: exact jaccard restricted to candidates
+    # verify: exact jaccard restricted to candidates. The id2 shingle
+    # side is first semi-joined to the candidate id2 set (round 6):
+    # the (id2, shingle) equi-join otherwise shuffles the ENTIRE
+    # shingle table when only candidate documents can match — the same
+    # pushdown minhash_probe_index applies to the corpus re-shingle
+    # (guide §3.2: reduce the big side before shuffling it).
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), "shingle")
-    s2 = sh.select(F.col("id").alias("id2"), "shingle")
+    s2 = sh.select(F.col("id").alias("id2"), "shingle").join(
+        F.broadcast(cand.select("id2").distinct()), "id2", "left_semi"
+    )
     inter = (
         cand.join(s1, "id1")
         .join(s2, ["id2", "shingle"])

@@ -104,12 +104,22 @@ def hash60_col(col: Column | str) -> Column:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct word n-grams. Shingle assembly is a
     Catalyst ``transform(sequence(...))`` — rows with < n tokens yield no
-    shingles (guarded: Spark's sequence() auto-reverses for start>stop)."""
+    shingles (guarded: Spark's sequence() auto-reverses for start>stop).
+
+    Distinctness is enforced PER DOCUMENT with ``array_distinct``
+    before the explode (round 6): the old global ``.distinct()`` after
+    the explode shuffled every (id, shingle) row — ~10M rows / 600 MB
+    at the sf1.0 battery scale — to deduplicate sets that are already
+    local to one row. Same (id, shingle) set, zero exchanges, and the
+    whole shingle lineage stays narrow (guide §2.4 "remove shuffles
+    outright")."""
     toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")).filter(
         F.size("toks") >= n
     )
     gram = f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {', '.join(f'toks[i+{k}]' for k in range(n))}))"
-    return toks.select("id", F.explode(F.expr(gram)).alias("shingle")).distinct()
+    return toks.select(
+        "id", F.explode(F.array_distinct(F.expr(gram))).alias("shingle")
+    )
 
 
 # ASCII punctuation as explicit ranges so the identical class compiles

@@ -342,12 +342,23 @@ def a6_regex_extract_agg(spark, sf_dir):
 
 def a8_last_wins_dedup(spark, sf_dir):
     """A8: order-sensitive last-wins batch dedup (db.py:186-190) — keep
-    each user's LAST event by (ts, event_id), then count by type."""
+    each user's LAST event by (ts, event_id), then count by type.
+
+    Round 6: the window row_number (full shuffle + per-key sort) is
+    replaced by a sort-free ``max_by`` under the same total order
+    (ts, event_id) — the frontier's own in-batch dedup shape (BENCH.md
+    r2 optimization log). (ts, event_id) is a total order per user, so
+    the selected row is identical; the aggregation partial-combines
+    map-side, shuffling one row per (partition, user) instead of every
+    event through a sort."""
     ev = _t(spark, sf_dir, "events", fanout=False)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("event_type")
+        )
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
     )
@@ -369,14 +380,28 @@ def a9_sum(spark, sf_dir):
 
 def w1_dedup_top1(spark, sf_dir):
     """W1: one row per key via TOP(1) (pig/filter-cdx-paper-pdfs.pig:38-42)
-    — deterministic tiebreak, then re-aggregate."""
+    — deterministic tiebreak, then re-aggregate.
+
+    Round 6: row_number → sort-free ``min_by`` under the identical
+    total order mapped into a struct (price DESC → -price ASC; keys
+    (l_orderkey, l_linenumber) make it total, prices are positive so
+    fp negation is exact). Same selected row per l_partkey; the
+    aggregation partial-combines map-side instead of sorting all 6M
+    rows inside a window (the frontier's sort-free dedup shape)."""
     li = _t(spark, sf_dir, "lineitem", fanout=False)
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    best = li.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct("l_returnflag", "l_extendedprice"),
+            F.struct(
+                (-F.col("l_extendedprice")).alias("neg_price"),
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+            ),
+        ).alias("__b")
     )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        best.select(F.col("__b.l_returnflag").alias("l_returnflag"),
+                    F.col("__b.l_extendedprice").alias("l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("best_sum"))
     )
@@ -434,7 +459,11 @@ def o1_global_rank(spark, sf_dir):
     exercises operators/ranking.with_global_rank (Pig ORDER...PARALLEL)."""
     from sandcrawler_spark.operators.ranking import with_global_rank
 
-    o = _t(spark, sf_dir, "orders")
+    # project the two needed columns BEFORE ranking: with_global_rank
+    # persists + range-shuffles its input, and the full orders row
+    # tripled those bytes for columns the output never uses (guide
+    # §2.3 "project before the exchange")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked = with_global_rank(
         o,
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],

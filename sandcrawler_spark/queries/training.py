@@ -2492,7 +2492,10 @@ def ann_pq_search(spark, sf_dir):
     ann_pq_encode), then each query (vec_id < 10) scans the code table
     with an m-lookup-per-row distance — the memory-bound ANN scale
     path where the corpus is m bytes/vector instead of dim floats."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # fanout=False: pq_encode's projection collapses each vector to m
+    # code bytes immediately — interleaved A/B at sf1.0 showed the
+    # byte-rule fan-out is a pure extra pass here (1.17 -> 0.87 s)
+    emb = _t(spark, sf_dir, "embeddings", fanout=False)
     books = _pq_fixed_books()
     codes = similarity.pq_encode(emb, books)
     return similarity.pq_search(
