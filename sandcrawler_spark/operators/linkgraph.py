@@ -65,11 +65,26 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = graph_nodes(e).cache()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # ONE driver action for both static scalars (round 6; was a count
+    # plus a separate dangling head(1) — each a full job whose
+    # scheduling latency dominates on small graphs): node count and
+    # dangling-node count from a single left join over the cached node
+    # set.
+    stats = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("out_deg").isNull().cast("long")).alias("n_dangling"),
+        )
+        .first()
+    )
+    n_nodes = stats["n"]
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    has_dangling = (stats["n_dangling"] or 0) > 0
+
     # partition edges by src once; every iteration's join reuses it
     e_by_src = (
         e.join(out_deg, "src")
@@ -78,11 +93,12 @@ def pagerank(
     )
 
     # dangling node SET is static (mass changes per iteration, membership
-    # doesn't): compute once, cache; empty → skip the per-iter scalar job
+    # doesn't): only materialized when it is non-empty
     dangling_nodes = nodes.join(
         out_deg, nodes.node == out_deg.src, "left_anti"
-    ).cache()
-    has_dangling = bool(dangling_nodes.head(1))
+    )
+    if has_dangling:
+        dangling_nodes = dangling_nodes.cache()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes

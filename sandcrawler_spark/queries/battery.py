@@ -191,13 +191,26 @@ def j1_broadcast_join(spark, sf_dir):
 
 
 def j2_sortmerge_join(spark, sf_dir):
-    """J2: large×large equi-join → sort-merge (pig/join-cdx-sha1.pig:19-42)."""
+    """J2: large×large equi-join → sort-merge (pig/join-cdx-sha1.pig:19-42).
+
+    Round 6: the big side is partially aggregated under the join key
+    BEFORE the exchange (guide §2.3 "aggregate before you shuffle") —
+    count/sum decompose exactly over the per-orderkey groups, and
+    o_orderkey is unique in orders, so re-summing the partials after
+    the join yields the identical result while the lineitem side
+    shuffles one row per orderkey instead of one per line item."""
     li = _t(spark, sf_dir, "lineitem", fanout=False)
     o = _t(spark, sf_dir, "orders", fanout=False)
+    li_pre = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("l_quantity").alias("__qty")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_pre.join(o, li_pre.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(
+            F.sum("__n").alias("n_items"),
+            F.round(F.sum("__qty"), 2).alias("qty"),
+        )
     )
 
 
