@@ -220,9 +220,65 @@ def normalize(rows, cols, canon_types):
     return out
 
 
+def partitions_sweep(sf_dir: str, only: set[str], levels=(3, 32)) -> int:
+    """Determinism probe (VERDICT r5 #6): run every query's SPARK side
+    at each shuffle-partition level and diff the order-insensitive
+    normalized row multiset. Any query whose normal form moves between
+    levels has an under-specified ordering (a LIMIT/top-k without a
+    total tiebreak, a first()/head dependence, a non-total window) —
+    exactly the class the round-5 fileset fixture bug belonged to.
+    ``spark.sql.shuffle.partitions`` is runtime-settable, so one
+    session serves all levels (each query is re-planned per level —
+    the battery's split-aware ``_t`` reads the conf at build time)."""
+    import __spark_entry__ as entrymod
+    from sandcrawler_spark.session import get_spark
+
+    spark = get_spark("oracle-psweep", cores=8, shuffle_partitions=levels[0])
+    queries = entrymod.queries()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
+    failures = []
+    for name, fn in queries.items():
+        forms = []
+        try:
+            for lv in levels:
+                spark.conf.set("spark.sql.shuffle.partitions", str(lv))
+                sdf = fn(spark, sf_dir)
+                cols = sdf.columns
+                types = [canon_spark_type(f.dataType) for f in sdf.schema.fields]
+                rows = [tuple(r) for r in sdf.collect()]
+                forms.append(normalize(rows, cols, types))
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if any(f != forms[0] for f in forms[1:]):
+            failures.append(name)
+            diff = next(
+                (a, b)
+                for f in forms[1:]
+                for a, b in zip(forms[0], f)
+                if a != b
+            ) if all(len(f) == len(forms[0]) for f in forms) else (
+                f"rowcounts {[len(f) for f in forms]}", ""
+            )
+            print(
+                f"FAIL {name}: result differs across shuffle.partitions="
+                f"{levels} — under-specified ordering; first diff: {diff}"
+            )
+        else:
+            print(f"PASS {name} ({len(forms[0])} rows stable across {levels})")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} partition-stable")
+    return 1 if failures else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--partitions-sweep"]
+    sweep = "--partitions-sweep" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if sweep:
+        return partitions_sweep(sf_dir, only)
 
     import __spark_entry__ as entrymod
     from sandcrawler_spark.session import get_spark
