@@ -357,13 +357,14 @@ def a8_last_wins_dedup(spark, sf_dir):
     """A8: order-sensitive last-wins batch dedup (db.py:186-190) — keep
     each user's LAST event by (ts, event_id), then count by type.
 
-    Round 6: the window row_number (full shuffle + per-key sort) is
-    replaced by a sort-free ``max_by`` under the same total order
-    (ts, event_id) — the frontier's own in-batch dedup shape (BENCH.md
-    r2 optimization log). (ts, event_id) is a total order per user, so
-    the selected row is identical; the aggregation partial-combines
-    map-side, shuffling one row per (partition, user) instead of every
-    event through a sort."""
+    Round 6: the window row_number (full shuffle + per-key sort of
+    every event) is replaced by a ``max_by`` under the same total order
+    (ts, event_id) — the frontier's in-batch dedup shape (BENCH.md r2
+    optimization log). (ts, event_id) is a total order per user, so the
+    selected row is identical; the aggregation partial-combines
+    map-side, shuffling one row per (partition, user). (Struct-ordered
+    max_by compiles to SortAggregate, so a sort by the GROUP key
+    remains — the win is the shuffle volume, not sort removal.)"""
     ev = _t(spark, sf_dir, "events", fanout=False)
     return (
         ev.groupBy("user_id")
@@ -395,12 +396,14 @@ def w1_dedup_top1(spark, sf_dir):
     """W1: one row per key via TOP(1) (pig/filter-cdx-paper-pdfs.pig:38-42)
     — deterministic tiebreak, then re-aggregate.
 
-    Round 6: row_number → sort-free ``min_by`` under the identical
-    total order mapped into a struct (price DESC → -price ASC; keys
-    (l_orderkey, l_linenumber) make it total, prices are positive so
-    fp negation is exact). Same selected row per l_partkey; the
-    aggregation partial-combines map-side instead of sorting all 6M
-    rows inside a window (the frontier's sort-free dedup shape)."""
+    Round 6: row_number → ``min_by`` under the identical total order
+    mapped into a struct (price DESC → -price ASC; keys (l_orderkey,
+    l_linenumber) make it total, prices are positive so fp negation is
+    exact). Same selected row per l_partkey; the aggregation
+    partial-combines map-side, so the exchange carries one struct per
+    (partition, partkey) instead of every line item (struct-ordered
+    min_by is a SortAggregate — the group-key sort remains, the
+    shuffle volume is the win)."""
     li = _t(spark, sf_dir, "lineitem", fanout=False)
     best = li.groupBy("l_partkey").agg(
         F.min_by(

@@ -85,7 +85,13 @@ def main() -> int:
         ("j2 big-big join", "j2_sortmerge_join", [r"Join"], []),
         ("j3 anti join", "j3_anti_join", [r"LeftAnti"], []),
         ("j4 semi join", "j4_semi_join", [r"LeftSemi"], []),
-        ("w1 single window pass", "w1_dedup_top1", [r"Window"], []),
+        # round 6: w1's top-1 is a min_by aggregation with map-side
+        # partial combine (struct-ordered min_by compiles to
+        # SortAggregate — the win is the shuffle shrinking to one
+        # partial row per (partition, key), not sort removal) — assert
+        # the shape and that no window/rank filter snuck back in
+        ("w1 min_by top-1 (partial-combined, no window)", "w1_dedup_top1",
+         [r"partial_min_by"], [r"Window", r"row_number"]),
         ("minhash: no python UDF in plan", "dd_minhash_lsh",
          [], [r"BatchEvalPython", r"ArrowEvalPython"]),
         ("simhash: no python UDF in plan", "dd_simhash",
